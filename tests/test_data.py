@@ -1,0 +1,143 @@
+"""Data layer: tokenizer, BPE, vocab, bucketing, feature alignment."""
+
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.data import bpe as bpe_mod
+from variational_mmt_tpu.data import synthetic
+from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator, binarize
+from variational_mmt_tpu.data.tokenizer import detokenize, tokenize
+from variational_mmt_tpu.data.vocab import BOS, EOS, PAD, UNK, Vocab
+
+
+def test_tokenize_basic():
+    assert tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert tokenize("A man's dog.") == ["a", "man", "'s", "dog", "."]
+    assert tokenize("  ") == []
+    # decimals survive
+    assert "3.14" in tokenize("pi is 3.14 ok")
+
+
+def test_detokenize_roundtrip_shape():
+    toks = ["a", "man", ",", "smiling", "."]
+    assert detokenize(toks) == "a man, smiling."
+
+
+def test_bpe_learn_apply_roundtrip():
+    corpus = [["low", "lower", "lowest", "newer", "wider"] for _ in range(50)]
+    merges = bpe_mod.learn_bpe(corpus, num_merges=50, min_freq=2)
+    assert merges, "should learn at least one merge"
+    bpe = bpe_mod.BPE(merges)
+    seg = bpe.segment(["lowest", "newer"])
+    # @@-continuation round-trips
+    assert bpe_mod.remove_bpe(seg) == ["lowest", "newer"]
+    # frequent whole words end up as few segments
+    assert len(bpe.segment_word("lower")) <= 3
+
+
+def test_bpe_save_load(tmp_path):
+    merges = bpe_mod.learn_bpe([["aaab", "aaac"]] * 10, num_merges=10, min_freq=2)
+    bpe = bpe_mod.BPE(merges)
+    p = str(tmp_path / "codes.bpe")
+    bpe.save(p)
+    bpe2 = bpe_mod.BPE.load(p)
+    assert bpe2.merges == bpe.merges
+    assert bpe2.segment_word("aaab") == bpe.segment_word("aaab")
+
+
+def test_vocab_specials_and_coverage():
+    v = Vocab.build([["a", "b", "a"], ["c", "a"]])
+    assert v.stoi["<blank>"] == PAD and v.stoi["<unk>"] == UNK
+    assert v.stoi["<s>"] == BOS and v.stoi["</s>"] == EOS
+    assert v.encode(["a", "zzz"]) == [v.stoi["a"], UNK]
+    ids = v.encode(["a", "b"], bos=True, eos=True)
+    assert ids[0] == BOS and ids[-1] == EOS
+    assert v.decode(ids) == ["a", "b"]
+
+
+def test_vocab_max_size_and_save(tmp_path):
+    lines = [[f"w{i}" for i in range(20)]] * 3
+    v = Vocab.build(lines, max_size=5)
+    assert len(v) == 9  # 4 specials + 5
+    p = str(tmp_path / "vocab.json")
+    v.save(p)
+    assert Vocab.load(p).itos == v.itos
+
+
+def test_binarize_save_load(tmp_path):
+    ds = binarize([[5, 6, 7], [8]], [[9], [10, 11]])
+    p = str(tmp_path / "data.npz")
+    ds.save(p)
+    ds2 = BinarizedDataset.load(p)
+    assert len(ds2) == 2
+    np.testing.assert_array_equal(ds2.src[0], [5, 6, 7])
+    np.testing.assert_array_equal(ds2.tgt[1], [10, 11])
+
+
+def test_bucket_iterator_static_shapes_and_alignment():
+    rng = np.random.default_rng(0)
+    n = 57
+    src = [list(rng.integers(4, 50, size=rng.integers(2, 30))) for _ in range(n)]
+    tgt = [list(rng.integers(4, 50, size=rng.integers(2, 30))) for _ in range(n)]
+    feats = np.arange(n, dtype=np.float32)[:, None] * np.ones((n, 8), np.float32)
+    ds = binarize(src, tgt)
+    it = BucketIterator(ds, batch_size=8, buckets=[8, 16, 32], img_feats=feats, seed=1)
+
+    seen = set()
+    for batch in it.epoch(0):
+        assert batch.src.shape[0] == 8 and batch.src.shape[1] in (8, 16, 32)
+        assert batch.tgt_in.shape == batch.src.shape == batch.tgt_out.shape
+        for row in range(8):
+            if batch.example_mask[row] == 0:
+                assert (batch.src[row] == PAD).all()
+                continue
+            i = int(batch.indices[row])
+            seen.add(i)
+            # image row gathered by original index (the §3.1 invariant)
+            assert batch.img[row, 0] == float(i)
+            # tgt_in = BOS + tgt; tgt_out = tgt + EOS
+            assert batch.tgt_in[row, 0] == BOS
+            tl = min(len(tgt[i]), batch.src.shape[1] - 1)
+            assert batch.tgt_out[row, tl] == EOS
+            np.testing.assert_array_equal(batch.tgt_in[row, 1 : 1 + tl], batch.tgt_out[row, :tl])
+    assert seen == set(range(n))  # every example exactly once per epoch
+
+
+def test_bucket_iterator_deterministic_given_seed():
+    src = [[4, 5]] * 20
+    ds = binarize(src, src)
+    it = BucketIterator(ds, batch_size=4, buckets=[8], seed=7)
+    a = [b.indices.copy() for b in it.epoch(3)]
+    b = [b.indices.copy() for b in it.epoch(3)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_synthetic_corpus():
+    src, tgt, feats, sv, tv = synthetic.make_corpus(50, vocab_size=40, img_dim=16, seed=3)
+    assert len(src) == len(tgt) == 50 and feats.shape == (50, 16)
+    # same source token always maps through the same target token (learnable)
+    assert len(sv) == len(tv) == 40
+    ids = sv.encode(src[0])
+    assert UNK not in ids
+
+
+def test_features_roundtrip(tmp_path):
+    from variational_mmt_tpu.data.features import load_features, save_features
+
+    feats = np.random.default_rng(0).standard_normal((10, 32)).astype(np.float32)
+    for name in ("f.npy", "f.h5"):
+        p = str(tmp_path / name)
+        save_features(p, feats)
+        out = load_features(p)
+        np.testing.assert_allclose(out, feats, rtol=1e-6)
+
+
+def test_features_conv_reshape(tmp_path):
+    from variational_mmt_tpu.data.features import load_features, save_features
+
+    conv = np.random.default_rng(0).standard_normal((4, 7, 7, 12)).astype(np.float32)
+    p = str(tmp_path / "conv.npy")
+    np.save(p, conv)
+    out = load_features(p)
+    assert out.shape == (4, 49, 12)

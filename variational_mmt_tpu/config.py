@@ -1,0 +1,191 @@
+"""Dataclass configuration system.
+
+Mirrors the flag surface of the reference's ``opts.py`` (SURVEY.md §2.5:
+model type ∈ {nmt, vmmt_f, vmmt_c}, latent dim, KL-annealing schedule,
+image-loss type/weight, feature paths, RNN size/layers, embedding size,
+dropout, batch size, optimizer/LR, epochs/steps, seed; translate: beam size,
+n-best, max length). Like the reference — which pickles the full ``opt``
+Namespace into every checkpoint so ``translate`` can rebuild the exact model —
+the full ``Config`` serializes to JSON inside our checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Defaults follow SURVEY.md §2.6 (paper-era typical values; the reference
+    opts were unverifiable because the mount was empty).
+    """
+
+    model_type: str = "vmmt_f"  # one of: nmt | vmmt_f | vmmt_c
+    src_vocab_size: int = 10000
+    tgt_vocab_size: int = 10000
+    emb_dim: int = 500
+    hidden_dim: int = 500
+    enc_layers: int = 2
+    dec_layers: int = 2
+    dropout: float = 0.3
+    word_dropout: float = 0.0  # replace tgt-input tokens by <unk> (VI trick)
+    input_feed: bool = True
+    attn_type: str = "general"  # Luong global attention variant
+    bridge: str = "tanh"  # enc final state -> dec init state projection
+
+    # --- latent variable machinery (SURVEY.md §2.1 #10) ---
+    latent_dim: int = 128
+    img_feat_dim: int = 2048  # ResNet-50 pool5
+    img_feat_type: str = "pool5"  # pool5 (global 2048) | conv (49x2048)
+    use_img_predict: bool = True  # image-prediction head p(v|z)
+    img_loss: str = "logprob"  # logprob | mse | cosine
+    img_loss_weight: float = 1.0  # gamma
+    z_cond: str = "init"  # init | init+input : how z conditions the decoder
+    min_sigma: float = 1e-3  # numerical floor on predicted std-devs
+
+    # --- TPU-specific ---
+    compute_dtype: str = "bfloat16"  # activations/matmuls on MXU
+    param_dtype: str = "float32"
+    use_pallas: bool = False  # fused Pallas decoder-step kernel (perf pass)
+
+    def validate(self) -> None:
+        assert self.model_type in ("nmt", "vmmt_f", "vmmt_c"), self.model_type
+        assert self.attn_type in ("general", "dot", "mlp"), self.attn_type
+        assert self.img_loss in ("logprob", "mse", "cosine"), self.img_loss
+        assert self.z_cond in ("init", "init+input"), self.z_cond
+        assert self.img_feat_type in ("pool5", "conv"), self.img_feat_type
+
+
+@dataclass
+class TrainConfig:
+    """Optimization + loop hyperparameters (reference Optim/Trainer surface)."""
+
+    seed: int = 1234
+    batch_size: int = 64  # sentences per global batch
+    max_steps: int = 20000
+    epochs: int = 0  # if > 0, overrides max_steps via steps_per_epoch
+    optimizer: str = "adam"  # adam | sgd | adadelta
+    learning_rate: float = 4e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    max_grad_norm: float = 5.0
+    lr_decay: float = 0.5  # multiplicative decay on validation plateau
+    start_decay_at: int = 0  # step after which plateau decay may trigger
+    label_smoothing: float = 0.0
+
+    # --- KL annealing (beta: 0 -> 1) ---
+    kl_anneal: str = "linear"  # linear | sigmoid | none
+    kl_anneal_steps: int = 10000
+    kl_anneal_start: int = 0
+    kl_free_bits: float = 0.0  # per-dim free bits (posterior-collapse guard)
+
+    # --- loop mechanics ---
+    report_every: int = 50
+    valid_every: int = 500
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+
+    # --- parallelism ---
+    data_axis: str = "data"
+    num_data_shards: int = 0  # 0 = use all local devices
+
+
+@dataclass
+class DataConfig:
+    """Paths + pipeline knobs (reference preprocess.py + HDF5 features)."""
+
+    train_src: str = ""
+    train_tgt: str = ""
+    valid_src: str = ""
+    valid_tgt: str = ""
+    train_img_feats: str = ""  # HDF5/NPY, row i aligned to train line i
+    valid_img_feats: str = ""
+    save_data: str = ""  # binarized dataset prefix
+    src_vocab_size: int = 10000
+    tgt_vocab_size: int = 10000
+    src_words_min_frequency: int = 1
+    tgt_words_min_frequency: int = 1
+    src_seq_len: int = 64  # hard truncation (reference: filter long pairs)
+    tgt_seq_len: int = 64
+    bpe_merges: int = 10000
+    lower: bool = True
+    share_vocab: bool = False
+    # bucket boundaries: examples padded to the smallest bucket >= max(len)
+    buckets: List[int] = field(default_factory=lambda: [16, 24, 32, 48, 64])
+    shuffle_buffer: int = 100000
+
+
+@dataclass
+class DecodeConfig:
+    """Translate-time options (reference translate_opts)."""
+
+    beam_size: int = 4
+    n_best: int = 1
+    max_length: int = 100
+    min_length: int = 0
+    length_penalty: str = "gnmt"  # gnmt | none | average
+    alpha: float = 0.6  # GNMT length-penalty exponent
+    batch_size: int = 32
+    replace_unk: bool = False
+    iw_samples: int = 10  # K for importance-weighted ELBO eval
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    # ------------------------------------------------------------------
+    # Serialization (the checkpoint "opt round-trip" contract, SURVEY §2.5)
+    # ------------------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        return cls(
+            model=_from_dict(ModelConfig, d.get("model", {})),
+            train=_from_dict(TrainConfig, d.get("train", {})),
+            data=_from_dict(DataConfig, d.get("data", {})),
+            decode=_from_dict(DecodeConfig, d.get("decode", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def validate(self) -> None:
+        self.model.validate()
+
+
+def _from_dict(klass, d: Dict[str, Any]):
+    names = {f.name for f in dataclasses.fields(klass)}
+    known = {k: v for k, v in d.items() if k in names}
+    return klass(**known)
+
+
+def update_config(cfg, dotted: Dict[str, Any]):
+    """Apply {'model.latent_dim': 64, ...} style overrides (CLI surface)."""
+    for key, value in dotted.items():
+        parts = key.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        name = parts[-1]
+        if not hasattr(obj, name):
+            raise KeyError(f"unknown config key: {key}")
+        current = getattr(obj, name)
+        if current is not None and not isinstance(current, (list, dict)):
+            value = type(current)(value) if not isinstance(value, type(current)) else value
+        setattr(obj, name, value)
+    return cfg
