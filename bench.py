@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness: training throughput of the flagship VMMT_C model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The reference has no published throughput numbers (BASELINE.md: "no
+reference value exists; rebuild must measure and publish"), so vs_baseline
+is computed against the first recorded TPU number of this rebuild
+(_ROUND1_BASELINE below); until that constant is filled from a real TPU
+run, vs_baseline is 1.0.
+
+Model/bench shape follows the reference's training regime (SURVEY.md §2.6):
+Multi30k-scale vocab (10k BPE), emb 500 / GRU 500 / 2+2 layers, latent 128,
+2048-d pool5 features, KL-annealed multi-task ELBO, bfloat16 compute.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
+    from variational_mmt_tpu.models.model import build_model
+    from variational_mmt_tpu.parallel.mesh import batch_sharding, make_mesh
+    from variational_mmt_tpu.train.trainer import create_train_state, make_train_step
+
+    platform = jax.default_backend()
+    n_dev = len(jax.devices())
+    on_tpu = platform == "tpu"
+
+    B = 256 if on_tpu else 32  # global batch (sentences)
+    L = 32  # bucket length (covers Multi30k's ~20-token BPE sentences)
+    cfg = Config(
+        model=ModelConfig(
+            model_type="vmmt_c", src_vocab_size=10000, tgt_vocab_size=10000,
+            emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2,
+            latent_dim=128, img_feat_dim=2048, dropout=0.3, word_dropout=0.1,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+        ),
+        train=TrainConfig(batch_size=B, learning_rate=4e-4),
+    )
+    model = build_model(cfg.model)
+    mesh = make_mesh()
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model, mesh)
+
+    rng = np.random.default_rng(0)
+    lens = rng.integers(L // 2, L, size=B)
+    src = np.zeros((B, L), np.int32)
+    tgt = np.zeros((B, L), np.int32)
+    for i, ln in enumerate(lens):
+        src[i, :ln] = rng.integers(4, 10000, ln)
+        tgt[i, : ln - 1] = rng.integers(4, 10000, ln - 1)
+    tgt_in = np.roll(tgt, 1, axis=1)
+    tgt_in[:, 0] = 2
+    batch = {
+        "src": jnp.asarray(src),
+        "tgt_in": jnp.asarray(tgt_in),
+        "tgt_out": jnp.asarray(tgt),
+        "example_mask": jnp.ones((B,), jnp.float32),
+        "img": jnp.asarray(rng.standard_normal((B, 2048)), jnp.float32),
+    }
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    n_tokens = int((tgt != 0).sum())
+
+    # warmup / compile
+    t0 = time.time()
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - t0
+    for _ in range(3):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 30 if on_tpu else 10
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+
+    tok_per_sec = n_tokens * n_steps / dt
+    per_chip = tok_per_sec / n_dev
+
+    # First real-TPU measurement of this rebuild becomes the baseline the
+    # driver tracks across rounds (reference published no perf numbers).
+    _ROUND1_BASELINE = 155344.0  # tok/s/chip, v5e-1, round 1 (2026-08-16)
+    vs = per_chip / _ROUND1_BASELINE if on_tpu else 1.0
+
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(vs, 3),
+        "platform": platform,
+        "n_devices": n_dev,
+        "global_batch": B,
+        "seq_len": L,
+        "step_ms": round(1000 * dt / n_steps, 2),
+        "compile_s": round(compile_s, 1),
+        "model": "vmmt_c 500/500x2+2 z128 bf16" if on_tpu else "vmmt_c 500/500x2+2 z128 f32",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,8 +4,17 @@ the TPU-world "fake backend")."""
 
 import os
 
-# must be set before jax imports anywhere in the test process
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax imports anywhere in the test process; overwrite (not
+# setdefault): the build environment presets JAX_PLATFORMS=axon (remote TPU),
+# which would make every eager test op a network round-trip
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent compilation cache: repeated test runs skip recompiles
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,131 @@
+"""On-device beam search: validated against a slow host-side reference beam
+on a deterministic toy language model (SURVEY.md §7: "validate beam against a
+slow host-side Python beam" before trusting BLEU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.data.vocab import BOS, EOS, PAD
+from variational_mmt_tpu.ops.beam import beam_search, greedy_search, length_penalty
+
+
+def toy_lm(V=7, seed=0):
+    """A fixed Markov LM: log p(next | prev). Carry = last token (unused
+    beyond step_fn's own token argument, but exercises carry reordering)."""
+    rng = np.random.default_rng(seed)
+    table = rng.standard_normal((V, V)).astype(np.float32)
+    table = jax.nn.log_softmax(jnp.array(table), axis=-1)
+
+    def step_fn(carry, toks):
+        # carry: dict with "prev" (N,), "junk" (N, 3) to test pytree gather
+        logp = table[toks]
+        new_carry = {"prev": toks, "junk": carry["junk"] + 1.0}
+        return new_carry, logp
+
+    return step_fn, np.asarray(table)
+
+
+def host_beam(table, K, L, alpha, min_length=0):
+    """Exhaustive/deterministic reference beam for batch of 1 starting at BOS."""
+    beams = [([], 0.0, False)]  # (tokens, score, finished)
+    for t in range(L):
+        cand = []
+        for toks, score, fin in beams:
+            if fin:
+                cand.append((toks + [PAD], score, True))
+                continue
+            prev = toks[-1] if toks else BOS
+            for v in range(table.shape[1]):
+                lp = table[prev, v]
+                if t < min_length and v == EOS:
+                    lp = -1e9
+                cand.append((toks + [v], score + lp, fin or v == EOS))
+        cand.sort(key=lambda x: -x[1])
+        beams = cand[:K]
+        if all(f for _, _, f in beams):
+            break
+
+    def plen(toks):
+        n = 0
+        for x in toks:
+            if x == PAD:
+                continue
+            n += 1
+            if x == EOS:
+                break
+        return ((5.0 + max(min(n, L), 1)) / 6.0) ** alpha
+
+    scored = sorted(((s / plen(t), t) for t, s, _ in beams), key=lambda x: -x[0])
+    return scored
+
+
+@pytest.mark.parametrize("K", [1, 4])
+def test_beam_matches_host_reference(K):
+    V, L, alpha = 7, 6, 0.6
+    step_fn, table = toy_lm(V)
+    init_carry = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    tokens, scores = jax.jit(
+        lambda c: beam_search(step_fn, c, 1, K, L, alpha=alpha)
+    )(init_carry)
+    want = host_beam(table, K, L, alpha)
+    got_best = [t for t in np.asarray(tokens)[0, 0].tolist() if t != PAD]
+    want_best = [t for t in want[0][1] if t != PAD]
+    assert got_best == want_best, (got_best, want_best)
+    np.testing.assert_allclose(float(scores[0, 0]), want[0][0], rtol=1e-4)
+
+
+def test_beam_min_length_blocks_eos():
+    step_fn, table = toy_lm()
+    init_carry = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    tokens, _ = beam_search(step_fn, init_carry, 1, 4, 8, min_length=5)
+    row = np.asarray(tokens)[0, 0]
+    eos_pos = np.where(row == EOS)[0]
+    if len(eos_pos):
+        assert eos_pos[0] >= 5
+
+
+def test_beam_batch_independence():
+    """Each sentence's beam must be independent of its batchmates."""
+    V = 7
+    rng = np.random.default_rng(3)
+    table = jax.nn.log_softmax(jnp.array(rng.standard_normal((4, V, V)), jnp.float32), -1)
+
+    def step_fn(carry, toks):
+        sent = carry["sent"]  # (N,) which sentence each row belongs to
+        return carry, table[sent, toks]
+
+    K, L = 3, 5
+    # batch of 2 sentences with different tables
+    init2 = {"sent": jnp.array([0, 1], jnp.int32)}
+    tok2, sc2 = beam_search(step_fn, init2, 2, K, L)
+    # singleton runs
+    tok_a, sc_a = beam_search(step_fn, {"sent": jnp.array([0], jnp.int32)}, 1, K, L)
+    tok_b, sc_b = beam_search(step_fn, {"sent": jnp.array([1], jnp.int32)}, 1, K, L)
+    np.testing.assert_array_equal(np.asarray(tok2[0]), np.asarray(tok_a[0]))
+    np.testing.assert_array_equal(np.asarray(tok2[1]), np.asarray(tok_b[0]))
+    np.testing.assert_allclose(np.asarray(sc2), np.concatenate([sc_a, sc_b]), rtol=1e-5)
+
+
+def test_greedy_matches_beam1_argmax_path():
+    step_fn, table = toy_lm()
+    init_carry = {"prev": jnp.zeros((2,), jnp.int32), "junk": jnp.zeros((2, 3))}
+    toks = greedy_search(step_fn, init_carry, 2, 6)
+    # manual argmax walk
+    t = BOS
+    want = []
+    for _ in range(6):
+        t = int(np.argmax(table[t]))
+        want.append(t)
+        if t == EOS:
+            break
+    row = [x for x in np.asarray(toks)[0].tolist() if x != PAD]
+    assert row == want
+
+
+def test_length_penalty_values():
+    np.testing.assert_allclose(float(length_penalty(jnp.array(1.0), 0.6)), 1.0)
+    lp = float(length_penalty(jnp.array(7.0), 1.0))
+    np.testing.assert_allclose(lp, 2.0)
+    assert float(length_penalty(jnp.array(50.0), 0.0)) == 1.0

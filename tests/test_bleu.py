@@ -1,0 +1,76 @@
+"""BLEU cross-checked against sacrebleu (available in the image) and METEOR
+sanity checks."""
+
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.evals.bleu import corpus_bleu
+from variational_mmt_tpu.evals.meteor import meteor_score
+
+
+def test_perfect_match():
+    hyp = [["a", "b", "c", "d", "e"]]
+    refs = [[["a", "b", "c", "d", "e"]]]
+    out = corpus_bleu(hyp, refs)
+    assert abs(out["bleu"] - 100.0) < 1e-9
+    assert out["bp"] == 1.0
+
+
+def test_no_match():
+    out = corpus_bleu([["x", "y", "z", "w"]], [[["a", "b", "c", "d"]]])
+    assert out["bleu"] == 0.0
+
+
+def test_brevity_penalty():
+    hyp = [["a", "b"]]
+    refs = [[["a", "b", "c", "d"]]]
+    out = corpus_bleu(hyp, refs)
+    assert out["bp"] < 1.0
+    np.testing.assert_allclose(out["bp"], np.exp(1 - 4 / 2))
+
+
+def test_matches_sacrebleu_tokenized():
+    sacrebleu = pytest.importorskip("sacrebleu")
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)]
+    hyps, refs = [], []
+    for _ in range(40):
+        L = int(rng.integers(3, 15))
+        ref = [vocab[i] for i in rng.integers(0, 30, L)]
+        hyp = list(ref)
+        # perturb
+        for j in range(len(hyp)):
+            if rng.random() < 0.3:
+                hyp[j] = vocab[int(rng.integers(0, 30))]
+        if rng.random() < 0.3:
+            hyp = hyp[:-1] if len(hyp) > 3 else hyp
+        hyps.append(hyp)
+        refs.append([ref])
+    ours = corpus_bleu(hyps, refs)["bleu"]
+    sb = sacrebleu.corpus_bleu(
+        [" ".join(h) for h in hyps],
+        [[" ".join(r[0]) for r in refs]],
+        tokenize="none", smooth_method="none", force=True,
+    ).score
+    np.testing.assert_allclose(ours, sb, rtol=1e-6)
+
+
+def test_multi_reference_closest_length():
+    hyp = [["a", "b", "c"]]
+    refs = [[["a", "b", "c", "d", "e", "f"], ["a", "b", "x"]]]
+    out = corpus_bleu(hyp, refs)
+    assert out["ref_len"] == 3  # closest reference length used
+    assert out["bp"] == 1.0
+
+
+def test_meteor_sanity():
+    perfect = meteor_score([["a", "b", "c"]], [[["a", "b", "c"]]])["meteor"]
+    nothing = meteor_score([["x", "y"]], [[["a", "b"]]])["meteor"]
+    partial = meteor_score([["a", "b", "x"]], [[["a", "b", "c"]]])["meteor"]
+    assert perfect > 90.0
+    assert nothing == 0.0
+    assert 0.0 < partial < perfect
+    # word order matters (fragmentation penalty)
+    ordered = meteor_score([["a", "b", "c", "d"]], [[["a", "b", "c", "d"]]])["meteor"]
+    shuffled = meteor_score([["d", "c", "b", "a"]], [[["a", "b", "c", "d"]]])["meteor"]
+    assert ordered > shuffled

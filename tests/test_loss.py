@@ -1,0 +1,105 @@
+"""ELBO pieces: KL golden values, annealing schedule, CE masking, image loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from variational_mmt_tpu.config import ModelConfig, TrainConfig
+from variational_mmt_tpu.models.latent import (
+    gaussian_kl,
+    gaussian_log_prob,
+    kl_free_bits,
+    reparameterize,
+)
+from variational_mmt_tpu.train.loss import image_loss, kl_beta, token_ce
+
+
+def test_kl_standard_normal_vs_itself_is_zero():
+    mu = jnp.zeros((2, 4))
+    sigma = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(gaussian_kl(mu, sigma)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gaussian_kl(mu, sigma, mu, sigma)), 0.0, atol=1e-6)
+
+
+def test_kl_golden_value():
+    # KL(N(1, 2^2) || N(0,1)) = log(1/2) + (4 + 1)/2 - 1/2 = -log2 + 2
+    mu = jnp.array([[1.0]])
+    sigma = jnp.array([[2.0]])
+    want = -np.log(2.0) + 2.0
+    np.testing.assert_allclose(np.asarray(gaussian_kl(mu, sigma))[0], want, rtol=1e-6)
+    # vs learned prior N(3, 0.5^2):
+    mup = jnp.array([[3.0]])
+    sigp = jnp.array([[0.5]])
+    want2 = np.log(0.5 / 2.0) + (4.0 + 4.0) / (2 * 0.25) - 0.5
+    np.testing.assert_allclose(np.asarray(gaussian_kl(mu, sigma, mup, sigp))[0], want2, rtol=1e-6)
+
+
+def test_gaussian_log_prob_golden():
+    # log N(0; 0, 1) = -0.5 log(2 pi), summed over 3 dims
+    x = jnp.zeros((1, 3))
+    lp = gaussian_log_prob(x, jnp.zeros((1, 3)), jnp.ones((1, 3)))
+    np.testing.assert_allclose(np.asarray(lp)[0], -1.5 * np.log(2 * np.pi), rtol=1e-4)
+
+
+def test_reparameterize_stats():
+    k = jax.random.PRNGKey(0)
+    mu = jnp.full((20000,), 2.0)
+    sigma = jnp.full((20000,), 0.5)
+    z = reparameterize(k, mu, sigma)
+    assert abs(float(z.mean()) - 2.0) < 0.02
+    assert abs(float(z.std()) - 0.5) < 0.02
+
+
+def test_free_bits():
+    kl = jnp.array([0.5, 10.0])
+    out = np.asarray(kl_free_bits(kl, free_bits=0.25, latent_dim=8))  # floor = 2.0
+    np.testing.assert_allclose(out, [2.0, 10.0])
+
+
+def test_kl_beta_schedules():
+    cfg = TrainConfig(kl_anneal="linear", kl_anneal_steps=100, kl_anneal_start=10)
+    assert float(kl_beta(jnp.int32(0), cfg)) == 0.0
+    assert float(kl_beta(jnp.int32(10), cfg)) == 0.0
+    np.testing.assert_allclose(float(kl_beta(jnp.int32(60), cfg)), 0.5)
+    assert float(kl_beta(jnp.int32(10000), cfg)) == 1.0
+    cfg2 = TrainConfig(kl_anneal="none")
+    assert float(kl_beta(jnp.int32(0), cfg2)) == 1.0
+    cfg3 = TrainConfig(kl_anneal="sigmoid", kl_anneal_steps=100)
+    assert float(kl_beta(jnp.int32(0), cfg3)) < 0.01
+    assert float(kl_beta(jnp.int32(100), cfg3)) > 0.99
+
+
+def test_token_ce_masking_and_accuracy():
+    # vocab 3; logits strongly prefer token 2 everywhere
+    logits = jnp.array([[[0.0, 0.0, 10.0], [0.0, 0.0, 10.0]]])
+    targets = jnp.array([[2, 1]])
+    mask = jnp.array([[1.0, 0.0]])  # second position masked out
+    ce, n_correct = token_ce(logits, targets, mask)
+    assert float(n_correct) == 1.0  # only the unmasked correct one counts
+    assert float(ce[0]) < 0.01  # masked wrong position contributes nothing
+
+
+def test_token_ce_label_smoothing():
+    logits = jnp.array([[[2.0, 0.0, -1.0]]])
+    targets = jnp.array([[0]])
+    mask = jnp.ones((1, 1))
+    ce0, _ = token_ce(logits, targets, mask, label_smoothing=0.0)
+    ce1, _ = token_ce(logits, targets, mask, label_smoothing=0.1)
+    assert float(ce1[0]) > float(ce0[0])  # smoothing penalizes confident spikes
+
+
+def test_image_loss_variants():
+    v = jnp.array([[1.0, 0.0, 0.0]])
+    v_hat_same = jnp.array([[1.0, 0.0, 0.0]])
+    v_hat_diff = jnp.array([[0.0, 1.0, 0.0]])
+    assert float(image_loss(v, v_hat_same, "mse")[0]) == 0.0
+    assert float(image_loss(v, v_hat_diff, "mse")[0]) == 2.0
+    np.testing.assert_allclose(float(image_loss(v, v_hat_same, "cosine")[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(image_loss(v, v_hat_diff, "cosine")[0]), 1.0, atol=1e-6)
+    # logprob at the mean = 0.5*D*log(2pi)
+    np.testing.assert_allclose(
+        float(image_loss(v, v_hat_same, "logprob")[0]), 1.5 * np.log(2 * np.pi), rtol=1e-4
+    )
+    # conv features (B, R, D) are region-pooled
+    v3 = jnp.stack([v, v], axis=1)[0][None]  # (1, 2, 3)
+    np.testing.assert_allclose(float(image_loss(v3, v_hat_same, "mse")[0]), 0.0, atol=1e-6)

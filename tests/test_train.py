@@ -1,0 +1,146 @@
+"""Training runtime: overfit sanity, determinism, data-parallel equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
+from variational_mmt_tpu.models.model import build_model
+from variational_mmt_tpu.parallel.mesh import batch_sharding, make_mesh
+from variational_mmt_tpu.train.trainer import create_train_state, make_eval_step, make_train_step
+
+
+def tiny_cfg(model_type="vmmt_c", **train_kw):
+    return Config(
+        model=ModelConfig(
+            model_type=model_type, src_vocab_size=30, tgt_vocab_size=30, emb_dim=16,
+            hidden_dim=32, enc_layers=1, dec_layers=2, latent_dim=4, img_feat_dim=16,
+            dropout=0.1, word_dropout=0.1, compute_dtype="float32",
+        ),
+        train=TrainConfig(learning_rate=3e-3, kl_anneal_steps=20, **train_kw),
+    )
+
+
+def make_batch(B=16, L=8, img_dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(4, 30, (B, L)).astype(np.int32)
+    src[:, -1] = 0
+    tgt = rng.integers(4, 30, (B, L)).astype(np.int32)
+    tgt_in = tgt.copy()
+    tgt_in[:, 0] = 2
+    return {
+        "src": jnp.array(src),
+        "tgt_in": jnp.array(tgt_in),
+        "tgt_out": jnp.array(tgt),
+        "example_mask": jnp.ones((B,), jnp.float32),
+        "img": jnp.array(rng.standard_normal((B, img_dim)), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("model_type", ["nmt", "vmmt_f", "vmmt_c"])
+def test_overfit_single_batch(model_type):
+    cfg = tiny_cfg(model_type)
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+    batch = make_batch()
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["ce_sum"]) / float(m["n_tokens"]))
+    assert losses[-1] < losses[0] * 0.7, f"{model_type}: no learning {losses[0]} -> {losses[-1]}"
+    assert np.isfinite(losses).all()
+
+
+def test_determinism_same_seed():
+    cfg = tiny_cfg()
+    model = build_model(cfg.model)
+    batch = make_batch()
+
+    def run():
+        state = create_train_state(cfg, model)
+        step = make_train_step(cfg, model)
+        out = []
+        for _ in range(5):
+            state, m = step(state, batch)
+            out.append(float(m["loss"]))
+        return out
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_data_parallel_matches_single_device():
+    """Same global batch, 8-way sharded vs single device -> same loss and
+    (near-)same params after a step. This is the DP-correctness test
+    SURVEY.md §4 calls for."""
+    cfg = tiny_cfg()
+    cfg.model.dropout = 0.0
+    cfg.model.word_dropout = 0.0
+    model = build_model(cfg.model)
+    batch = make_batch(B=16)
+
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    state8 = create_train_state(cfg, model)
+    state1 = create_train_state(cfg, model)
+    # identical init (same seed)
+    step8 = make_train_step(cfg, model, mesh8)
+    step1 = make_train_step(cfg, model, mesh1)
+    b8 = jax.device_put(batch, batch_sharding(mesh8))
+    b1 = jax.device_put(batch, batch_sharding(mesh1))
+    state8, m8 = step8(state8, b8)
+    state1, m1 = step1(state1, b1)
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    for p8, p1 in zip(jax.tree.leaves(state8.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-4, atol=1e-6)
+
+
+def test_eval_step_deterministic():
+    cfg = tiny_cfg()
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    ev = make_eval_step(cfg, model)
+    batch = make_batch()
+    m1 = ev(state, batch)
+    m2 = ev(state, batch)
+    assert float(m1["ce_sum"]) == float(m2["ce_sum"])
+
+
+def test_example_mask_zeroes_padding_rows():
+    """A padded example row must contribute nothing to loss/metrics."""
+    cfg = tiny_cfg()
+    cfg.model.dropout = 0.0
+    cfg.model.word_dropout = 0.0
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    ev = make_eval_step(cfg, model)
+    b = make_batch(B=8)
+    m_full = ev(state, b)
+    # zero out last 4 rows via example_mask; metrics must equal first-4-only
+    mask = np.ones(8, np.float32)
+    mask[4:] = 0
+    b_masked = dict(b, example_mask=jnp.array(mask))
+    b_small = {k: (v[:4] if k != "example_mask" else jnp.ones(4)) for k, v in b.items()}
+    m_masked = ev(state, b_masked)
+    m_small = ev(state, b_small)
+    np.testing.assert_allclose(float(m_masked["ce_sum"]), float(m_small["ce_sum"]), rtol=1e-4)
+    assert float(m_masked["n_sents"]) == 4.0
+    assert float(m_masked["n_tokens"]) == float(m_small["n_tokens"])
+
+
+def test_grad_clipping_applied():
+    # use SGD: adam's per-coordinate normalization undoes the clip scale
+    cfg = tiny_cfg(max_grad_norm=1e-6, optimizer="sgd")
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, _ = step(state, make_batch())
+    # params barely move under the clip
+    max_delta = max(
+        float(np.abs(np.asarray(a) - b).max())
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p0))
+    )
+    assert max_delta < 1e-4

@@ -1,0 +1,133 @@
+"""Translator + checkpoint round-trip + IW-ELBO eval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig, TrainConfig
+from variational_mmt_tpu.data.vocab import Vocab, SPECIALS
+from variational_mmt_tpu.decode.iw_eval import make_iw_elbo_fn
+from variational_mmt_tpu.decode.translator import Translator
+from variational_mmt_tpu.models.model import build_model
+from variational_mmt_tpu.train.checkpoint import (
+    latest_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    save_checkpoint,
+)
+from variational_mmt_tpu.train.trainer import create_train_state
+
+
+def small_setup(model_type="vmmt_c"):
+    cfg = Config(
+        model=ModelConfig(
+            model_type=model_type, src_vocab_size=24, tgt_vocab_size=24, emb_dim=16,
+            hidden_dim=32, enc_layers=1, dec_layers=2, latent_dim=4, img_feat_dim=8,
+            dropout=0.0, compute_dtype="float32",
+        ),
+        train=TrainConfig(seed=7),
+        decode=DecodeConfig(beam_size=4, max_length=12, batch_size=4),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(20)])
+    return cfg, model, state, vocab
+
+
+def test_translator_produces_output():
+    cfg, model, state, vocab = small_setup()
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    src = [["w1", "w2", "w3"], ["w4", "w5"], ["w6"]]
+    feats = np.random.default_rng(0).standard_normal((3, 8)).astype(np.float32)
+    out = tr.translate_tokens(src, feats)
+    assert len(out) == 3
+    for nbest in out:
+        assert len(nbest) == 1
+        score, text = nbest[0]
+        assert isinstance(text, str)
+
+
+def test_translator_nbest_sorted():
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.n_best = 4
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    feats = np.zeros((2, 8), np.float32)
+    out = tr.translate_ids([[5, 6, 7], [8, 9]], feats)
+    for nbest in out:
+        scores = [s for s, _ in nbest]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_greedy_beam1_path():
+    cfg, model, state, vocab = small_setup("nmt")
+    cfg.decode.beam_size = 1
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    out = tr.translate_ids([[5, 6, 7]])
+    assert len(out) == 1 and len(out[0]) == 1
+
+
+def test_translation_deterministic():
+    cfg, model, state, vocab = small_setup()
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    feats = np.ones((1, 8), np.float32)
+    a = tr.translate_ids([[5, 6, 7]], feats)
+    b = tr.translate_ids([[5, 6, 7]], feats)
+    assert a == b
+
+
+def test_checkpoint_roundtrip_identical_decode(tmp_path):
+    """SURVEY §2.5: checkpoints must round-trip (save->load->same decode)."""
+    cfg, model, state, vocab = small_setup()
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, cfg, vocab, vocab, keep=3)
+    path = latest_checkpoint(ckpt_dir)
+    state2, cfg2, model2, sv2, tv2 = load_checkpoint(path)
+    assert cfg2.model == cfg.model
+    assert sv2.itos == vocab.itos
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    feats = np.ones((2, 8), np.float32)
+    src = [[5, 6, 7], [8, 9, 10]]
+    out1 = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8]).translate_ids(src, feats)
+    out2 = Translator(model2, state2.params, sv2, tv2, cfg2.decode, buckets=[8]).translate_ids(src, feats)
+    assert out1 == out2
+
+
+def test_checkpoint_retention(tmp_path):
+    cfg, model, state, vocab = small_setup("nmt")
+    ckpt_dir = str(tmp_path / "ckpts")
+    for s in range(5):
+        state = state.replace(step=jnp.int32(s))
+        save_checkpoint(ckpt_dir, state, cfg, vocab, vocab, keep=2)
+    assert list_checkpoints(ckpt_dir) == [3, 4]
+
+
+@pytest.mark.parametrize("model_type", ["vmmt_f", "vmmt_c"])
+def test_iw_elbo(model_type):
+    cfg, model, state, vocab = small_setup(model_type)
+    B, L = 4, 6
+    rng = np.random.default_rng(0)
+    batch = {
+        "src": jnp.array(rng.integers(4, 24, (B, L)), jnp.int32),
+        "tgt_in": jnp.array(rng.integers(4, 24, (B, L)), jnp.int32),
+        "tgt_out": jnp.array(rng.integers(4, 24, (B, L)), jnp.int32),
+        "example_mask": jnp.ones((B,), jnp.float32),
+        "img": jnp.array(rng.standard_normal((B, 8)), jnp.float32),
+    }
+    fn = jax.jit(make_iw_elbo_fn(model, 5))
+    out = fn(state.params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["iw_elbo_sum"]))
+    assert float(out["n_sents"]) == B
+    # IW bound with more samples should not get (meaningfully) worse
+    fn1 = jax.jit(make_iw_elbo_fn(model, 1))
+    keys = [jax.random.PRNGKey(i) for i in range(8)]
+    iw1 = np.mean([float(fn1(state.params, batch, k)["iw_elbo_sum"]) for k in keys])
+    iw5 = np.mean([float(fn(state.params, batch, k)["iw_elbo_sum"]) for k in keys])
+    assert iw5 >= iw1 - 1.0  # monotone-in-K in expectation
+
+
+def test_iw_rejects_nonlatent():
+    cfg, model, state, vocab = small_setup("nmt")
+    with pytest.raises(ValueError):
+        make_iw_elbo_fn(model, 3)

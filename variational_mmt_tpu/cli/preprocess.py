@@ -1,0 +1,116 @@
+"""``preprocess`` CLI — the reference's ``preprocess.py`` equivalent
+(SURVEY.md §2.1 #1, §3.1): tokenized (or raw) parallel text -> BPE codes,
+vocabs, binarized train/valid datasets.
+
+    python preprocess.py -train_src ... -train_tgt ... -valid_src ... \
+        -valid_tgt ... -save_data prefix [-bpe_merges 10000] [...]
+
+Outputs: {save_data}.bpe.codes, {save_data}.vocab.src.json,
+{save_data}.vocab.tgt.json, {save_data}.train.npz, {save_data}.valid.npz.
+Image features are NOT processed here (reference invariant: they live in
+separate HDF5/NPY files aligned to corpus line order).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List
+
+from variational_mmt_tpu.data.bpe import BPE, learn_bpe
+from variational_mmt_tpu.data.dataset import binarize
+from variational_mmt_tpu.data.tokenizer import tokenize
+from variational_mmt_tpu.data.vocab import Vocab
+
+
+def add_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-train_src", required=True)
+    p.add_argument("-train_tgt", required=True)
+    p.add_argument("-valid_src", default="")
+    p.add_argument("-valid_tgt", default="")
+    p.add_argument("-save_data", required=True)
+    p.add_argument("-src_vocab_size", type=int, default=10000)
+    p.add_argument("-tgt_vocab_size", type=int, default=10000)
+    p.add_argument("-src_words_min_frequency", type=int, default=1)
+    p.add_argument("-tgt_words_min_frequency", type=int, default=1)
+    p.add_argument("-src_seq_length", type=int, default=64)
+    p.add_argument("-tgt_seq_length", type=int, default=64)
+    p.add_argument("-bpe_merges", type=int, default=10000)
+    p.add_argument("-no_bpe", action="store_true", help="skip BPE (input already segmented)")
+    p.add_argument("-pretokenized", action="store_true", help="input is already tokenized; whitespace-split only")
+    p.add_argument("-no_lower", action="store_true")
+    p.add_argument("-share_vocab", action="store_true")
+
+
+def read_corpus(path: str, pretokenized: bool, lower: bool) -> List[List[str]]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if pretokenized:
+                line = line.lower() if lower else line
+                out.append(line.split())
+            else:
+                out.append(tokenize(line, lower=lower))
+    return out
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("vmmt-tpu preprocess")
+    add_args(p)
+    opt = p.parse_args(argv)
+    lower = not opt.no_lower
+
+    print(f"reading {opt.train_src} / {opt.train_tgt}")
+    train_src = read_corpus(opt.train_src, opt.pretokenized, lower)
+    train_tgt = read_corpus(opt.train_tgt, opt.pretokenized, lower)
+    assert len(train_src) == len(train_tgt), "src/tgt line counts differ"
+
+    if not opt.no_bpe:
+        print(f"learning {opt.bpe_merges} BPE merges (joint)")
+        merges = learn_bpe(train_src + train_tgt, opt.bpe_merges)
+        bpe = BPE(merges)
+        bpe.save(opt.save_data + ".bpe.codes")
+        train_src = [bpe.segment(t) for t in train_src]
+        train_tgt = [bpe.segment(t) for t in train_tgt]
+    else:
+        bpe = None
+
+    print("building vocabularies")
+    if opt.share_vocab:
+        sv = tv = Vocab.build(
+            train_src + train_tgt, max_size=opt.src_vocab_size,
+            min_freq=opt.src_words_min_frequency,
+        )
+    else:
+        sv = Vocab.build(train_src, max_size=opt.src_vocab_size, min_freq=opt.src_words_min_frequency)
+        tv = Vocab.build(train_tgt, max_size=opt.tgt_vocab_size, min_freq=opt.tgt_words_min_frequency)
+    sv.save(opt.save_data + ".vocab.src.json")
+    tv.save(opt.save_data + ".vocab.tgt.json")
+    print(f"src vocab {len(sv)}; tgt vocab {len(tv)}")
+
+    ds = binarize(
+        [sv.encode(t) for t in train_src],
+        [tv.encode(t) for t in train_tgt],
+        max_src_len=opt.src_seq_length,
+        max_tgt_len=opt.tgt_seq_length,
+    )
+    ds.save(opt.save_data + ".train.npz")
+    print(f"train: {len(ds)} examples -> {opt.save_data}.train.npz")
+
+    if opt.valid_src:
+        valid_src = read_corpus(opt.valid_src, opt.pretokenized, lower)
+        valid_tgt = read_corpus(opt.valid_tgt, opt.pretokenized, lower)
+        if bpe is not None:
+            valid_src = [bpe.segment(t) for t in valid_src]
+            valid_tgt = [bpe.segment(t) for t in valid_tgt]
+        vds = binarize(
+            [sv.encode(t) for t in valid_src],
+            [tv.encode(t) for t in valid_tgt],
+            max_src_len=opt.src_seq_length,
+            max_tgt_len=opt.tgt_seq_length,
+        )
+        vds.save(opt.save_data + ".valid.npz")
+        print(f"valid: {len(vds)} examples -> {opt.save_data}.valid.npz")
+
+
+if __name__ == "__main__":
+    main()

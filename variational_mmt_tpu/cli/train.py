@@ -1,0 +1,182 @@
+"""``train`` CLI — the reference's ``train_mm_vi_model1.py`` equivalent
+(SURVEY.md §2.1 #3, §3.2): load binarized data + image features, build the
+configured model (nmt / vmmt_f / vmmt_c), run the KL-annealed ELBO training
+loop with validation, plateau LR decay, and checkpointing; resume with
+``-train_from``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from variational_mmt_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator
+from variational_mmt_tpu.data.features import load_features
+from variational_mmt_tpu.data.vocab import Vocab
+from variational_mmt_tpu.models.model import build_model
+from variational_mmt_tpu.parallel.mesh import make_mesh
+from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from variational_mmt_tpu.train.trainer import Trainer
+
+
+def add_args(p: argparse.ArgumentParser) -> None:
+    # data
+    p.add_argument("-data", required=True, help="preprocess save_data prefix")
+    p.add_argument("-save_model", required=True, help="checkpoint directory")
+    p.add_argument("-train_img_feats", default="", help="HDF5/NPY train features")
+    p.add_argument("-valid_img_feats", default="")
+    p.add_argument("-train_from", default="", help="checkpoint dir/path to resume")
+    # model
+    p.add_argument("-model_type", default="vmmt_f", choices=["nmt", "vmmt_f", "vmmt_c"])
+    p.add_argument("-word_vec_size", type=int, default=500)
+    p.add_argument("-rnn_size", type=int, default=500)
+    p.add_argument("-enc_layers", type=int, default=2)
+    p.add_argument("-dec_layers", type=int, default=2)
+    p.add_argument("-dropout", type=float, default=0.3)
+    p.add_argument("-word_dropout", type=float, default=0.0)
+    p.add_argument("-input_feed", type=int, default=1)
+    p.add_argument("-global_attention", default="general", choices=["general", "dot", "mlp"])
+    p.add_argument("-z_latent_dim", type=int, default=128)
+    p.add_argument("-img_feat_dim", type=int, default=2048)
+    p.add_argument("-img_feat_type", default="pool5", choices=["pool5", "conv"])
+    p.add_argument("-use_img_predict", type=int, default=1)
+    p.add_argument("-img_loss", default="logprob", choices=["logprob", "mse", "cosine"])
+    p.add_argument("-img_loss_weight", type=float, default=1.0)
+    p.add_argument("-z_cond", default="init", choices=["init", "init+input"])
+    p.add_argument("-compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    # optimization
+    p.add_argument("-batch_size", type=int, default=64)
+    p.add_argument("-max_steps", type=int, default=20000)
+    p.add_argument("-epochs", type=int, default=0)
+    p.add_argument("-optim", default="adam", choices=["adam", "sgd", "adadelta"])
+    p.add_argument("-learning_rate", type=float, default=4e-4)
+    p.add_argument("-max_grad_norm", type=float, default=5.0)
+    p.add_argument("-learning_rate_decay", type=float, default=0.5)
+    p.add_argument("-start_decay_at", type=int, default=0)
+    p.add_argument("-label_smoothing", type=float, default=0.0)
+    p.add_argument("-kl_anneal", default="linear", choices=["linear", "sigmoid", "none"])
+    p.add_argument("-kl_anneal_steps", type=int, default=10000)
+    p.add_argument("-kl_free_bits", type=float, default=0.0)
+    p.add_argument("-seed", type=int, default=1234)
+    # loop
+    p.add_argument("-report_every", type=int, default=50)
+    p.add_argument("-valid_every", type=int, default=500)
+    p.add_argument("-checkpoint_every", type=int, default=1000)
+    p.add_argument("-keep_checkpoints", type=int, default=3)
+    p.add_argument("-buckets", default="16,24,32,48,64")
+    p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
+
+
+def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
+    return Config(
+        model=ModelConfig(
+            model_type=opt.model_type,
+            src_vocab_size=src_vocab_size,
+            tgt_vocab_size=tgt_vocab_size,
+            emb_dim=opt.word_vec_size,
+            hidden_dim=opt.rnn_size,
+            enc_layers=opt.enc_layers,
+            dec_layers=opt.dec_layers,
+            dropout=opt.dropout,
+            word_dropout=opt.word_dropout,
+            input_feed=bool(opt.input_feed),
+            attn_type=opt.global_attention,
+            latent_dim=opt.z_latent_dim,
+            img_feat_dim=opt.img_feat_dim if opt.train_img_feats else 0,
+            img_feat_type=opt.img_feat_type,
+            use_img_predict=bool(opt.use_img_predict) and bool(opt.train_img_feats),
+            img_loss=opt.img_loss,
+            img_loss_weight=opt.img_loss_weight,
+            z_cond=opt.z_cond,
+            compute_dtype=opt.compute_dtype,
+        ),
+        train=TrainConfig(
+            seed=opt.seed,
+            batch_size=opt.batch_size,
+            max_steps=opt.max_steps,
+            epochs=opt.epochs,
+            optimizer=opt.optim,
+            learning_rate=opt.learning_rate,
+            max_grad_norm=opt.max_grad_norm,
+            lr_decay=opt.learning_rate_decay,
+            start_decay_at=opt.start_decay_at,
+            label_smoothing=opt.label_smoothing,
+            kl_anneal=opt.kl_anneal,
+            kl_anneal_steps=opt.kl_anneal_steps,
+            kl_free_bits=opt.kl_free_bits,
+            report_every=opt.report_every,
+            valid_every=opt.valid_every,
+            checkpoint_every=opt.checkpoint_every,
+            keep_checkpoints=opt.keep_checkpoints,
+            num_data_shards=opt.num_shards,
+        ),
+        data=DataConfig(save_data=opt.data, buckets=[int(b) for b in opt.buckets.split(",")]),
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("vmmt-tpu train")
+    add_args(p)
+    opt = p.parse_args(argv)
+
+    sv = Vocab.load(opt.data + ".vocab.src.json")
+    tv = Vocab.load(opt.data + ".vocab.tgt.json")
+    train_ds = BinarizedDataset.load(opt.data + ".train.npz")
+    valid_ds = None
+    if os.path.exists(opt.data + ".valid.npz"):
+        valid_ds = BinarizedDataset.load(opt.data + ".valid.npz")
+
+    train_feats = load_features(opt.train_img_feats) if opt.train_img_feats else None
+    valid_feats = load_features(opt.valid_img_feats) if opt.valid_img_feats else None
+    if train_feats is not None:
+        assert len(train_feats) == len(train_ds), (
+            f"feature rows ({len(train_feats)}) != corpus lines ({len(train_ds)}): "
+            "features must be aligned to corpus line order"
+        )
+
+    cfg = build_config(opt, len(sv), len(tv))
+    if opt.epochs > 0:
+        steps_per_epoch = max(1, len(train_ds) // opt.batch_size)
+        cfg.train.max_steps = opt.epochs * steps_per_epoch
+    buckets = cfg.data.buckets
+    model = build_model(cfg.model)
+    mesh = make_mesh(opt.num_shards)
+    print(f"devices: {[str(d) for d in mesh.devices.flatten()]}")
+    print(f"model: {cfg.model.model_type}; steps: {cfg.train.max_steps}")
+
+    train_iter = BucketIterator(
+        train_ds, opt.batch_size, buckets, img_feats=train_feats, seed=opt.seed
+    )
+    valid_iter = None
+    if valid_ds is not None:
+        valid_iter = BucketIterator(
+            valid_ds, opt.batch_size, buckets, img_feats=valid_feats, shuffle=False
+        )
+
+    os.makedirs(opt.save_model, exist_ok=True)
+
+    def ckpt_fn(state, step, _):
+        path = save_checkpoint(opt.save_model, state, cfg, sv, tv, keep=opt.keep_checkpoints)
+        print(f"saved checkpoint {path}")
+
+    trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh, checkpoint_fn=ckpt_fn)
+
+    if opt.train_from:
+        path = opt.train_from
+        if not os.path.exists(os.path.join(path, "state.msgpack")):
+            path = latest_checkpoint(path) or path
+        state, _, _, _, _ = load_checkpoint(path)
+        print(f"resuming from {path} at step {int(state.step)}")
+        trainer.train_from(state)
+    else:
+        trainer.train()
+    ckpt_fn(trainer.final_state, int(trainer.final_state.step), {})
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""``translate`` CLI — the reference's ``translate_mm_vi.py`` equivalent
+(SURVEY.md §2.1 #15, §3.3): load a checkpoint (which carries config + vocabs
++ BPE-agnostic id space), beam-decode a source file with latent-mean
+substitution, write n-best text; optionally score BLEU/METEOR against a
+reference file and/or run the K-sample IW-ELBO evaluation (needs -tgt).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from variational_mmt_tpu.config import DecodeConfig
+from variational_mmt_tpu.data.bpe import BPE, remove_bpe
+from variational_mmt_tpu.data.dataset import BucketIterator, binarize
+from variational_mmt_tpu.data.features import load_features
+from variational_mmt_tpu.data.tokenizer import tokenize
+from variational_mmt_tpu.data.prefetch import prefetch
+from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus
+from variational_mmt_tpu.decode.translator import Translator
+from variational_mmt_tpu.evals.bleu import corpus_bleu
+from variational_mmt_tpu.evals.meteor import meteor_score
+from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+
+def add_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-model", required=True, help="checkpoint dir (or specific step dir)")
+    p.add_argument("-src", required=True, help="source text file")
+    p.add_argument("-tgt", default="", help="reference target (for BLEU / IW eval)")
+    p.add_argument("-img_feats", default="", help="HDF5/NPY features aligned to src lines")
+    p.add_argument("-output", default="pred.txt")
+    p.add_argument("-bpe_codes", default="", help="BPE codes from preprocess (applied to src)")
+    p.add_argument("-pretokenized", action="store_true")
+    p.add_argument("-no_lower", action="store_true")
+    p.add_argument("-beam_size", type=int, default=4)
+    p.add_argument("-n_best", type=int, default=1)
+    p.add_argument("-max_length", type=int, default=100)
+    p.add_argument("-min_length", type=int, default=0)
+    p.add_argument("-alpha", type=float, default=0.6, help="GNMT length penalty exponent")
+    p.add_argument("-batch_size", type=int, default=32)
+    p.add_argument("-iw_eval", type=int, default=0, help="K>0: report K-sample IW-ELBO (needs -tgt)")
+    p.add_argument("-report_bleu", action="store_true")
+    p.add_argument("-report_meteor", action="store_true")
+    p.add_argument("-seed", type=int, default=1234)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("vmmt-tpu translate")
+    add_args(p)
+    opt = p.parse_args(argv)
+
+    path = opt.model
+    if not os.path.exists(os.path.join(path, "state.msgpack")):
+        path = latest_checkpoint(path) or path
+    state, cfg, model, sv, tv = load_checkpoint(path)
+    print(f"loaded {path} (step {int(state.step)}, {cfg.model.model_type})")
+
+    lower = not opt.no_lower
+    with open(opt.src, encoding="utf-8") as f:
+        raw = [line.rstrip("\n") for line in f]
+    if opt.pretokenized:
+        src_tok = [(l.lower() if lower else l).split() for l in raw]
+    else:
+        src_tok = [tokenize(l, lower=lower) for l in raw]
+    bpe = None
+    if opt.bpe_codes:
+        bpe = BPE.load(opt.bpe_codes)
+        src_tok = [bpe.segment(t) for t in src_tok]
+
+    feats = load_features(opt.img_feats) if opt.img_feats else None
+    if feats is not None:
+        assert len(feats) == len(src_tok), "feature rows must align to src lines"
+
+    dcfg = DecodeConfig(
+        beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
+        min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
+    )
+    translator = Translator(model, state.params, sv, tv, dcfg,
+                            buckets=cfg.data.buckets or [16, 24, 32, 48, 64])
+    import time
+
+    t0 = time.time()
+    results = translator.translate_tokens(src_tok, feats)
+    dt = time.time() - t0
+    print(f"translated {len(results)} sentences in {dt:.1f}s "
+          f"({len(results) / max(dt, 1e-9):.1f} sent/s, beam {opt.beam_size})")
+
+    with open(opt.output, "w", encoding="utf-8") as f:
+        for nbest in results:
+            for score, text in nbest[: opt.n_best]:
+                f.write(text + "\n")
+    print(f"wrote {opt.output}")
+
+    if opt.tgt:
+        with open(opt.tgt, encoding="utf-8") as f:
+            if opt.pretokenized:
+                refs = [(l.lower() if lower else l).rstrip("\n").split() for l in f]
+            else:
+                refs = [tokenize(l, lower=lower) for l in f]
+        hyps = [nbest[0][1].split() for nbest in results]
+        if opt.report_bleu or True:
+            bleu = corpus_bleu(hyps, [[r] for r in refs])
+            print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
+        if opt.report_meteor:
+            met = meteor_score(hyps, [[r] for r in refs])
+            print(f"METEOR(exact) = {met['meteor']:.2f}")
+
+        if opt.iw_eval > 0 and model.is_latent:
+            tgt_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
+            src_ids = [sv.encode(t) for t in src_tok]
+            ds = binarize(src_ids, tgt_ids)
+            it = BucketIterator(ds, opt.batch_size, cfg.data.buckets or [16, 24, 32, 48, 64],
+                                img_feats=feats, shuffle=False)
+            import jax.numpy as jnp
+
+            def to_dev(b):
+                tree = {"src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
+                        "example_mask": b.example_mask}
+                if b.img is not None:
+                    tree["img"] = b.img
+                return jax.device_put(tree)
+
+            out = iw_elbo_corpus(model, state.params, prefetch(it.epoch(0), transform=to_dev),
+                                 opt.iw_eval, jax.random.PRNGKey(opt.seed))
+            print(f"IW-ELBO (K={opt.iw_eval}): {out['iw_elbo_per_sent']:.2f} per sent; "
+                  f"IW-ppl {out['iw_ppl']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

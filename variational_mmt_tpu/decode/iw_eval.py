@@ -1,0 +1,92 @@
+"""K-sample importance-weighted ELBO evaluation (SURVEY.md §3.4, [B] config 5):
+
+    IW_K = log (1/K) sum_k  p(y|x,z_k) * p(v|z_k) * p(z_k|x,v) / q(z_k|x,y,v)
+
+with z_k ~ q. Used for model comparison/selection (tighter bound than the
+1-sample ELBO), not for decoding. TPU shape: one jitted function; the K
+samples run under ``lax.map`` (memory-bounded — one decoder pass per sample,
+K passes total) with per-sample folded PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from variational_mmt_tpu.data.vocab import PAD
+from variational_mmt_tpu.models.latent import gaussian_log_prob, reparameterize
+from variational_mmt_tpu.models.model import VMMTModel
+
+
+def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
+    """fn(params, batch, rng) -> dict of per-corpus sums. batch needs src,
+    tgt_in, tgt_out, example_mask (+ img for multimodal models)."""
+    if not model.is_latent:
+        raise ValueError("IW-ELBO eval requires a latent model (vmmt_f/vmmt_c)")
+
+    def fn(params, batch, rng):
+        src, tgt_in, tgt_out = batch["src"], batch["tgt_in"], batch["tgt_out"]
+        ex_mask = batch["example_mask"]
+        img = batch.get("img")
+
+        def m_apply(method, *args):
+            return model.apply({"params": params}, *args, method=method)
+
+        memory, finals, src_mask, summary = m_apply(VMMTModel.encode, src)
+        gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
+        mu_q, sigma_q = model.apply(
+            {"params": params}, summary, gold, img, method=VMMTModel.posterior
+        )
+        mu_p, sigma_p = m_apply(VMMTModel.prior_params, summary, img)
+        tok_mask = (tgt_out != PAD).astype(jnp.float32) * ex_mask[:, None]
+
+        def one_sample(key):
+            z = reparameterize(key, mu_q, sigma_q)
+            init_hs = m_apply(VMMTModel.init_decoder_state, finals, z)
+            logits, _ = model.apply(
+                {"params": params}, tgt_in, memory, src_mask, init_hs, z, True,
+                method=VMMTModel.decode_train,
+            )
+            logp_tok = jax.nn.log_softmax(logits, axis=-1)
+            ll_y = (
+                jnp.take_along_axis(logp_tok, tgt_out[..., None], axis=-1)[..., 0]
+                * tok_mask
+            ).sum(axis=-1)
+            logw = ll_y + gaussian_log_prob(z, mu_p, sigma_p) - gaussian_log_prob(z, mu_q, sigma_q)
+            if model.cfg.use_img_predict and img is not None:
+                v = img.mean(axis=1) if img.ndim == 3 else img
+                v_pred = m_apply(VMMTModel.predict_img, z)
+                logw = logw + gaussian_log_prob(v, v_pred, jnp.float32(1.0))
+            return logw  # (B,)
+
+        keys = jax.random.split(rng, k_samples)
+        logws = jax.lax.map(one_sample, keys)  # (K, B)
+        iw = jax.nn.logsumexp(logws, axis=0) - jnp.log(float(k_samples))  # (B,)
+        iw = iw * ex_mask
+        return {
+            "iw_elbo_sum": iw.sum(),
+            "n_sents": ex_mask.sum(),
+            "n_tokens": tok_mask.sum(),
+        }
+
+    return fn
+
+
+def iw_elbo_corpus(model, params, batches, k_samples: int, rng) -> Dict[str, float]:
+    """Aggregate the IW bound over an iterator of device batches."""
+    fn = jax.jit(make_iw_elbo_fn(model, k_samples))
+    tot, n_sent, n_tok = 0.0, 0.0, 0.0
+    for i, batch in enumerate(batches):
+        out = fn(params, batch, jax.random.fold_in(rng, i))
+        tot += float(out["iw_elbo_sum"])
+        n_sent += float(out["n_sents"])
+        n_tok += float(out["n_tokens"])
+    import math
+
+    return {
+        "iw_elbo_per_sent": tot / max(1.0, n_sent),
+        "iw_ppl": math.exp(min(-tot / max(1.0, n_tok), 100.0)),
+        "n_sents": n_sent,
+    }

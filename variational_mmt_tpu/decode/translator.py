@@ -1,0 +1,152 @@
+"""Batch translation — the reference's ``Translator``/``TranslatorMultimodal``
+(SURVEY.md §2.1 #15, §3.3): encode, take z from the PRIOR ("latent mean
+substitution": VMMT_F -> 0-vector, VMMT_C -> mu of p(z|x,v)), tile state
+across beams, run beam search, rebuild text.
+
+TPU-native shape: the whole encode+beam pipeline is one jitted function per
+(batch, src-bucket) shape; the token loop never leaves the device
+(ops/beam.py). Host code only maps text <-> ids and regroups n-best output
+in original corpus order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from variational_mmt_tpu.config import DecodeConfig
+from variational_mmt_tpu.data.bpe import remove_bpe
+from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator
+from variational_mmt_tpu.data.vocab import Vocab
+from variational_mmt_tpu.models.model import VMMTModel
+from variational_mmt_tpu.ops.beam import beam_search, greedy_search
+
+
+def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
+    """Builds fn(params, src (B,S), img (B,D)|None) -> (tokens (B,K,L),
+    scores (B,K)). Jit-cached per input shape by the caller."""
+    K = dcfg.beam_size
+
+    def fn(params, src, img):
+        B = src.shape[0]
+        memory, finals, src_mask, summary = model.apply(
+            {"params": params}, src, method=VMMTModel.encode
+        )
+        z = None
+        if model.is_latent:
+            z = model.apply({"params": params}, summary, img, method=VMMTModel.prior_latent)
+        init_hs = model.apply({"params": params}, finals, z, method=VMMTModel.init_decoder_state)
+        carry0 = (tuple(init_hs), jnp.zeros_like(init_hs[-1]))
+
+        if K == 1:
+            def step1(carry, toks):
+                carry, logits, _ = model.apply(
+                    {"params": params}, carry, toks, memory, src_mask, z,
+                    method=VMMTModel.decode_step,
+                )
+                return carry, jax.nn.log_softmax(logits, axis=-1)
+
+            tokens = greedy_search(step1, carry0, B, dcfg.max_length)
+            return tokens[:, None, :], jnp.zeros((B, 1), jnp.float32)
+
+        # tile read-only context across beams (closures, not carry: no
+        # per-step re-gather of the memory bank)
+        mem_t = jnp.repeat(memory, K, axis=0)
+        mask_t = jnp.repeat(src_mask, K, axis=0)
+        z_t = jnp.repeat(z, K, axis=0) if z is not None else None
+
+        def step(carry, toks):
+            carry, logits, _ = model.apply(
+                {"params": params}, carry, toks, mem_t, mask_t, z_t,
+                method=VMMTModel.decode_step,
+            )
+            return carry, jax.nn.log_softmax(logits, axis=-1)
+
+        return beam_search(
+            step, carry0, B, K, dcfg.max_length, dcfg.min_length,
+            dcfg.alpha, dcfg.length_penalty,
+        )
+
+    return fn
+
+
+class Translator:
+    """Host-side orchestration: text -> bucketed batches -> device beam ->
+    n-best text in original order (the reference's TranslationBuilder role)."""
+
+    def __init__(
+        self,
+        model: VMMTModel,
+        params,
+        src_vocab: Vocab,
+        tgt_vocab: Vocab,
+        dcfg: Optional[DecodeConfig] = None,
+        buckets: Sequence[int] = (16, 24, 32, 48, 64),
+    ):
+        self.model = model
+        self.params = params
+        self.src_vocab = src_vocab
+        self.tgt_vocab = tgt_vocab
+        self.dcfg = dcfg or DecodeConfig()
+        self.buckets = list(buckets)
+        self._fn = jax.jit(make_translate_fn(model, self.dcfg))
+
+    def translate_ids(
+        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
+    ) -> List[List[Tuple[float, List[int]]]]:
+        """Returns, per input sentence, the n-best list [(score, token_ids)]."""
+        ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
+        it = BucketIterator(
+            ds, batch_size=self.dcfg.batch_size, buckets=self.buckets,
+            img_feats=img_feats, shuffle=False,
+        )
+        n_best = min(self.dcfg.n_best, self.dcfg.beam_size)
+        results: dict = {}
+        for batch in it.epoch(0):
+            img = jnp.asarray(batch.img) if batch.img is not None else None
+            tokens, scores = self._fn(self.params, jnp.asarray(batch.src), img)
+            tokens = np.asarray(tokens)
+            scores = np.asarray(scores)
+            for row in range(batch.batch_size):
+                if batch.example_mask[row] == 0:
+                    continue
+                i = int(batch.indices[row])
+                results[i] = [
+                    (float(scores[row, k]), _strip(tokens[row, k]))
+                    for k in range(n_best)
+                ]
+        return [results[i] for i in range(len(src_ids))]
+
+    def translate_tokens(
+        self,
+        src_tokens: List[List[str]],
+        img_feats: Optional[np.ndarray] = None,
+        debpe: bool = True,
+    ) -> List[List[Tuple[float, str]]]:
+        src_ids = [self.src_vocab.encode(t) for t in src_tokens]
+        out = []
+        for nbest in self.translate_ids(src_ids, img_feats):
+            sent = []
+            for score, ids in nbest:
+                toks = self.tgt_vocab.decode(ids)
+                if debpe:
+                    toks = remove_bpe(toks)
+                sent.append((score, " ".join(toks)))
+            out.append(sent)
+        return out
+
+
+def _strip(ids: np.ndarray) -> List[int]:
+    """Cut at EOS, drop PAD."""
+    from variational_mmt_tpu.data.vocab import EOS, PAD
+
+    out = []
+    for i in ids.tolist():
+        if i == EOS:
+            break
+        if i != PAD:
+            out.append(i)
+    return out

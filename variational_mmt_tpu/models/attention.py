@@ -1,0 +1,66 @@
+"""Global (Luong) attention — reference's ``onmt.modules.GlobalAttention``
+(SURVEY.md §2.1 #8): score variants general/dot/mlp, masked softmax over
+source positions, attentional hidden ``h~ = tanh(Wc [ctx; h])``.
+
+Two call shapes:
+- single-step (decode loop): query (B, H) -> (B, H) attn hidden + (B, S) align
+- sequence (used when input_feed=False): query (B, T, H) in one batched GEMM.
+Softmax runs in float32 regardless of compute dtype (TPU numerics rule).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+NEG_INF = -1e9
+
+
+class GlobalAttention(nn.Module):
+    hidden: int
+    attn_type: str = "general"  # general | dot | mlp
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        if self.attn_type == "general":
+            self.linear_in = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)
+        elif self.attn_type == "mlp":
+            self.linear_query = nn.Dense(self.hidden, use_bias=True, dtype=self.dtype)
+            self.linear_context = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)
+            self.v = nn.Dense(1, use_bias=False, dtype=self.dtype)
+        # out_bias=False for general/dot matches the reference family
+        self.linear_out = nn.Dense(
+            self.hidden, use_bias=(self.attn_type == "mlp"), dtype=self.dtype
+        )
+
+    def scores(self, query: jax.Array, memory: jax.Array) -> jax.Array:
+        """query (B,T,H), memory (B,S,H) -> (B,T,S)."""
+        if self.attn_type in ("general", "dot"):
+            q = self.linear_in(query) if self.attn_type == "general" else query
+            return jnp.einsum("bth,bsh->bts", q, memory)
+        # mlp (Bahdanau): v^T tanh(Wq q + Wk m)
+        q = self.linear_query(query)[:, :, None, :]  # (B,T,1,H)
+        k = self.linear_context(memory)[:, None, :, :]  # (B,1,S,H)
+        return self.v(jnp.tanh(q + k)).squeeze(-1)
+
+    def __call__(
+        self, query: jax.Array, memory: jax.Array, src_mask: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """query (B,H) or (B,T,H); memory (B,S,H); src_mask (B,S) 1=real.
+
+        Returns (attn_hidden same leading shape as query, align weights)."""
+        single = query.ndim == 2
+        if single:
+            query = query[:, None, :]
+        align = self.scores(query, memory).astype(jnp.float32)
+        align = jnp.where(src_mask[:, None, :] > 0, align, NEG_INF)
+        align = jax.nn.softmax(align, axis=-1).astype(memory.dtype)
+        ctx = jnp.einsum("bts,bsh->bth", align, memory)
+        attn_h = jnp.tanh(self.linear_out(jnp.concatenate([ctx, query], axis=-1)))
+        if single:
+            return attn_h[:, 0], align[:, 0]
+        return attn_h, align

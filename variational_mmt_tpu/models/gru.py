@@ -1,0 +1,134 @@
+"""GRU recurrences, TPU-style.
+
+The reference uses cuDNN ``nn.GRU`` for the bi-directional source encoder and
+``StackedGRU`` cells for the decoder (SURVEY.md §2.1 #7/#8). The TPU-native
+equivalent is a ``lax.scan`` (via ``nn.scan``) over time with two key
+shape/perf choices:
+
+- **Hoisted input projections**: the input-to-hidden matmul for *all*
+  timesteps is computed as one big (B*T, E) x (E, 3H) GEMM before the scan
+  (great MXU utilization); only the hidden-to-hidden (B, H) x (H, 3H) GEMM
+  lives inside the scan.
+- **Masked carries instead of packed sequences**: cuDNN's
+  ``pack_padded_sequence`` becomes ``h' = where(mask_t, gru(h, x_t), h)``,
+  which also makes the *reverse* direction correct over right-padded
+  batches (pads are no-ops, so the backward carry at t=0 summarizes exactly
+  the real tokens).
+
+Gate math follows the cuDNN/torch convention the reference inherits:
+``r,z`` sigmoid gates, candidate ``n = tanh(x_n + r * (h @ Whn + bhn))``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def gru_gates(x_proj: jax.Array, h_proj: jax.Array, h: jax.Array) -> jax.Array:
+    """Combine precomputed input/hidden projections into the new hidden state.
+
+    x_proj, h_proj: (..., 3H) laid out as [r | z | n]; h: (..., H).
+    """
+    xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+    hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+class GRUCell(nn.Module):
+    """Recurrent half of a GRU: expects the input projection precomputed."""
+
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x_proj: jax.Array) -> jax.Array:
+        h_proj = nn.Dense(
+            3 * self.hidden, use_bias=True, dtype=self.dtype, name="hh"
+        )(h)
+        return gru_gates(x_proj, h_proj, h)
+
+
+class _MaskedGRUScan(nn.Module):
+    """scan body: carry h over time with pad-masked updates."""
+
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, xs):
+        x_proj, m = xs  # (B, 3H), (B, 1)
+        h_new = GRUCell(self.hidden, self.dtype, name="cell")(h, x_proj)
+        h = jnp.where(m > 0, h_new, h)
+        return h, h
+
+
+class UniGRU(nn.Module):
+    """One direction, one layer. Returns (outputs (B,T,H), final (B,H))."""
+
+    hidden: int
+    reverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        B, T, _ = x.shape
+        # hoisted input projection: one GEMM for all timesteps
+        x_proj = nn.Dense(3 * self.hidden, dtype=self.dtype, name="ih")(x)
+        m = mask[..., None].astype(x_proj.dtype)
+        scan = nn.scan(
+            _MaskedGRUScan,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+            reverse=self.reverse,
+        )(self.hidden, self.dtype, name="scan")
+        h0 = jnp.zeros((B, self.hidden), self.dtype)
+        final, outs = scan(h0, (x_proj, m))
+        return outs, final
+
+
+class BiGRUEncoder(nn.Module):
+    """Bi-directional multi-layer GRU encoder (reference: onmt RNNEncoder with
+    -encoder_type brnn). ``hidden`` is the *total* size: each direction gets
+    hidden//2 so encoder output dim == decoder hidden dim, matching the
+    reference's rnn_size convention."""
+
+    hidden: int
+    layers: int = 2
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, emb: jax.Array, mask: jax.Array, deterministic: bool = True
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        """emb: (B,T,E), mask: (B,T) -> (memory (B,T,H), finals [per layer (B,H)])."""
+        assert self.hidden % 2 == 0
+        half = self.hidden // 2
+        x = emb
+        finals: List[jax.Array] = []
+        for layer in range(self.layers):
+            if layer > 0:
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            fwd_out, fwd_fin = UniGRU(half, False, self.dtype, name=f"fwd{layer}")(x, mask)
+            bwd_out, bwd_fin = UniGRU(half, True, self.dtype, name=f"bwd{layer}")(x, mask)
+            x = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+            finals.append(jnp.concatenate([fwd_fin, bwd_fin], axis=-1))
+        return x, finals
+
+
+def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """(B,T,H),(B,T) -> (B,H) mean over real positions (sentence summary for
+    the inference/prior networks)."""
+    m = mask[..., None].astype(x.dtype)
+    return (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)

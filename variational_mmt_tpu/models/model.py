@@ -1,0 +1,237 @@
+"""The VMMT model family (SURVEY.md §2.4 behavioral contract).
+
+One flax module covers the reference's three model types:
+
+- ``nmt``     — text-only bi-GRU encoder + attention GRU decoder baseline.
+- ``vmmt_f``  — latent z with *fixed* prior N(0, I); q(z|x,y,v) inference net.
+- ``vmmt_c``  — *conditional* prior p(z|x,v) network; KL(q || p_cond).
+
+z conditions the decoder through the encoder->decoder bridge (projected into
+every layer's initial state), optionally also added to each step's input
+projection (``z_cond='init+input'``). An optional image head p(v|z) provides
+the multi-task image-prediction objective. Decode-time "latent mean
+substitution" (SURVEY.md §3.3) = calling with the prior mean instead of a
+posterior sample — exposed via :meth:`prior_latent`.
+
+rngs: 'dropout' (regular dropout), 'latent' (reparameterization noise),
+'word_dropout' (tgt-input token -> <unk> replacement, a posterior-collapse
+countermeasure).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from variational_mmt_tpu.config import ModelConfig
+from variational_mmt_tpu.data.vocab import PAD, UNK
+from variational_mmt_tpu.models.attention import GlobalAttention  # noqa: F401  (re-export)
+from variational_mmt_tpu.models.decoder import GRUDecoder
+from variational_mmt_tpu.models.gru import BiGRUEncoder, masked_mean
+from variational_mmt_tpu.models.latent import (
+    ConditionalPrior,
+    ImagePredictor,
+    InferenceNetwork,
+    reparameterize,
+)
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+class VMMTModel(nn.Module):
+    cfg: ModelConfig
+
+    @property
+    def is_latent(self) -> bool:
+        return self.cfg.model_type in ("vmmt_f", "vmmt_c")
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(c.compute_dtype)
+        self.dt = dt
+        self.src_embed = nn.Embed(c.src_vocab_size, c.emb_dim, dtype=dt, name="src_embed")
+        self.tgt_embed = nn.Embed(c.tgt_vocab_size, c.emb_dim, dtype=dt, name="tgt_embed")
+        self.encoder = BiGRUEncoder(c.hidden_dim, c.enc_layers, c.dropout, dt, name="encoder")
+        self.decoder = GRUDecoder(
+            c.hidden_dim, c.dec_layers, c.dropout, c.attn_type, c.input_feed, dt, name="decoder"
+        )
+        self.generator = nn.Dense(c.tgt_vocab_size, dtype=jnp.float32, name="generator")
+        bridge_layers = []
+        for l in range(c.dec_layers):
+            bridge_layers.append(nn.Dense(c.hidden_dim, dtype=dt, name=f"bridge{l}"))
+        self.bridge_layers = bridge_layers
+
+        if self.is_latent:
+            use_img = c.img_feat_dim > 0
+            self.tgt_encoder = BiGRUEncoder(c.hidden_dim, 1, c.dropout, dt, name="tgt_encoder")
+            self.infnet = InferenceNetwork(
+                c.latent_dim, c.hidden_dim, c.min_sigma, use_img, dt, name="infnet"
+            )
+            if c.model_type == "vmmt_c":
+                self.prior_net = ConditionalPrior(
+                    c.latent_dim, c.hidden_dim, c.min_sigma, use_img, dt, name="prior"
+                )
+            if c.use_img_predict:
+                self.img_predictor = ImagePredictor(c.img_feat_dim, c.hidden_dim, dt, name="img_pred")
+            if c.z_cond == "init+input":
+                self.z_input_proj = nn.Dense(3 * c.hidden_dim, use_bias=False, dtype=dt, name="z_input_proj")
+
+    # ------------------------------------------------------------------
+    # components (each is also an `apply(..., method=...)` entry point for
+    # the translator / IW evaluator)
+    # ------------------------------------------------------------------
+    def encode(self, src: jax.Array):
+        """src (B,S) -> (memory (B,S,H), finals [L x (B,H)], src_mask (B,S),
+        src_summary (B,H))."""
+        src_mask = (src != PAD).astype(jnp.float32)
+        emb = self.src_embed(src)
+        memory, finals = self.encoder(emb, src_mask, deterministic=True)
+        return memory, finals, src_mask, masked_mean(memory, src_mask)
+
+    def _encode_train(self, src: jax.Array, deterministic: bool):
+        src_mask = (src != PAD).astype(jnp.float32)
+        emb = self.src_embed(src)
+        memory, finals = self.encoder(emb, src_mask, deterministic=deterministic)
+        return memory, finals, src_mask, masked_mean(memory, src_mask)
+
+    def _img_in(self, img: Optional[jax.Array]) -> Optional[jax.Array]:
+        if img is None:
+            return None
+        if img.ndim == 3:  # conv features (B, R, D) -> mean-pool regions
+            img = img.mean(axis=1)
+        return img
+
+    def posterior(self, src_summary, tgt: jax.Array, img, deterministic: bool = True):
+        """q(z|x,y,v) parameters. tgt: gold target ids (B,T), PAD-masked."""
+        tgt_mask = (tgt != PAD).astype(jnp.float32)
+        emb = self.tgt_embed(tgt)
+        tgt_enc, _ = self.tgt_encoder(emb, tgt_mask, deterministic=deterministic)
+        tgt_summary = masked_mean(tgt_enc, tgt_mask)
+        return self.infnet(src_summary, tgt_summary, self._img_in(img))
+
+    def prior_params(self, src_summary, img):
+        """(mu_p, sigma_p): learned for vmmt_c, N(0, I) for vmmt_f."""
+        B = src_summary.shape[0]
+        if self.cfg.model_type == "vmmt_c":
+            return self.prior_net(src_summary, self._img_in(img))
+        z_shape = (B, self.cfg.latent_dim)
+        return jnp.zeros(z_shape, jnp.float32), jnp.ones(z_shape, jnp.float32)
+
+    def prior_latent(self, src_summary, img):
+        """Decode-time latent-mean substitution: z = E_p[z]."""
+        mu_p, _ = self.prior_params(src_summary, img)
+        return mu_p
+
+    def init_decoder_state(self, finals: List[jax.Array], z: Optional[jax.Array]):
+        """Bridge: enc finals (+ z) -> per-layer decoder init states."""
+        init_hs = []
+        for l in range(self.cfg.dec_layers):
+            f = finals[min(l, len(finals) - 1)]
+            if z is not None:
+                f = jnp.concatenate([f, z.astype(f.dtype)], axis=-1)
+            init_hs.append(jnp.tanh(self.bridge_layers[l](f)))
+        return init_hs
+
+    def z_extra_proj(self, z: Optional[jax.Array]):
+        if z is not None and self.cfg.z_cond == "init+input":
+            return self.z_input_proj(z.astype(self.dt))
+        return None
+
+    def decode_train(self, tgt_in, memory, src_mask, init_hs, z, deterministic: bool):
+        emb = self.tgt_embed(tgt_in)
+        outs, aligns = self.decoder(
+            emb, memory, src_mask, init_hs,
+            deterministic=deterministic, extra_input_proj=self.z_extra_proj(z),
+        )
+        logits = self.generator(outs.astype(jnp.float32))
+        return logits, aligns
+
+    def decode_step(self, carry, tok: jax.Array, memory, src_mask, z):
+        """One inference step: tok (B,) int32 -> (carry, logits (B,V))."""
+        emb = self.tgt_embed(tok)
+        carry, (attn_h, align) = self.decoder.one_step(
+            carry, emb, memory, src_mask, extra_input_proj=self.z_extra_proj(z)
+        )
+        logits = self.generator(attn_h.astype(jnp.float32))
+        return carry, logits, align
+
+    def init_decode_carry(self, init_hs):
+        return self.decoder.init_carry(init_hs)
+
+    def predict_img(self, z):
+        return self.img_predictor(z)
+
+    # ------------------------------------------------------------------
+    # training forward
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        src: jax.Array,
+        tgt_in: jax.Array,
+        img: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        sample: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Full training-path forward. Returns logits + distribution params
+        (+ image prediction); ELBO assembly lives in train/loss.py."""
+        c = self.cfg
+        memory, finals, src_mask, src_summary = self._encode_train(src, deterministic)
+
+        out: Dict[str, jax.Array] = {}
+        z = None
+        if self.is_latent:
+            # q consumes the *gold* target; tgt_in is BOS+y, so strip BOS col
+            gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
+            mu_q, sigma_q = self.posterior(src_summary, gold, img, deterministic)
+            mu_p, sigma_p = self.prior_params(src_summary, img)
+            if sample:
+                z = reparameterize(self.make_rng("latent"), mu_q, sigma_q)
+            else:
+                z = mu_q
+            out.update(mu_q=mu_q, sigma_q=sigma_q, mu_p=mu_p, sigma_p=sigma_p, z=z)
+            if c.use_img_predict:
+                out["img_pred"] = self.predict_img(z)
+
+        if (not deterministic) and c.word_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                self.make_rng("word_dropout"), 1.0 - c.word_dropout, tgt_in.shape
+            )
+            # never drop BOS/PAD; dropped tokens become <unk>
+            drop = (~keep) & (tgt_in != PAD)
+            drop = drop.at[:, 0].set(False)
+            tgt_in = jnp.where(drop, UNK, tgt_in)
+
+        init_hs = self.init_decoder_state(finals, z)
+        logits, aligns = self.decode_train(tgt_in, memory, src_mask, init_hs, z, deterministic)
+        out["logits"] = logits
+        out["aligns"] = aligns
+        return out
+
+
+def build_model(cfg: ModelConfig) -> VMMTModel:
+    cfg.validate()
+    return VMMTModel(cfg)
+
+
+def init_params(model: VMMTModel, rng: jax.Array, batch_size: int = 2, seq_len: int = 8):
+    """Initialize parameters with dummy shapes (shapes don't constrain later
+    use — everything re-traces per bucket)."""
+    c = model.cfg
+    src = jnp.ones((batch_size, seq_len), jnp.int32)
+    tgt_in = jnp.ones((batch_size, seq_len), jnp.int32)
+    img = jnp.ones((batch_size, c.img_feat_dim), jnp.float32) if model.is_latent or c.use_img_predict else None
+
+    def _init(k1, k2, k3, k4):
+        return model.init(
+            {"params": k1, "dropout": k2, "latent": k3, "word_dropout": k4},
+            src, tgt_in, img, deterministic=True, sample=True,
+        )
+
+    # jit the init: eager init compiles every op (incl. both scans) separately
+    variables = jax.jit(_init)(*jax.random.split(rng, 4))
+    return variables["params"]

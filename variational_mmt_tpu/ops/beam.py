@@ -1,0 +1,185 @@
+"""Fully on-device batched beam search.
+
+The reference's ``onmt.translate.Beam`` advances one token at a time in a
+Python loop, reordering GPU tensors through host-side backpointer lists
+(SURVEY.md §3.3 — the decode throughput bottleneck). Here the entire search
+is ONE compiled XLA program: a ``lax.while_loop`` whose state is a pytree of
+fixed-shape arrays, vectorized over (batch x beam):
+
+- hypotheses flattened to (B*K, ...) for the decoder step (one big GEMM
+  instead of K small ones — MXU-friendly);
+- top-k over the joint (K*V) continuation scores per sentence;
+- EOS is absorbing: finished hypotheses may only extend with PAD at
+  log-prob 0, freezing their score (no separate finished-set bookkeeping);
+- GNMT length penalty ((5+len)/6)^alpha applied at finalization, matching
+  the reference's GNMTGlobalScorer semantics (search ranks by raw
+  cumulative log-prob; final n-best ranks by penalized score);
+- early exit when every beam in every sentence has finished.
+
+Batched-beam vectorization pattern follows the public literature retrieved
+in PAPERS.md (e.g. arXiv:1811.04568) rather than the reference's host-side
+implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from variational_mmt_tpu.data.vocab import BOS, EOS, PAD
+
+NEG_INF = -1.0e9
+
+# step_fn: (carry, tokens (N,)) -> (carry, log_probs (N, V))
+StepFn = Callable[[Any, jax.Array], Tuple[Any, jax.Array]]
+
+
+class BeamState(NamedTuple):
+    t: jax.Array  # scalar int32
+    tokens: jax.Array  # (B, K, L) emitted tokens (BOS not stored)
+    scores: jax.Array  # (B, K) cumulative raw log-prob
+    finished: jax.Array  # (B, K) bool
+    lengths: jax.Array  # (B, K) int32 tokens emitted incl. EOS
+    carry: Any  # decoder carry, leaves (B*K, ...)
+    last_tok: jax.Array  # (B, K)
+
+
+def length_penalty(lengths: jax.Array, alpha: float, kind: str = "gnmt") -> jax.Array:
+    lengths = lengths.astype(jnp.float32)
+    if kind == "gnmt":
+        return ((5.0 + lengths) / 6.0) ** alpha
+    if kind == "average":
+        return jnp.maximum(lengths, 1.0)
+    return jnp.ones_like(lengths)
+
+
+def _gather_beams(tree: Any, parents: jax.Array, B: int, K: int) -> Any:
+    """Reorder carry leaves (B*K, ...) by per-sentence parent indices (B,K)."""
+
+    def one(x):
+        xk = x.reshape((B, K) + x.shape[1:])
+        return jnp.take_along_axis(
+            xk, parents.reshape((B, K) + (1,) * (x.ndim - 1)), axis=1
+        ).reshape((B * K,) + x.shape[1:])
+
+    return jax.tree.map(one, tree)
+
+
+def beam_search(
+    step_fn: StepFn,
+    init_carry: Any,  # leaves (B, ...); will be tiled to (B*K, ...)
+    batch_size: int,
+    beam_size: int,
+    max_length: int,
+    min_length: int = 0,
+    alpha: float = 0.6,
+    penalty: str = "gnmt",
+    eos_id: int = EOS,
+    bos_id: int = BOS,
+    pad_id: int = PAD,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens (B, K, max_length) sorted best-first, penalized scores
+    (B, K)). ``step_fn`` consumes flattened (B*K,) token ids."""
+    B, K, L = batch_size, beam_size, max_length
+
+    carry0 = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), init_carry)
+    state = BeamState(
+        t=jnp.int32(0),
+        tokens=jnp.full((B, K, L), pad_id, jnp.int32),
+        # only beam 0 live at t=0: all K beams start identical
+        scores=jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)),
+        finished=jnp.zeros((B, K), bool),
+        lengths=jnp.zeros((B, K), jnp.int32),
+        carry=carry0,
+        last_tok=jnp.full((B, K), bos_id, jnp.int32),
+    )
+
+    def cond(s: BeamState):
+        return (s.t < L) & ~jnp.all(s.finished)
+
+    def body(s: BeamState) -> BeamState:
+        carry, logp = step_fn(s.carry, s.last_tok.reshape(B * K))
+        V = logp.shape[-1]
+        logp = logp.reshape(B, K, V).astype(jnp.float32)
+        # min-length: no EOS before min_length tokens emitted
+        logp = jnp.where(
+            (s.t < min_length) & (jnp.arange(V)[None, None, :] == eos_id), NEG_INF, logp
+        )
+        # absorbing EOS: finished beams extend only with PAD at logp 0
+        fin = s.finished[..., None]
+        pad_row = jnp.where(jnp.arange(V)[None, None, :] == pad_id, 0.0, NEG_INF)
+        logp = jnp.where(fin, pad_row, logp)
+
+        cand = s.scores[..., None] + logp  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(flat, K)  # (B, K)
+        parents = idx // V
+        toks = idx % V
+
+        # reorder everything by parent beam
+        tokens = jnp.take_along_axis(s.tokens, parents[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, toks[..., None], s.t, axis=2
+        )
+        was_finished = jnp.take_along_axis(s.finished, parents, axis=1)
+        lengths = jnp.take_along_axis(s.lengths, parents, axis=1)
+        lengths = jnp.where(was_finished, lengths, lengths + 1)
+        finished = was_finished | (toks == eos_id)
+        carry = _gather_beams(carry, parents, B, K)
+        return BeamState(
+            t=s.t + 1,
+            tokens=tokens,
+            scores=new_scores,
+            finished=finished,
+            lengths=lengths,
+            carry=carry,
+            last_tok=toks,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # unfinished beams count as length max_length (no EOS)
+    lengths = jnp.where(final.finished, final.lengths, L)
+    scored = final.scores / length_penalty(jnp.maximum(lengths, 1), alpha, penalty)
+    order = jnp.argsort(-scored, axis=1)
+    tokens = jnp.take_along_axis(final.tokens, order[..., None], axis=1)
+    scored = jnp.take_along_axis(scored, order, axis=1)
+    return tokens, scored
+
+
+def greedy_search(
+    step_fn: StepFn,
+    init_carry: Any,
+    batch_size: int,
+    max_length: int,
+    eos_id: int = EOS,
+    bos_id: int = BOS,
+    pad_id: int = PAD,
+) -> jax.Array:
+    """Argmax decoding in one ``lax.while_loop``; returns (B, max_length)."""
+    B, L = batch_size, max_length
+
+    def cond(s):
+        t, _, finished, _, _ = s
+        return (t < L) & ~jnp.all(finished)
+
+    def body(s):
+        t, tokens, finished, carry, last = s
+        carry, logp = step_fn(carry, last)
+        tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, pad_id, tok)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], t, axis=1)
+        finished = finished | (tok == eos_id)
+        return (t + 1, tokens, finished, carry, tok)
+
+    init = (
+        jnp.int32(0),
+        jnp.full((B, L), pad_id, jnp.int32),
+        jnp.zeros((B,), bool),
+        init_carry,
+        jnp.full((B,), bos_id, jnp.int32),
+    )
+    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return tokens

@@ -1,0 +1,124 @@
+"""Checkpointing with the reference's round-trip contract (SURVEY.md §2.1
+#13, §2.5): a checkpoint carries everything needed to rebuild the exact
+model and resume training — params, optimizer state, step, LR, PRNG key,
+the full Config (the reference pickles its ``opt`` Namespace), and both
+vocabs. save -> load -> identical decode is tested.
+
+Layout (one directory per checkpoint):
+    <dir>/step_000123/
+        config.json      full Config
+        vocab.src.json   source vocab itos
+        vocab.tgt.json   target vocab itos
+        state.msgpack    flax-serialized {params, opt_state, step, lr, rng}
+Rolling retention keeps the newest ``keep`` checkpoints (reference kept
+per-epoch files; bounded retention is strictly more production-friendly).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from variational_mmt_tpu.config import Config
+from variational_mmt_tpu.data.vocab import Vocab
+from variational_mmt_tpu.models.model import VMMTModel, build_model
+from variational_mmt_tpu.train.trainer import TrainState, create_train_state
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def _state_dict(state: TrainState) -> dict:
+    # to_state_dict turns optax NamedTuple states into plain nested dicts
+    # (msgpack can't encode tuples)
+    raw = {
+        "params": state.params,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "step": state.step,
+        "lr": state.lr,
+        "rng": state.rng,
+    }
+    return jax.tree.map(np.asarray, serialization.to_state_dict(raw))
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state: TrainState,
+    cfg: Config,
+    src_vocab: Vocab,
+    tgt_vocab: Vocab,
+    keep: int = 3,
+) -> str:
+    step = int(state.step)
+    path = os.path.join(ckpt_dir, f"step_{step:08d}")
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    src_vocab.save(os.path.join(tmp, "vocab.src.json"))
+    tgt_vocab.save(os.path.join(tmp, "vocab.tgt.json"))
+    blob = serialization.msgpack_serialize(_state_dict(state))
+    with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
+        f.write(blob)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)  # atomic publish: partial writes never look valid
+    _prune(ckpt_dir, keep)
+    return path
+
+
+def _prune(ckpt_dir: str, keep: int) -> None:
+    if keep <= 0:
+        return
+    steps = sorted(list_checkpoints(ckpt_dir))
+    for s in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"), ignore_errors=True)
+
+
+def list_checkpoints(ckpt_dir: str) -> List[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(name)
+        if m and not name.endswith(".tmp"):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    steps = list_checkpoints(ckpt_dir)
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step_{steps[-1]:08d}")
+
+
+def load_checkpoint(
+    path: str,
+) -> Tuple[TrainState, Config, VMMTModel, Vocab, Vocab]:
+    """Rebuild model + state entirely from the checkpoint (the reference's
+    ``load_test_model`` contract: the saved opt defines the architecture)."""
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    src_vocab = Vocab.load(os.path.join(path, "vocab.src.json"))
+    tgt_vocab = Vocab.load(os.path.join(path, "vocab.tgt.json"))
+    model = build_model(cfg.model)
+    template = create_train_state(cfg, model)
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(template.params, raw["params"])
+    opt_state = serialization.from_state_dict(template.opt_state, raw["opt_state"])
+    state = TrainState(
+        params=jax.tree.map(jnp.asarray, params),
+        opt_state=jax.tree.map(jnp.asarray, opt_state),
+        step=jnp.asarray(raw["step"]),
+        lr=jnp.asarray(raw["lr"]),
+        rng=jnp.asarray(raw["rng"]),
+    )
+    return state, cfg, model, src_vocab, tgt_vocab

@@ -1,0 +1,120 @@
+"""Multi-task ELBO assembly (SURVEY.md §2.4):
+
+    L = E_q[log p(y|x,z)] - beta * KL(q || p) + gamma * log p(v|z)
+
+- masked token cross-entropy (optionally label-smoothed) replaces the
+  reference's sharded NLL (sharding was a GPU-memory workaround; on TPU one
+  fused logits+CE over the whole padded batch is both simpler and faster);
+- analytic diagonal-Gaussian KL with a jit-safe annealing schedule
+  beta(step) and optional free-bits floor;
+- image loss variants: 'logprob' (unit-variance Gaussian log-density),
+  'mse', 'cosine' (SURVEY.md §2.4 [U-MED] on the reference's exact choice).
+
+The scalar loss is the mean per-sentence negative ELBO; reported stats keep
+raw sums (CE sum, token counts) so perplexity/accuracy match the reference's
+Statistics semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from variational_mmt_tpu.config import ModelConfig, TrainConfig
+from variational_mmt_tpu.data.vocab import PAD
+from variational_mmt_tpu.models.latent import gaussian_kl, gaussian_log_prob, kl_free_bits
+
+
+def kl_beta(step: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """Annealing schedule beta(step): 0 -> 1. Pure/jit-safe."""
+    if cfg.kl_anneal == "none":
+        return jnp.float32(1.0)
+    t = (step - cfg.kl_anneal_start) / jnp.maximum(1.0, cfg.kl_anneal_steps)
+    if cfg.kl_anneal == "linear":
+        return jnp.clip(t, 0.0, 1.0).astype(jnp.float32)
+    # sigmoid: smooth ramp centered mid-schedule
+    return jax.nn.sigmoid(10.0 * (t - 0.5)).astype(jnp.float32)
+
+
+def token_ce(
+    logits: jax.Array,  # (B, T, V) float32
+    targets: jax.Array,  # (B, T) int32
+    token_mask: jax.Array,  # (B, T) float32
+    label_smoothing: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (per-sentence CE sum (B,), n_correct scalar)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        V = logits.shape[-1]
+        smooth = -logp.mean(axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth * (V / (V - 1.0))
+    nll = nll * token_mask
+    pred = jnp.argmax(logits, axis=-1)
+    n_correct = ((pred == targets) * token_mask).sum()
+    return nll.sum(axis=-1), n_correct
+
+
+def image_loss(
+    v: jax.Array, v_pred: jax.Array, kind: str
+) -> jax.Array:
+    """Per-sentence image objective (to *minimize*), (B,)."""
+    v = v.astype(jnp.float32)
+    if v.ndim == 3:  # conv features: pool regions (matches model input pooling)
+        v = v.mean(axis=1)
+    if kind == "logprob":
+        return -gaussian_log_prob(v, v_pred, jnp.float32(1.0))
+    if kind == "mse":
+        return ((v - v_pred) ** 2).sum(axis=-1)
+    # cosine distance
+    num = (v * v_pred).sum(axis=-1)
+    den = jnp.linalg.norm(v, axis=-1) * jnp.linalg.norm(v_pred, axis=-1) + 1e-8
+    return 1.0 - num / den
+
+
+def compute_loss(
+    out: Dict[str, jax.Array],
+    tgt_out: jax.Array,
+    example_mask: jax.Array,
+    img: Optional[jax.Array],
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    step: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Scalar training loss (mean per-sentence -ELBO) + metric sums."""
+    token_mask = (tgt_out != PAD).astype(jnp.float32) * example_mask[:, None]
+    ce_per_sent, n_correct = token_ce(
+        out["logits"], tgt_out, token_mask, tcfg.label_smoothing
+    )
+    n_sents = jnp.maximum(example_mask.sum(), 1.0)
+    n_tokens = token_mask.sum()
+
+    loss = ce_per_sent.sum() / n_sents
+    metrics = {
+        "ce_sum": ce_per_sent.sum(),
+        "n_tokens": n_tokens,
+        "n_correct": n_correct,
+        "n_sents": example_mask.sum(),
+        "kl_sum": jnp.float32(0.0),
+        "img_loss_sum": jnp.float32(0.0),
+        "beta": jnp.float32(1.0),
+    }
+
+    if "mu_q" in out:
+        kl = gaussian_kl(out["mu_q"], out["sigma_q"], out.get("mu_p"), out.get("sigma_p"))
+        kl = kl * example_mask
+        metrics["kl_sum"] = kl.sum()
+        kl = kl_free_bits(kl, tcfg.kl_free_bits, mcfg.latent_dim) * example_mask
+        beta = kl_beta(step, tcfg)
+        metrics["beta"] = beta
+        loss = loss + beta * kl.sum() / n_sents
+
+    if "img_pred" in out and img is not None:
+        il = image_loss(img, out["img_pred"], mcfg.img_loss) * example_mask
+        metrics["img_loss_sum"] = il.sum()
+        loss = loss + mcfg.img_loss_weight * il.sum() / n_sents
+
+    metrics["loss"] = loss
+    return loss, metrics

@@ -1,0 +1,239 @@
+"""Training runtime — the reference's ``onmt.Trainer`` re-designed TPU-first
+(SURVEY.md §2.1 #11, §3.2 hot loop):
+
+- ONE jit'd train step: forward (encoder, q, prior, reparameterized z,
+  decoder, generator), ELBO, backward, clip, Adam update — a single XLA
+  program per bucket shape, donated-buffer in-place state update;
+- data parallel via sharding annotations (parallel/mesh.py): batch sharded
+  on its leading axis, state replicated, GSPMD inserts the grad all-reduce;
+- the image-feature gather + host->HBM copy overlaps compute through the
+  background prefetcher (data/prefetch.py);
+- per-step PRNG keys derived by folding the step counter (utils/prng.py), so
+  runs are bit-reproducible given a seed regardless of how buckets interleave.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from variational_mmt_tpu.config import Config
+from variational_mmt_tpu.data.dataset import BucketIterator
+from variational_mmt_tpu.data.prefetch import prefetch
+from variational_mmt_tpu.models.model import VMMTModel, init_params
+from variational_mmt_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from variational_mmt_tpu.train.loss import compute_loss
+from variational_mmt_tpu.train.optim import PlateauScheduler, make_optimizer
+from variational_mmt_tpu.utils.logging import Statistics
+from variational_mmt_tpu.utils.prng import base_key, step_key
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    lr: jax.Array  # float32 scalar (traced; plateau decay rewrites it)
+    rng: jax.Array  # base PRNG key
+
+
+def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] = None) -> TrainState:
+    rng = base_key(cfg.train.seed) if rng is None else rng
+    params = init_params(model, rng)
+    tx = make_optimizer(cfg.train)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.int32(0),
+        lr=jnp.float32(cfg.train.learning_rate),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    cfg: Config, model: VMMTModel, mesh=None
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    tx = make_optimizer(cfg.train)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        key = step_key(state.rng, state.step)
+        kd, kl_, kw = jax.random.split(key, 3)
+        rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
+        img = batch.get("img")
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["src"], batch["tgt_in"], img,
+                deterministic=False, sample=True, rngs=rngs,
+            )
+            return compute_loss(
+                out, batch["tgt_out"], batch["example_mask"], img,
+                cfg.model, cfg.train, state.step,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
+            state.params, updates,
+        )
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.replace(params=new_params, opt_state=new_opt, step=state.step + 1)
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model: VMMTModel, mesh=None):
+    """Validation forward: deterministic, z = posterior mean (sample=False)."""
+
+    def eval_step(state: TrainState, batch):
+        img = batch.get("img")
+        out = model.apply(
+            {"params": state.params},
+            batch["src"], batch["tgt_in"], img,
+            deterministic=True, sample=False,
+        )
+        _, metrics = compute_loss(
+            out, batch["tgt_out"], batch["example_mask"], img,
+            cfg.model, cfg.train, state.step,
+        )
+        return metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=repl)
+    return jax.jit(eval_step)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree)))
+
+
+class Trainer:
+    """Epoch/step loop + validation + plateau LR decay + checkpointing."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        model: VMMTModel,
+        train_iter: BucketIterator,
+        valid_iter: Optional[BucketIterator] = None,
+        mesh=None,
+        checkpoint_fn: Optional[Callable[[TrainState, int, Dict], None]] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.train_iter = train_iter
+        self.valid_iter = valid_iter
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_step = make_train_step(cfg, model, self.mesh)
+        self.eval_step = make_eval_step(cfg, model, self.mesh)
+        self.scheduler = PlateauScheduler(cfg.train)
+        self.checkpoint_fn = checkpoint_fn
+        self.history: list = []
+
+    def _device_batches(self, it: Iterable) -> Iterable:
+        sh = batch_sharding(self.mesh)
+
+        def to_dev(b):
+            tree = {
+                "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
+                "example_mask": b.example_mask,
+            }
+            if b.img is not None:
+                tree["img"] = b.img
+            return jax.device_put(tree, sh)
+
+        return prefetch(it, size=2, transform=to_dev)
+
+    def train(self, max_steps: Optional[int] = None) -> Statistics:
+        return self.train_from(None, max_steps)
+
+    def train_from(self, state: Optional[TrainState], max_steps: Optional[int] = None) -> Statistics:
+        """Run the loop, optionally resuming from a loaded TrainState
+        (the reference's ``-train_from``)."""
+        cfg = self.cfg.train
+        max_steps = max_steps or cfg.max_steps
+        if state is None:
+            state = create_train_state(self.cfg, self.model)
+        stats = Statistics()
+        step = int(state.step)
+        data = self._device_batches(iter(self._infinite_train()))
+        pending = []  # device-side metric dicts; synced only at report time
+
+        def flush():
+            # one host sync per report interval, not per step (keeps the
+            # dispatch pipeline full — the TPU analogue of async CUDA launch)
+            for m in pending:
+                stats.update(
+                    loss=float(m["ce_sum"]),
+                    n_words=int(m["n_tokens"]),
+                    n_correct=int(m["n_correct"]),
+                    n_sents=int(m["n_sents"]),
+                    kl=float(m["kl_sum"]),
+                    img_loss=float(m["img_loss_sum"]),
+                )
+            pending.clear()
+
+        metrics = None
+        while step < max_steps:
+            batch = next(data)
+            state, metrics = self.train_step(state, batch)
+            pending.append(metrics)
+            step += 1
+            if step % cfg.report_every == 0:
+                flush()
+                stats.output(step, max_steps, beta=float(metrics["beta"]), lr=float(state.lr))
+            if self.valid_iter is not None and step % cfg.valid_every == 0:
+                flush()
+                val = self.validate(state)
+                new_lr = self.scheduler.update(val["ppl"], step, float(state.lr))
+                if new_lr != float(state.lr):
+                    print(f"validation ppl {val['ppl']:.3f} plateau -> lr {new_lr:.2e}")
+                    state = state.replace(lr=jnp.float32(new_lr))
+                self.history.append({"step": step, **val})
+            if self.checkpoint_fn is not None and step % cfg.checkpoint_every == 0:
+                self.checkpoint_fn(state, step, {})
+        flush()
+        self.final_state = state
+        return stats
+
+    def _infinite_train(self):
+        e = 0
+        while True:
+            yield from self.train_iter.epoch(e)
+            e += 1
+
+    def validate(self, state: TrainState) -> Dict[str, float]:
+        import math
+
+        agg = {"ce_sum": 0.0, "n_tokens": 0.0, "n_correct": 0.0, "n_sents": 0.0, "kl_sum": 0.0, "img_loss_sum": 0.0}
+        for batch in self._device_batches(self.valid_iter.epoch(0)):
+            m = self.eval_step(state, batch)
+            for k in agg:
+                agg[k] += float(m[k])
+        xent = agg["ce_sum"] / max(1.0, agg["n_tokens"])
+        return {
+            "ppl": math.exp(min(xent, 100.0)),
+            "xent": xent,
+            "accuracy": 100.0 * agg["n_correct"] / max(1.0, agg["n_tokens"]),
+            "kl": agg["kl_sum"] / max(1.0, agg["n_sents"]),
+            "img_loss": agg["img_loss_sum"] / max(1.0, agg["n_sents"]),
+            "elbo": -(agg["ce_sum"] + agg["kl_sum"]) / max(1.0, agg["n_sents"]),
+        }
