@@ -71,20 +71,26 @@ def main() -> None:
     batch = jax.device_put(batch, batch_sharding(mesh))
     n_tokens = int((tgt != 0).sum())
 
-    # warmup / compile
+    def drain(s):
+        # force FULL materialization: under the axon remote client,
+        # block_until_ready on a single scalar under-reports; fetching a
+        # param reduction forces the whole update chain
+        return float(jax.tree.leaves(s.params)[0].sum())
+
+    # warmup / compile (two signatures: fresh state + donated-state steady)
     t0 = time.time()
     state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    drain(state)
     compile_s = time.time() - t0
     for _ in range(3):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    drain(state)
 
     n_steps = 30 if on_tpu else 10
     t0 = time.time()
     for _ in range(n_steps):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    drain(state)
     dt = time.time() - t0
 
     tok_per_sec = n_tokens * n_steps / dt
@@ -92,7 +98,7 @@ def main() -> None:
 
     # First real-TPU measurement of this rebuild becomes the baseline the
     # driver tracks across rounds (reference published no perf numbers).
-    _ROUND1_BASELINE = 155344.0  # tok/s/chip, v5e-1, round 1 (2026-08-16)
+    _ROUND1_BASELINE = 365000.0  # tok/s/chip, v5e-1, round 1 (2026-08-16)
     vs = per_chip / _ROUND1_BASELINE if on_tpu else 1.0
 
     print(json.dumps({

@@ -18,3 +18,6 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# golden-value tests compare against float64-ish numpy references; JAX's
+# default matmul precision uses bf16 passes even for f32 inputs
+jax.config.update("jax_default_matmul_precision", "highest")

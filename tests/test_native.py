@@ -1,0 +1,57 @@
+"""Native C++ batcher: builds, and produces byte-identical batches to the
+pure-Python path."""
+
+import numpy as np
+import pytest
+
+from variational_mmt_tpu import native
+from variational_mmt_tpu.data.dataset import BucketIterator, binarize
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    if not native.available():
+        pytest.skip("g++ unavailable; native batcher not built")
+
+
+def make_ds(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    src = [list(rng.integers(4, 50, size=rng.integers(1, 30))) for _ in range(n)]
+    tgt = [list(rng.integers(4, 50, size=rng.integers(1, 30))) for _ in range(n)]
+    feats = rng.standard_normal((n, 16)).astype(np.float32)
+    return binarize(src, tgt), feats
+
+
+def test_native_matches_python(have_native):
+    ds, feats = make_ds()
+    it_py = BucketIterator(ds, 8, [8, 16, 32], img_feats=feats, seed=3, use_native=False)
+    it_cc = BucketIterator(ds, 8, [8, 16, 32], img_feats=feats, seed=3, use_native=True)
+    batches_py = list(it_py.epoch(1))
+    batches_cc = list(it_cc.epoch(1))
+    assert len(batches_py) == len(batches_cc)
+    for a, b in zip(batches_py, batches_cc):
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(a.tgt_in, b.tgt_in)
+        np.testing.assert_array_equal(a.tgt_out, b.tgt_out)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_array_equal(a.example_mask, b.example_mask)
+        np.testing.assert_allclose(a.img, b.img, rtol=0, atol=0)
+
+
+def test_native_no_tgt(have_native):
+    ds, feats = make_ds()
+    ds.tgt = None
+    it_cc = BucketIterator(ds, 8, [32], seed=0, use_native=True, shuffle=False)
+    b = next(iter(it_cc.epoch(0)))
+    assert (b.tgt_in == 0).all() and (b.tgt_out == 0).all()
+    assert b.src.shape == (8, 32)
+
+
+def test_native_conv_features(have_native):
+    ds, _ = make_ds(n=10)
+    feats = np.random.default_rng(0).standard_normal((10, 7, 16)).astype(np.float32)
+    it_py = BucketIterator(ds, 4, [32], img_feats=feats, seed=1, use_native=False)
+    it_cc = BucketIterator(ds, 4, [32], img_feats=feats, seed=1, use_native=True)
+    for a, b in zip(it_py.epoch(0), it_cc.epoch(0)):
+        np.testing.assert_allclose(a.img, b.img)
+        assert b.img.shape[1:] == (7, 16)

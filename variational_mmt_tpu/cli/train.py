@@ -69,6 +69,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-keep_checkpoints", type=int, default=3)
     p.add_argument("-buckets", default="16,24,32,48,64")
     p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
+    p.add_argument("-metrics_log", default="", help="JSONL scalar log path (ELBO decomposition)")
+    p.add_argument("-profile_dir", default="", help="jax.profiler trace directory")
 
 
 def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
@@ -163,17 +165,25 @@ def main(argv=None) -> None:
         path = save_checkpoint(opt.save_model, state, cfg, sv, tv, keep=opt.keep_checkpoints)
         print(f"saved checkpoint {path}")
 
-    trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh, checkpoint_fn=ckpt_fn)
+    from variational_mmt_tpu.utils.metrics_log import MetricsLogger
+    from variational_mmt_tpu.utils.profiling import trace
 
-    if opt.train_from:
-        path = opt.train_from
-        if not os.path.exists(os.path.join(path, "state.msgpack")):
-            path = latest_checkpoint(path) or path
-        state, _, _, _, _ = load_checkpoint(path)
-        print(f"resuming from {path} at step {int(state.step)}")
-        trainer.train_from(state)
-    else:
-        trainer.train()
+    logger = MetricsLogger(opt.metrics_log) if opt.metrics_log else None
+    trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh,
+                      checkpoint_fn=ckpt_fn, metrics_logger=logger)
+
+    with trace(opt.profile_dir):
+        if opt.train_from:
+            path = opt.train_from
+            if not os.path.exists(os.path.join(path, "state.msgpack")):
+                path = latest_checkpoint(path) or path
+            state, _, _, _, _ = load_checkpoint(path)
+            print(f"resuming from {path} at step {int(state.step)}")
+            trainer.train_from(state)
+        else:
+            trainer.train()
+    if logger is not None:
+        logger.close()
     ckpt_fn(trainer.final_state, int(trainer.final_state.step), {})
     print("training done")
 

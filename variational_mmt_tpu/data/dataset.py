@@ -54,9 +54,29 @@ class BinarizedDataset:
     def __init__(self, src: List[np.ndarray], tgt: Optional[List[np.ndarray]] = None):
         self.src = src
         self.tgt = tgt
+        self._src_flat: Optional[tuple] = None
+        self._tgt_flat: Optional[tuple] = None
 
     def __len__(self) -> int:
         return len(self.src)
+
+    def src_flat(self) -> tuple:
+        """(data int32, offsets int64) — zero-copy layout for the native
+        batcher (native/batcher.cpp)."""
+        if self._src_flat is None:
+            data = np.concatenate(self.src) if self.src else np.zeros(0, np.int32)
+            off = np.cumsum([0] + [len(a) for a in self.src]).astype(np.int64)
+            self._src_flat = (np.ascontiguousarray(data, np.int32), off)
+        return self._src_flat
+
+    def tgt_flat(self) -> Optional[tuple]:
+        if self.tgt is None:
+            return None
+        if self._tgt_flat is None:
+            data = np.concatenate(self.tgt) if self.tgt else np.zeros(0, np.int32)
+            off = np.cumsum([0] + [len(a) for a in self.tgt]).astype(np.int64)
+            self._tgt_flat = (np.ascontiguousarray(data, np.int32), off)
+        return self._tgt_flat
 
     # -- persistence ---------------------------------------------------
     def save(self, path: str) -> None:
@@ -118,8 +138,8 @@ class BucketIterator:
         seed: int = 0,
         drop_last: bool = False,
         infinite: bool = False,
+        use_native: Optional[bool] = None,
     ):
-        assert ds.tgt is not None or img_feats is None or True
         self.ds = ds
         self.batch_size = batch_size
         self.buckets = sorted(buckets)
@@ -129,6 +149,14 @@ class BucketIterator:
         self.drop_last = drop_last
         self.infinite = infinite
         self._assign = self._bucketize()
+        if use_native is None:
+            from variational_mmt_tpu import native
+
+            use_native = native.available()
+        self.use_native = bool(use_native)
+        if self.use_native and img_feats is not None:
+            # one-time contiguous float32 view for the native row gather
+            self.img_feats = np.ascontiguousarray(img_feats, np.float32)
 
     def _bucketize(self) -> List[List[int]]:
         per_bucket: List[List[int]] = [[] for _ in self.buckets]
@@ -176,6 +204,8 @@ class BucketIterator:
                 return
 
     def _make_batch(self, bucket_len: int, idxs: np.ndarray) -> Batch:
+        if self.use_native:
+            return self._make_batch_native(bucket_len, idxs)
         B, L = self.batch_size, bucket_len
         src = np.full((B, L), PAD, np.int32)
         tgt_in = np.full((B, L), PAD, np.int32)
@@ -197,4 +227,20 @@ class BucketIterator:
         if self.img_feats is not None:
             img = np.asarray(self.img_feats[indices], np.float32)
             img *= mask.reshape((B,) + (1,) * (img.ndim - 1))
+        return Batch(src=src, tgt_in=tgt_in, tgt_out=tgt_out, indices=indices, example_mask=mask, img=img)
+
+    def _make_batch_native(self, bucket_len: int, idxs: np.ndarray) -> Batch:
+        from variational_mmt_tpu import native
+        from variational_mmt_tpu.data.vocab import BOS as _BOS, EOS as _EOS
+
+        B, L = self.batch_size, bucket_len
+        sd, so = self.ds.src_flat()
+        tgt = self.ds.tgt_flat()
+        td, to = tgt if tgt is not None else (None, None)
+        src, tgt_in, tgt_out, indices, mask = native.assemble_batch(
+            sd, so, td, to, idxs, B, L, _BOS, _EOS, PAD
+        )
+        img = None
+        if self.img_feats is not None:
+            img = native.gather_rows(self.img_feats, indices, mask)
         return Batch(src=src, tgt_in=tgt_in, tgt_out=tgt_out, indices=indices, example_mask=mask, img=img)

@@ -136,6 +136,7 @@ class Trainer:
         valid_iter: Optional[BucketIterator] = None,
         mesh=None,
         checkpoint_fn: Optional[Callable[[TrainState, int, Dict], None]] = None,
+        metrics_logger=None,
     ):
         self.cfg = cfg
         self.model = model
@@ -146,6 +147,7 @@ class Trainer:
         self.eval_step = make_eval_step(cfg, model, self.mesh)
         self.scheduler = PlateauScheduler(cfg.train)
         self.checkpoint_fn = checkpoint_fn
+        self.metrics_logger = metrics_logger
         self.history: list = []
 
     def _device_batches(self, it: Iterable) -> Iterable:
@@ -200,6 +202,13 @@ class Trainer:
             if step % cfg.report_every == 0:
                 flush()
                 stats.output(step, max_steps, beta=float(metrics["beta"]), lr=float(state.lr))
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(
+                        step,
+                        {**stats.scalars(), "beta": float(metrics["beta"]),
+                         "lr": float(state.lr), "grad_norm": float(metrics["grad_norm"])},
+                        prefix="train",
+                    )
             if self.valid_iter is not None and step % cfg.valid_every == 0:
                 flush()
                 val = self.validate(state)
@@ -208,6 +217,8 @@ class Trainer:
                     print(f"validation ppl {val['ppl']:.3f} plateau -> lr {new_lr:.2e}")
                     state = state.replace(lr=jnp.float32(new_lr))
                 self.history.append({"step": step, **val})
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(step, val, prefix="valid")
             if self.checkpoint_fn is not None and step % cfg.checkpoint_every == 0:
                 self.checkpoint_fn(state, step, {})
         flush()
