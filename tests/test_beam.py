@@ -129,3 +129,31 @@ def test_length_penalty_values():
     lp = float(length_penalty(jnp.array(7.0), 1.0))
     np.testing.assert_allclose(lp, 2.0)
     assert float(length_penalty(jnp.array(50.0), 0.0)) == 1.0
+
+
+def test_beam_attn_tracking():
+    """return_attn carries the per-step attention argmax through beam
+    reordering, aligned with the emitted tokens."""
+    import jax.numpy as jnp
+    step_fn0, table = toy_lm()
+
+    def step_fn(carry, toks):
+        step = carry["step"] + 1  # keep "step" across toy_lm's carry rebuild
+        inner, logp = step_fn0(carry, toks)
+        carry = dict(inner, step=step)
+        # deterministic "attention": parent token id * 10 + step count
+        return carry, logp, toks * 10 + step
+
+    init = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3)),
+            "step": jnp.zeros((1,), jnp.int32)}
+    tokens, scores, attn = beam_search(step_fn, init, 1, 3, 5, return_attn=True)
+    tokens, attn = np.asarray(tokens), np.asarray(attn)
+    # attention record at step t must equal last_tok(t)*10 + t (+1 offset)
+    for k in range(3):
+        prev = BOS
+        for t in range(5):
+            tok = tokens[0, k, t]
+            if tok == PAD:
+                break
+            assert attn[0, k, t] == prev * 10 + (t + 1), (k, t, tokens[0, k], attn[0, k])
+            prev = tok

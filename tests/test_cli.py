@@ -1,0 +1,87 @@
+"""End-to-end CLI integration (the reference's CI-style chain: preprocess ->
+1-short-train -> translate on a tiny corpus, SURVEY.md §4), run in-process
+with a tiny synthetic corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.cli import preprocess as cli_pre
+from variational_mmt_tpu.cli import train as cli_train
+from variational_mmt_tpu.cli import translate as cli_translate
+from variational_mmt_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    src, tgt, feats, _, _ = synthetic.make_corpus(80, vocab_size=40, img_dim=16, seed=9, max_len=8)
+    for name, lines in [("train.src", src[:60]), ("train.tgt", tgt[:60]),
+                        ("valid.src", src[60:70]), ("valid.tgt", tgt[60:70]),
+                        ("test.src", src[70:]), ("test.tgt", tgt[70:])]:
+        with open(d / name, "w") as f:
+            for l in lines:
+                f.write(" ".join(l) + "\n")
+    np.save(d / "train.feats.npy", feats[:60])
+    np.save(d / "valid.feats.npy", feats[60:70])
+    np.save(d / "test.feats.npy", feats[70:])
+    return d
+
+
+def test_cli_chain(corpus, capsys):
+    d = str(corpus)
+    cli_pre.main([
+        "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+        "-valid_src", f"{d}/valid.src", "-valid_tgt", f"{d}/valid.tgt",
+        "-save_data", f"{d}/demo", "-bpe_merges", "30", "-pretokenized",
+    ])
+    assert os.path.exists(f"{d}/demo.train.npz")
+
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{d}/ckpts", "-model_type", "vmmt_f",
+        "-train_img_feats", f"{d}/train.feats.npy",
+        "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-z_latent_dim", "4", "-batch_size", "16",
+        "-max_steps", "6", "-report_every", "3", "-valid_every", "6",
+        "-checkpoint_every", "100", "-buckets", "16", "-compute_dtype", "float32",
+        "-metrics_log", f"{d}/metrics.jsonl",
+    ])
+    assert os.path.isdir(f"{d}/ckpts")
+    with open(f"{d}/metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    assert any("train/ppl" in r for r in recs)
+    assert any("valid/ppl" in r for r in recs)
+
+    cli_translate.main([
+        "-model", f"{d}/ckpts", "-src", f"{d}/test.src", "-tgt", f"{d}/test.tgt",
+        "-img_feats", f"{d}/test.feats.npy", "-bpe_codes", f"{d}/demo.bpe.codes",
+        "-pretokenized", "-output", f"{d}/pred.txt", "-beam_size", "2",
+        "-batch_size", "8", "-max_length", "12", "-iw_eval", "2",
+    ])
+    with open(f"{d}/pred.txt") as f:
+        preds = f.read().splitlines()
+    assert len(preds) == 10
+    out = capsys.readouterr().out
+    assert "BLEU" in out and "IW-ELBO" in out
+
+
+def test_cli_resume(corpus):
+    d = str(corpus)
+    # resume training from the checkpoint written by test_cli_chain
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{d}/ckpts", "-model_type", "vmmt_f",
+        "-train_from", f"{d}/ckpts",
+        "-train_img_feats", f"{d}/train.feats.npy",
+        "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-z_latent_dim", "4", "-batch_size", "16",
+        "-max_steps", "8", "-report_every", "4", "-valid_every", "100",
+        "-checkpoint_every", "100", "-buckets", "16", "-compute_dtype", "float32",
+    ])
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{d}/ckpts"))
+    assert int(state.step) == 8  # resumed 6 -> 8

@@ -1,0 +1,101 @@
+"""Config round-trip, plateau scheduler, prefetcher, word dropout, stats."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig, update_config
+from variational_mmt_tpu.data.dataset import Batch
+from variational_mmt_tpu.data.prefetch import prefetch
+from variational_mmt_tpu.train.optim import PlateauScheduler
+from variational_mmt_tpu.utils.logging import Statistics
+
+
+def test_config_json_roundtrip():
+    cfg = Config(model=ModelConfig(model_type="vmmt_c", latent_dim=77),
+                 train=TrainConfig(learning_rate=1.5e-4, kl_anneal="sigmoid"))
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_config_ignores_unknown_keys():
+    d = Config().to_dict()
+    d["model"]["bogus_future_field"] = 42
+    cfg = Config.from_dict(d)  # forward-compatible load
+    assert cfg.model.model_type == "vmmt_f"
+
+
+def test_update_config_dotted():
+    cfg = Config()
+    update_config(cfg, {"model.latent_dim": "64", "train.learning_rate": "0.001"})
+    assert cfg.model.latent_dim == 64
+    assert abs(cfg.train.learning_rate - 1e-3) < 1e-12
+    try:
+        update_config(cfg, {"model.nope": 1})
+        assert False
+    except KeyError:
+        pass
+
+
+def test_plateau_scheduler():
+    sched = PlateauScheduler(TrainConfig(lr_decay=0.5, start_decay_at=10))
+    lr = 1.0
+    lr = sched.update(10.0, step=5, lr=lr)   # before start_decay_at: no decay
+    assert lr == 1.0
+    lr = sched.update(9.0, step=20, lr=lr)   # improved: no decay
+    assert lr == 1.0
+    lr = sched.update(9.5, step=30, lr=lr)   # worse: decay
+    assert lr == 0.5
+    lr = sched.update(8.0, step=40, lr=lr)   # improved again
+    assert lr == 0.5
+
+
+def test_prefetch_preserves_order_and_errors():
+    batches = [Batch(src=np.full((1, 2), i, np.int32), tgt_in=np.zeros((1, 2), np.int32),
+                     tgt_out=np.zeros((1, 2), np.int32), indices=np.zeros(1, np.int32),
+                     example_mask=np.ones(1, np.float32)) for i in range(5)]
+    out = list(prefetch(iter(batches), size=2, transform=lambda b: int(b.src[0, 0])))
+    assert out == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("source failed")
+
+    try:
+        list(prefetch(boom(), size=2, transform=lambda b: b))
+        assert False
+    except RuntimeError as e:
+        assert "source failed" in str(e)
+
+
+def test_word_dropout_applied():
+    from variational_mmt_tpu.models.model import build_model, init_params
+
+    cfg = ModelConfig(model_type="nmt", src_vocab_size=30, tgt_vocab_size=30,
+                      emb_dim=8, hidden_dim=16, enc_layers=1, dec_layers=1,
+                      dropout=0.0, word_dropout=0.9, compute_dtype="float32",
+                      use_img_predict=False, img_feat_dim=0)
+    model = build_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    src = jnp.ones((2, 6), jnp.int32) * 5
+    tgt_in = jnp.ones((2, 6), jnp.int32) * 7
+    o_det = model.apply({"params": params}, src, tgt_in, None, deterministic=True, sample=False)
+    o_wd = model.apply(
+        {"params": params}, src, tgt_in, None, deterministic=False, sample=False,
+        rngs={"dropout": jax.random.PRNGKey(1), "word_dropout": jax.random.PRNGKey(2)},
+    )
+    # 90% word dropout must change the logits (tokens became <unk>)
+    assert not np.allclose(np.asarray(o_det["logits"]), np.asarray(o_wd["logits"]))
+
+
+def test_statistics_math():
+    s = Statistics()
+    s.update(loss=float(np.log(4.0) * 10), n_words=10, n_correct=5, n_sents=2, kl=3.0)
+    assert abs(s.ppl() - 4.0) < 1e-6
+    assert s.accuracy() == 50.0
+    assert s.avg_kl() == 1.5
+    s2 = Statistics()
+    s2.update(loss=0.0, n_words=10, n_correct=10)
+    s.merge(s2)
+    assert s.n_words == 20 and s.accuracy() == 75.0
+    assert "ppl" in s.scalars()

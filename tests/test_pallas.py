@@ -77,3 +77,83 @@ def test_gru_kernel_matches_unigru_module():
     )
     np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_ref), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(fin), np.asarray(fin_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_gru_kernel_vjp_matches_autodiff():
+    """Custom-VJP fused scan gradients == jax.grad through the XLA scan."""
+    from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
+
+    B, T, H = 4, 5, 8
+    rng = np.random.default_rng(2)
+    xp = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    m = np.ones((B, T), np.float32)
+    m[1, 3:] = 0
+    m[3, 1:] = 0
+    m = jnp.asarray(m)
+    h0 = jnp.asarray(rng.standard_normal((B, H)) * 0.1, jnp.float32)
+    Wh = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.standard_normal(3 * H) * 0.1, jnp.float32)
+    go = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    gf = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+
+    def ref_scan(xp, h0, Wh, bh):
+        from variational_mmt_tpu.models.gru import gru_gates
+
+        def step(h, xs):
+            x_t, m_t = xs
+            h_new = gru_gates(x_t, h @ Wh + bh, h)
+            h = jnp.where(m_t[:, None] > 0, h_new, h)
+            return h, h
+
+        fin, outs = jax.lax.scan(step, h0, (xp.swapaxes(0, 1), m.swapaxes(0, 1)))
+        return outs.swapaxes(0, 1), fin
+
+    def loss_ref(xp, h0, Wh, bh):
+        outs, fin = ref_scan(xp, h0, Wh, bh)
+        return (outs * go).sum() + (fin * gf).sum()
+
+    def loss_ker(xp, h0, Wh, bh):
+        outs, fin = gru_layer_scan_ad(xp, m, h0, Wh, bh, False, True)
+        return (outs * go).sum() + (fin * gf).sum()
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xp, h0, Wh, bh)
+    got = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(xp, h0, Wh, bh)
+    for w, g, name in zip(want, got, ["dx", "dh0", "dWh", "dbh"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_gru_kernel_vjp_reverse():
+    from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
+
+    B, T, H = 2, 4, 8
+    rng = np.random.default_rng(3)
+    xp = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    m = jnp.asarray(np.array([[1, 1, 1, 0], [1, 1, 1, 1]], np.float32))
+    h0 = jnp.zeros((B, H), jnp.float32)
+    Wh = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.standard_normal(3 * H) * 0.1, jnp.float32)
+
+    def ref_scan_rev(xp, h0, Wh, bh):
+        from variational_mmt_tpu.models.gru import gru_gates
+
+        def step(h, xs):
+            x_t, m_t = xs
+            h_new = gru_gates(x_t, h @ Wh + bh, h)
+            h = jnp.where(m_t[:, None] > 0, h_new, h)
+            return h, h
+
+        fin, outs = jax.lax.scan(step, h0, (xp.swapaxes(0, 1), m.swapaxes(0, 1)), reverse=True)
+        return outs.swapaxes(0, 1), fin
+
+    def loss_ref(xp):
+        outs, fin = ref_scan_rev(xp, h0, Wh, bh)
+        return (outs**2).sum() + (fin**2).sum()
+
+    def loss_ker(xp):
+        outs, fin = gru_layer_scan_ad(xp, m, h0, Wh, bh, True, True)
+        return (outs**2).sum() + (fin**2).sum()
+
+    np.testing.assert_allclose(float(loss_ker(xp)), float(loss_ref(xp)), rtol=1e-5)
+    w = jax.grad(loss_ref)(xp)
+    g = jax.grad(loss_ker)(xp)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)

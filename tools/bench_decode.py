@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Decode throughput benchmark: beam-4 sentences/sec on the flagship model
+(BASELINE.md: "beam-4 sentences/sec — no reference value exists; rebuild
+must measure and publish")."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig
+    from variational_mmt_tpu.decode.translator import make_translate_fn
+    from variational_mmt_tpu.models.model import build_model, init_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    B, S = (64, 24) if on_tpu else (8, 16)
+    cfg = ModelConfig(
+        model_type="vmmt_c", src_vocab_size=10000, tgt_vocab_size=10000,
+        emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2, latent_dim=128,
+        img_feat_dim=2048, compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20, batch_size=B)
+    model = build_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    fn = jax.jit(make_translate_fn(model, dcfg))
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(4, 10000, (B, S)), jnp.int32)
+    img = jnp.asarray(rng.standard_normal((B, 2048)), jnp.float32)
+
+    t0 = time.time()
+    toks, scores = fn(params, src, img)
+    float(scores.sum())
+    print(f"compile+first: {time.time()-t0:.1f}s")
+
+    n = 20 if on_tpu else 3
+    t0 = time.time()
+    for _ in range(n):
+        toks, scores = fn(params, src, img)
+    float(scores.sum())
+    dt = time.time() - t0
+    print(f"beam-{dcfg.beam_size} decode: {n*B/dt:.1f} sent/s "
+          f"(batch {B}, src_len {S}, max_len {dcfg.max_length}, {jax.default_backend()})")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,7 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-label_smoothing", type=float, default=0.0)
     p.add_argument("-kl_anneal", default="linear", choices=["linear", "sigmoid", "none"])
     p.add_argument("-kl_anneal_steps", type=int, default=10000)
+    p.add_argument("-kl_anneal_start", type=int, default=0)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
     p.add_argument("-seed", type=int, default=1234)
     # loop
@@ -109,6 +110,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             label_smoothing=opt.label_smoothing,
             kl_anneal=opt.kl_anneal,
             kl_anneal_steps=opt.kl_anneal_steps,
+            kl_anneal_start=opt.kl_anneal_start,
             kl_free_bits=opt.kl_free_bits,
             report_every=opt.report_every,
             valid_every=opt.valid_every,

@@ -20,7 +20,7 @@ import numpy as np
 from variational_mmt_tpu.config import DecodeConfig
 from variational_mmt_tpu.data.bpe import remove_bpe
 from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator
-from variational_mmt_tpu.data.vocab import Vocab
+from variational_mmt_tpu.data.vocab import UNK_TOK, Vocab
 from variational_mmt_tpu.models.model import VMMTModel
 from variational_mmt_tpu.ops.beam import beam_search, greedy_search
 
@@ -40,8 +40,9 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
             z = model.apply({"params": params}, summary, img, method=VMMTModel.prior_latent)
         init_hs = model.apply({"params": params}, finals, z, method=VMMTModel.init_decoder_state)
         carry0 = (tuple(init_hs), jnp.zeros_like(init_hs[-1]))
+        track_attn = dcfg.replace_unk
 
-        if K == 1:
+        if K == 1 and not track_attn:
             def step1(carry, toks):
                 carry, logits, _ = model.apply(
                     {"params": params}, carry, toks, memory, src_mask, z,
@@ -59,15 +60,18 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
         z_t = jnp.repeat(z, K, axis=0) if z is not None else None
 
         def step(carry, toks):
-            carry, logits, _ = model.apply(
+            carry, logits, align = model.apply(
                 {"params": params}, carry, toks, mem_t, mask_t, z_t,
                 method=VMMTModel.decode_step,
             )
-            return carry, jax.nn.log_softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if track_attn:
+                return carry, logp, jnp.argmax(align, axis=-1).astype(jnp.int32)
+            return carry, logp
 
         return beam_search(
             step, carry0, B, K, dcfg.max_length, dcfg.min_length,
-            dcfg.alpha, dcfg.length_penalty,
+            dcfg.alpha, dcfg.length_penalty, return_attn=track_attn,
         )
 
     return fn
@@ -97,7 +101,8 @@ class Translator:
     def translate_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
     ) -> List[List[Tuple[float, List[int]]]]:
-        """Returns, per input sentence, the n-best list [(score, token_ids)]."""
+        """Returns, per input sentence, the n-best list [(score, token_ids)].
+        With ``replace_unk``, entries are (score, token_ids, attn_positions)."""
         ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
         it = BucketIterator(
             ds, batch_size=self.dcfg.batch_size, buckets=self.buckets,
@@ -107,17 +112,22 @@ class Translator:
         results: dict = {}
         for batch in it.epoch(0):
             img = jnp.asarray(batch.img) if batch.img is not None else None
-            tokens, scores = self._fn(self.params, jnp.asarray(batch.src), img)
-            tokens = np.asarray(tokens)
-            scores = np.asarray(scores)
+            out = self._fn(self.params, jnp.asarray(batch.src), img)
+            attn = np.asarray(out[2]) if len(out) == 3 else None
+            tokens = np.asarray(out[0])
+            scores = np.asarray(out[1])
             for row in range(batch.batch_size):
                 if batch.example_mask[row] == 0:
                     continue
                 i = int(batch.indices[row])
-                results[i] = [
-                    (float(scores[row, k]), _strip(tokens[row, k]))
-                    for k in range(n_best)
-                ]
+                nbest = []
+                for k in range(n_best):
+                    ids = _strip(tokens[row, k])
+                    if attn is not None:
+                        nbest.append((float(scores[row, k]), ids, attn[row, k, : len(ids)].tolist()))
+                    else:
+                        nbest.append((float(scores[row, k]), ids))
+                results[i] = nbest
         return [results[i] for i in range(len(src_ids))]
 
     def translate_tokens(
@@ -128,10 +138,18 @@ class Translator:
     ) -> List[List[Tuple[float, str]]]:
         src_ids = [self.src_vocab.encode(t) for t in src_tokens]
         out = []
-        for nbest in self.translate_ids(src_ids, img_feats):
+        for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats)):
             sent = []
-            for score, ids in nbest:
-                toks = self.tgt_vocab.decode(ids)
+            for entry in nbest:
+                score, ids = entry[0], entry[1]
+                toks = self.tgt_vocab.decode(ids, strip_special=False)
+                if len(entry) == 3:  # replace_unk: copy max-attention src token
+                    src_toks = src_tokens[sent_i]
+                    toks = [
+                        src_toks[min(entry[2][j], len(src_toks) - 1)]
+                        if t == UNK_TOK and src_toks else t
+                        for j, t in enumerate(toks)
+                    ]
                 if debpe:
                     toks = remove_bpe(toks)
                 sent.append((score, " ".join(toks)))

@@ -44,6 +44,7 @@ class BeamState(NamedTuple):
     lengths: jax.Array  # (B, K) int32 tokens emitted incl. EOS
     carry: Any  # decoder carry, leaves (B*K, ...)
     last_tok: jax.Array  # (B, K)
+    attn_src: jax.Array  # (B, K, L) argmax source position per emitted token
 
 
 def length_penalty(lengths: jax.Array, alpha: float, kind: str = "gnmt") -> jax.Array:
@@ -79,9 +80,13 @@ def beam_search(
     eos_id: int = EOS,
     bos_id: int = BOS,
     pad_id: int = PAD,
-) -> Tuple[jax.Array, jax.Array]:
+    return_attn: bool = False,
+):
     """Returns (tokens (B, K, max_length) sorted best-first, penalized scores
-    (B, K)). ``step_fn`` consumes flattened (B*K,) token ids."""
+    (B, K)) — plus attention-argmax source positions (B, K, max_length) when
+    ``return_attn`` (for the reference's -replace_unk). ``step_fn`` consumes
+    flattened (B*K,) token ids and returns (carry, log_probs) or
+    (carry, log_probs, attn_argmax (B*K,))."""
     B, K, L = batch_size, beam_size, max_length
 
     carry0 = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), init_carry)
@@ -94,13 +99,20 @@ def beam_search(
         lengths=jnp.zeros((B, K), jnp.int32),
         carry=carry0,
         last_tok=jnp.full((B, K), bos_id, jnp.int32),
+        attn_src=jnp.zeros((B, K, L), jnp.int32),
     )
 
     def cond(s: BeamState):
         return (s.t < L) & ~jnp.all(s.finished)
 
     def body(s: BeamState) -> BeamState:
-        carry, logp = step_fn(s.carry, s.last_tok.reshape(B * K))
+        out = step_fn(s.carry, s.last_tok.reshape(B * K))
+        if len(out) == 3:
+            carry, logp, attn_arg = out
+            attn_arg = attn_arg.reshape(B, K)
+        else:
+            carry, logp = out
+            attn_arg = jnp.zeros((B, K), jnp.int32)
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V).astype(jnp.float32)
         # min-length: no EOS before min_length tokens emitted
@@ -123,6 +135,10 @@ def beam_search(
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, toks[..., None], s.t, axis=2
         )
+        attn_src = jnp.take_along_axis(s.attn_src, parents[..., None], axis=1)
+        attn_src = jax.lax.dynamic_update_slice_in_dim(
+            attn_src, jnp.take_along_axis(attn_arg, parents, axis=1)[..., None], s.t, axis=2
+        )
         was_finished = jnp.take_along_axis(s.finished, parents, axis=1)
         lengths = jnp.take_along_axis(s.lengths, parents, axis=1)
         lengths = jnp.where(was_finished, lengths, lengths + 1)
@@ -136,6 +152,7 @@ def beam_search(
             lengths=lengths,
             carry=carry,
             last_tok=toks,
+            attn_src=attn_src,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -146,6 +163,9 @@ def beam_search(
     order = jnp.argsort(-scored, axis=1)
     tokens = jnp.take_along_axis(final.tokens, order[..., None], axis=1)
     scored = jnp.take_along_axis(scored, order, axis=1)
+    if return_attn:
+        attn = jnp.take_along_axis(final.attn_src, order[..., None], axis=1)
+        return tokens, scored, attn
     return tokens, scored
 
 

@@ -1,8 +1,8 @@
-"""Fused GRU-layer scan as a single Pallas kernel.
+"""Fused GRU-layer scan as a single Pallas kernel (forward + custom VJP).
 
 The XLA lowering of ``lax.scan`` re-stages the (H, 3H) hidden-to-hidden
-weight block and re-launches the fused loop body every timestep. This
-kernel instead runs the whole sequence in ONE ``pallas_call`` with a
+weight block and re-launches the fused loop body every timestep. These
+kernels instead run the whole sequence in ONE ``pallas_call`` with a
 sequential grid over time:
 
 - ``Wh``/``bh`` use a constant index map, so Mosaic keeps them resident in
@@ -10,14 +10,21 @@ sequential grid over time:
 - the hidden state lives in a VMEM scratch buffer that persists across grid
   iterations (TPU grid steps execute sequentially);
 - the per-step input projections (precomputed outside as one big MXU GEMM —
-  see models/gru.py) are streamed (B, 3H)-block per step by the pipeline;
+  see models/gru.py) are streamed one (B, 3H) block per step by the
+  pipeline, in TIME-MAJOR layout (T, B, 3H) — Mosaic requires the last two
+  block dims to be (8, 128)-aligned or full, so time must be the leading
+  (grid-indexed) axis;
 - masking (`h' = where(mask, gru(h,x), h)`) implements variable length and
   makes the reversed grid (``reverse=True``) correct over right-padded
   batches.
 
-Forward-only: used by inference paths; training keeps the XLA scan (whose
-autodiff is free) until the custom VJP lands. Numerical contract matches
-``models/gru.py:gru_gates`` exactly (float32 state, [r|z|n] gate layout).
+The backward pass is a second kernel running the time grid in the opposite
+order, recomputing gates (one extra (B,H)x(H,3H) GEMM per step instead of
+storing activations), carrying dL/dh in scratch and accumulating dWh/dbh.
+
+Numerical contract matches ``models/gru.py:gru_gates`` exactly (float32
+state, [r|z|n] gate layout, n-gate bias inside ``r * (h @ Whn + bhn)``).
+Reference analogue: cuDNN's fused GRU sequence kernels (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-try:  # pallas requires a TPU-capable lowering; CPU uses interpret mode
+try:  # pallas requires a TPU-capable lowering; CPU tests use interpret mode
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -41,7 +48,10 @@ def pallas_available() -> bool:
     return _PALLAS_IMPORTED
 
 
-def _gru_step_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_scr):
+# ----------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------
+def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_scr):
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -50,10 +60,8 @@ def _gru_step_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_s
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    x_proj = x_ref[:, 0, :]
-    h_proj = (
-        jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[:]
-    )
+    x_proj = x_ref[0]  # (B, 3H)
+    h_proj = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
     H = h.shape[-1]
     xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
     hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
@@ -61,10 +69,10 @@ def _gru_step_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_s
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
     h_new = (1.0 - z) * n + z * h
-    m = m_ref[:, 0][:, None]
+    m = m_ref[0, 0, :][:, None]
     h_new = jnp.where(m > 0, h_new, h)
     h_scr[:] = h_new
-    out_ref[:, 0, :] = h_new
+    out_ref[0] = h_new
 
     @pl.when(t == T - 1)
     def _():
@@ -81,43 +89,191 @@ def gru_layer_scan(
     reverse: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (outputs (B, T, H), final (B, H)); matches models/gru.py
-    UniGRU semantics (which it can replace 1:1 at inference)."""
+    """Forward-only fused scan. Returns (outputs (B, T, H), final (B, H));
+    matches models/gru.py UniGRU semantics 1:1."""
     B, T, H3 = x_proj.shape
     H = H3 // 3
     f32 = jnp.float32
-    x_proj = x_proj.astype(f32)
-    mask = mask.astype(f32)
+    xt = x_proj.astype(f32).swapaxes(0, 1)  # (T, B, 3H) time-major
+    mt = mask.astype(f32).swapaxes(0, 1)[:, None, :]  # (T, 1, B)
     h0 = h0.astype(f32)
     Wh = Wh.astype(f32)
-    bh = bh.astype(f32)
+    bh2 = bh.astype(f32).reshape(1, H3)
 
     if reverse:
-        t_map = lambda t: (0, T - 1 - t, 0)
-        tm_map = lambda t: (0, T - 1 - t)
+        t_map = lambda t: (T - 1 - t, 0, 0)
     else:
-        t_map = lambda t: (0, t, 0)
-        tm_map = lambda t: (0, t)
+        t_map = lambda t: (t, 0, 0)
 
     outs, fin = pl.pallas_call(
-        _gru_step_kernel,
+        _gru_fwd_kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((B, 1, H3), t_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), tm_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H3,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, 1, H), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), f32)],
         interpret=interpret,
-    )(x_proj, mask, h0, Wh, bh)
-    return outs, fin
+    )(xt, mt, h0, Wh, bh2)
+    return outs.swapaxes(0, 1), fin
+
+
+# ----------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------
+def _gru_bwd_kernel(
+    x_ref, m_ref, h0_ref, wh_ref, bh_ref, outs_ref, prev_ref, g_ref,
+    dx_ref, dh0_ref, dwh_ref, dbh_ref,
+    dh_scr, dwh_scr, dbh_scr,
+):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+        dbh_scr[:] = jnp.zeros_like(dbh_scr)
+
+    # grid step t processes the (T-1-t)-th step of forward processing order
+    h_prev = jnp.where(t == T - 1, h0_ref[:], prev_ref[0])
+    x_proj = x_ref[0]
+    m = m_ref[0, 0, :][:, None]
+    g = g_ref[0]
+
+    # recompute forward gates (bias on the hidden side, cuDNN convention)
+    h_proj = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
+    H = h_prev.shape[-1]
+    xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
+    hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+
+    dh_total = g + dh_scr[:]
+    dhat = m * dh_total
+    dh_prev = (1.0 - m) * dh_total
+    dz = dhat * (h_prev - n)
+    dn = dhat * (1.0 - z)
+    dh_prev = dh_prev + dhat * z
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dz_pre = dz * z * (1.0 - z)
+    dr_pre = dr * r * (1.0 - r)
+    dh_proj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+    dx_proj = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    dh_prev = dh_prev + jnp.dot(dh_proj, wh_ref[:].T, preferred_element_type=jnp.float32)
+
+    dx_ref[0] = dx_proj
+    dh_scr[:] = dh_prev
+    dwh_scr[:] = dwh_scr[:] + jnp.dot(h_prev.T, dh_proj, preferred_element_type=jnp.float32)
+    dbh_scr[:] = dbh_scr[:] + dh_proj.sum(axis=0, keepdims=True)
+
+    @pl.when(t == T - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+        dwh_ref[:] = dwh_scr[:]
+        dbh_ref[:] = dbh_scr[:]
+
+
+def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
+    """All sequence args time-major (T, B, .). Returns (dx_proj (T,B,3H),
+    dh0, dWh, dbh)."""
+    T, B, H3 = x_proj.shape
+    H = H3 // 3
+    f32 = jnp.float32
+
+    if reverse:
+        # forward processed time T-1 .. 0; backward revisits 0 .. T-1
+        t_map = lambda t: (t, 0, 0)
+        prev_map = lambda t: (jnp.minimum(t + 1, T - 1), 0, 0)
+    else:
+        t_map = lambda t: (T - 1 - t, 0, 0)
+        prev_map = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+
+    dx, dh0, dWh, dbh = pl.pallas_call(
+        _gru_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H3), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((H, H3), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((H, H3), f32),
+            pltpu.VMEM((1, H3), f32),
+        ],
+        interpret=interpret,
+    )(x_proj, mask, h0, Wh, bh, outs, outs, g)
+    return dx, dh0, dWh, dbh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gru_layer_scan_ad(x_proj, mask, h0, Wh, bh, reverse=False, interpret=False):
+    """Differentiable fused GRU scan (custom VJP; both passes are Pallas
+    kernels). Same contract as :func:`gru_layer_scan`."""
+    return gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse, interpret=interpret)
+
+
+def _gru_ad_fwd(x_proj, mask, h0, Wh, bh, reverse, interpret):
+    outs, fin = gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse, interpret=interpret)
+    return (outs, fin), (x_proj, mask, h0, Wh, bh, outs)
+
+
+def _gru_ad_bwd(reverse, interpret, res, grads):
+    x_proj, mask, h0, Wh, bh, outs = res
+    g_outs, g_fin = grads
+    f32 = jnp.float32
+    T = outs.shape[1]
+    g = g_outs.astype(f32)
+    # fold the final-state cotangent into the last processed step's output
+    # grad — exact because fwd writes out[t] = carry at every t (masked
+    # steps write the passed-through carry), so out[last] == final
+    if g_fin is not None:
+        idx = 0 if reverse else T - 1
+        g = g.at[:, idx, :].add(g_fin.astype(f32))
+    dx, dh0, dWh, dbh = _gru_scan_bwd_impl(
+        x_proj.astype(f32).swapaxes(0, 1),
+        mask.astype(f32).swapaxes(0, 1)[:, None, :],
+        h0.astype(f32),
+        Wh.astype(f32),
+        bh.astype(f32).reshape(1, -1),
+        outs.astype(f32).swapaxes(0, 1),
+        g.swapaxes(0, 1),
+        reverse,
+        interpret,
+    )
+    return dx.swapaxes(0, 1), None, dh0, dWh, dbh.reshape(-1)
+
+
+gru_layer_scan_ad.defvjp(_gru_ad_fwd, _gru_ad_bwd)

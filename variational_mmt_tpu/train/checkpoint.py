@@ -109,7 +109,9 @@ def load_checkpoint(
     src_vocab = Vocab.load(os.path.join(path, "vocab.src.json"))
     tgt_vocab = Vocab.load(os.path.join(path, "vocab.tgt.json"))
     model = build_model(cfg.model)
-    template = create_train_state(cfg, model)
+    # abstract template (no device compute): only the pytree STRUCTURE is
+    # needed to restore; avoids a full jitted init at load time
+    template = jax.eval_shape(lambda: create_train_state(cfg, model))
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     params = serialization.from_state_dict(template.params, raw["params"])
