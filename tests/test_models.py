@@ -55,7 +55,7 @@ def test_unigru_matches_manual_recurrence():
     outs, final = mod.apply({"params": params}, jnp.array(x), jnp.array(mask))
 
     Wi = np.asarray(params["ih"]["kernel"]); bi = np.asarray(params["ih"]["bias"])
-    Wh = np.asarray(params["scan"]["cell"]["hh"]["kernel"]); bh = np.asarray(params["scan"]["cell"]["hh"]["bias"])
+    Wh = np.asarray(params["hh_kernel"]); bh = np.asarray(params["hh_bias"])
 
     def sig(v):
         return 1.0 / (1.0 + np.exp(-v))

@@ -69,8 +69,8 @@ def test_gru_kernel_matches_unigru_module():
 
     Wi = jnp.asarray(params["ih"]["kernel"])
     bi = jnp.asarray(params["ih"]["bias"])
-    Wh = jnp.asarray(params["scan"]["cell"]["hh"]["kernel"])
-    bh = jnp.asarray(params["scan"]["cell"]["hh"]["bias"])
+    Wh = jnp.asarray(params["hh_kernel"])
+    bh = jnp.asarray(params["hh_bias"])
     x_proj = jnp.array(x) @ Wi + bi
     outs, fin = gru_layer_scan(
         x_proj, jnp.array(m), jnp.zeros((B, H)), Wh, bh, interpret=True
@@ -157,3 +157,38 @@ def test_gru_kernel_vjp_reverse():
     w = jax.grad(loss_ref)(xp)
     g = jax.grad(loss_ker)(xp)
     np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
+
+
+def test_use_pallas_model_equivalence():
+    """use_pallas=True (interpret on CPU) produces the same training forward
+    and gradients as the XLA scan path, over identical params."""
+    from variational_mmt_tpu.config import ModelConfig
+    from variational_mmt_tpu.models.model import build_model, init_params
+    from variational_mmt_tpu.train.loss import compute_loss
+    from variational_mmt_tpu.config import Config
+
+    kw = dict(model_type="vmmt_f", src_vocab_size=30, tgt_vocab_size=30, emb_dim=8,
+              hidden_dim=16, enc_layers=1, dec_layers=1, latent_dim=4, img_feat_dim=8,
+              dropout=0.0, word_dropout=0.0, compute_dtype="float32")
+    m_x = build_model(ModelConfig(**kw))
+    m_p = build_model(ModelConfig(**kw, use_pallas=True))
+    params = init_params(m_x, jax.random.PRNGKey(0))
+    src = jnp.array([[4, 5, 6, 0], [7, 8, 0, 0]], jnp.int32)
+    tgt_in = jnp.array([[2, 9, 10, 0], [2, 11, 0, 0]], jnp.int32)
+    tgt_out = jnp.array([[9, 10, 3, 0], [11, 3, 0, 0]], jnp.int32)
+    img = jnp.ones((2, 8), jnp.float32)
+    cfg = Config()
+
+    def loss(model, p):
+        out = model.apply({"params": p}, src, tgt_in, img, deterministic=True, sample=False)
+        l, _ = compute_loss(out, tgt_out, jnp.ones(2), img, model.cfg, cfg.train, jnp.int32(0))
+        return l
+
+    # identical param trees (pallas path reuses the same names)
+    lx = float(loss(m_x, params))
+    lp = float(loss(m_p, params))
+    np.testing.assert_allclose(lp, lx, rtol=1e-5)
+    gx = jax.grad(lambda p: loss(m_x, p))(params)
+    gp = jax.grad(lambda p: loss(m_p, p))(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4)

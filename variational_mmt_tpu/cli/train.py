@@ -48,6 +48,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-img_loss_weight", type=float, default=1.0)
     p.add_argument("-z_cond", default="init", choices=["init", "init+input"])
     p.add_argument("-compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("-use_pallas", type=int, default=0,
+                   help="fused Pallas GRU kernels for the encoder scans")
+    p.add_argument("-config", default="",
+                   help="JSON Config file; explicit CLI flags override it")
     # optimization
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-max_steps", type=int, default=20000)
@@ -96,6 +100,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             img_loss_weight=opt.img_loss_weight,
             z_cond=opt.z_cond,
             compute_dtype=opt.compute_dtype,
+            use_pallas=bool(opt.use_pallas),
         ),
         train=TrainConfig(
             seed=opt.seed,
@@ -143,6 +148,29 @@ def main(argv=None) -> None:
         )
 
     cfg = build_config(opt, len(sv), len(tv))
+    if opt.config:
+        # config file as base; explicitly-passed CLI flags take precedence
+        import sys as _sys
+
+        base = Config.from_json(open(opt.config).read())
+        passed = {a.lstrip("-").split("=")[0] for a in _sys.argv[1:] if a.startswith("-")}
+        file_cfg = base.to_dict()
+        cli_cfg = cfg.to_dict()
+        _FLAG2KEY = {
+            "model_type": ("model", "model_type"), "word_vec_size": ("model", "emb_dim"),
+            "rnn_size": ("model", "hidden_dim"), "enc_layers": ("model", "enc_layers"),
+            "dec_layers": ("model", "dec_layers"), "dropout": ("model", "dropout"),
+            "word_dropout": ("model", "word_dropout"), "z_latent_dim": ("model", "latent_dim"),
+            "batch_size": ("train", "batch_size"), "max_steps": ("train", "max_steps"),
+            "learning_rate": ("train", "learning_rate"), "seed": ("train", "seed"),
+        }
+        for flag, (sect, key) in _FLAG2KEY.items():
+            if flag in passed:
+                file_cfg[sect][key] = cli_cfg[sect][key]
+        # vocab sizes always come from the data
+        file_cfg["model"]["src_vocab_size"] = len(sv)
+        file_cfg["model"]["tgt_vocab_size"] = len(tv)
+        cfg = Config.from_dict(file_cfg)
     if opt.epochs > 0:
         steps_per_epoch = max(1, len(train_ds) // opt.batch_size)
         cfg.train.max_steps = opt.epochs * steps_per_epoch

@@ -51,7 +51,8 @@ class ModelConfig:
     # --- TPU-specific ---
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU
     param_dtype: str = "float32"
-    use_pallas: bool = False  # fused Pallas decoder-step kernel (perf pass)
+    use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
+    scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
 
     def validate(self) -> None:
         assert self.model_type in ("nmt", "vmmt_f", "vmmt_c"), self.model_type

@@ -87,6 +87,7 @@ class GRUDecoder(nn.Module):
     attn_type: str = "general"
     input_feed: bool = True
     dtype: Dtype = jnp.float32
+    unroll: int = 1
 
     def setup(self):
         self.ih_emb = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype)
@@ -133,6 +134,7 @@ class GRUDecoder(nn.Module):
                 split_rngs={"params": False, "dropout": True},
                 in_axes=1,
                 out_axes=1,
+                unroll=self.unroll,
             )
             _, top = scan(self.step, tuple(init_hs), emb_proj)
             attn_h, align = self.step.attn(top, memory, src_mask)
@@ -147,6 +149,7 @@ class GRUDecoder(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=1,
             out_axes=1,
+            unroll=self.unroll,
         )
         carry0 = self.init_carry(init_hs)
         _, (outs, aligns) = scan(self.step, carry0, emb_proj)

@@ -57,44 +57,54 @@ class GRUCell(nn.Module):
         return gru_gates(x_proj, h_proj, h)
 
 
-class _MaskedGRUScan(nn.Module):
-    """scan body: carry h over time with pad-masked updates."""
-
-    hidden: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, h, xs):
-        x_proj, m = xs  # (B, 3H), (B, 1)
-        h_new = GRUCell(self.hidden, self.dtype, name="cell")(h, x_proj)
-        h = jnp.where(m > 0, h_new, h)
-        return h, h
-
-
 class UniGRU(nn.Module):
-    """One direction, one layer. Returns (outputs (B,T,H), final (B,H))."""
+    """One direction, one layer. Returns (outputs (B,T,H), final (B,H)).
+
+    Two execution paths over the same parameters: a plain ``lax.scan``
+    (XLA), or — with ``use_pallas`` — the fused Pallas sequence kernel
+    (ops/pallas/gru.py, forward + custom-VJP backward) that keeps Wh/bh
+    resident in VMEM for the whole sequence (1.5-1.6x faster on v5e)."""
 
     hidden: int
     reverse: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
         B, T, _ = x.shape
+        H = self.hidden
         # hoisted input projection: one GEMM for all timesteps
-        x_proj = nn.Dense(3 * self.hidden, dtype=self.dtype, name="ih")(x)
-        m = mask[..., None].astype(x_proj.dtype)
-        scan = nn.scan(
-            _MaskedGRUScan,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-            reverse=self.reverse,
-        )(self.hidden, self.dtype, name="scan")
-        h0 = jnp.zeros((B, self.hidden), self.dtype)
-        final, outs = scan(h0, (x_proj, m))
-        return outs, final
+        x_proj = nn.Dense(3 * H, dtype=self.dtype, name="ih")(x)
+        wh = self.param("hh_kernel", nn.initializers.lecun_normal(), (H, 3 * H), jnp.float32)
+        bh = self.param("hh_bias", nn.initializers.zeros_init(), (3 * H,), jnp.float32)
+        h0 = jnp.zeros((B, H), self.dtype)
+
+        if self.use_pallas:
+            from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
+
+            interpret = jax.default_backend() != "tpu"
+            outs, final = gru_layer_scan_ad(
+                x_proj, mask, h0, wh.astype(self.dtype), bh, self.reverse, interpret
+            )
+            return outs.astype(self.dtype), final.astype(self.dtype)
+
+        wh = wh.astype(self.dtype)
+        bh = bh.astype(self.dtype)
+        m = mask.astype(self.dtype)
+
+        def step(h, xs):
+            xp_t, m_t = xs
+            h_new = gru_gates(xp_t, h @ wh + bh, h)
+            h = jnp.where(m_t[:, None] > 0, h_new, h)
+            return h, h
+
+        final, outs = jax.lax.scan(
+            step, h0, (x_proj.swapaxes(0, 1), m.swapaxes(0, 1)),
+            reverse=self.reverse, unroll=self.unroll,
+        )
+        return outs.swapaxes(0, 1), final
 
 
 class BiGRUEncoder(nn.Module):
@@ -107,6 +117,8 @@ class BiGRUEncoder(nn.Module):
     layers: int = 2
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(
@@ -120,8 +132,8 @@ class BiGRUEncoder(nn.Module):
         for layer in range(self.layers):
             if layer > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            fwd_out, fwd_fin = UniGRU(half, False, self.dtype, name=f"fwd{layer}")(x, mask)
-            bwd_out, bwd_fin = UniGRU(half, True, self.dtype, name=f"bwd{layer}")(x, mask)
+            fwd_out, fwd_fin = UniGRU(half, False, self.dtype, self.use_pallas, self.unroll, name=f"fwd{layer}")(x, mask)
+            bwd_out, bwd_fin = UniGRU(half, True, self.dtype, self.use_pallas, self.unroll, name=f"bwd{layer}")(x, mask)
             x = jnp.concatenate([fwd_out, bwd_out], axis=-1)
             finals.append(jnp.concatenate([fwd_fin, bwd_fin], axis=-1))
         return x, finals

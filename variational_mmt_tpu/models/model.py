@@ -56,11 +56,18 @@ class VMMTModel(nn.Module):
         self.dt = dt
         self.src_embed = nn.Embed(c.src_vocab_size, c.emb_dim, dtype=dt, name="src_embed")
         self.tgt_embed = nn.Embed(c.tgt_vocab_size, c.emb_dim, dtype=dt, name="tgt_embed")
-        self.encoder = BiGRUEncoder(c.hidden_dim, c.enc_layers, c.dropout, dt, name="encoder")
-        self.decoder = GRUDecoder(
-            c.hidden_dim, c.dec_layers, c.dropout, c.attn_type, c.input_feed, dt, name="decoder"
+        self.encoder = BiGRUEncoder(
+            c.hidden_dim, c.enc_layers, c.dropout, dt, c.use_pallas, c.scan_unroll,
+            name="encoder"
         )
-        self.generator = nn.Dense(c.tgt_vocab_size, dtype=jnp.float32, name="generator")
+        self.decoder = GRUDecoder(
+            c.hidden_dim, c.dec_layers, c.dropout, c.attn_type, c.input_feed, dt,
+            c.scan_unroll, name="decoder"
+        )
+        # generator GEMM in compute dtype (bf16 on MXU is ~several-fold
+        # faster than an f32 3-pass matmul); logits upcast to f32 for the
+        # softmax/CE which stay in f32
+        self.generator = nn.Dense(c.tgt_vocab_size, dtype=dt, name="generator")
         bridge_layers = []
         for l in range(c.dec_layers):
             bridge_layers.append(nn.Dense(c.hidden_dim, dtype=dt, name=f"bridge{l}"))
@@ -68,7 +75,10 @@ class VMMTModel(nn.Module):
 
         if self.is_latent:
             use_img = c.img_feat_dim > 0
-            self.tgt_encoder = BiGRUEncoder(c.hidden_dim, 1, c.dropout, dt, name="tgt_encoder")
+            self.tgt_encoder = BiGRUEncoder(
+                c.hidden_dim, 1, c.dropout, dt, c.use_pallas, c.scan_unroll,
+                name="tgt_encoder"
+            )
             self.infnet = InferenceNetwork(
                 c.latent_dim, c.hidden_dim, c.min_sigma, use_img, dt, name="infnet"
             )
@@ -148,7 +158,7 @@ class VMMTModel(nn.Module):
             emb, memory, src_mask, init_hs,
             deterministic=deterministic, extra_input_proj=self.z_extra_proj(z),
         )
-        logits = self.generator(outs.astype(jnp.float32))
+        logits = self.generator(outs).astype(jnp.float32)
         return logits, aligns
 
     def decode_step(self, carry, tok: jax.Array, memory, src_mask, z):
@@ -157,7 +167,7 @@ class VMMTModel(nn.Module):
         carry, (attn_h, align) = self.decoder.one_step(
             carry, emb, memory, src_mask, extra_input_proj=self.z_extra_proj(z)
         )
-        logits = self.generator(attn_h.astype(jnp.float32))
+        logits = self.generator(attn_h).astype(jnp.float32)
         return carry, logits, align
 
     def init_decode_carry(self, init_hs):

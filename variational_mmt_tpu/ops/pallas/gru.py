@@ -60,8 +60,13 @@ def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_sc
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    x_proj = x_ref[0]  # (B, 3H)
-    h_proj = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
+    x_proj = x_ref[0].astype(jnp.float32)  # (B, 3H); stream may be bf16
+    # MXU GEMM in the weights' dtype (bf16 stream = half the VMEM/HBM
+    # traffic), f32 accumulate; gate math stays f32
+    h_proj = (
+        jnp.dot(h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32)
+        + bh_ref[0]
+    )
     H = h.shape[-1]
     xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
     hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
@@ -89,15 +94,16 @@ def gru_layer_scan(
     reverse: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Forward-only fused scan. Returns (outputs (B, T, H), final (B, H));
-    matches models/gru.py UniGRU semantics 1:1."""
+    """Forward-only fused scan. Returns (outputs (B, T, H) float32, final
+    (B, H) float32); matches models/gru.py UniGRU semantics 1:1. bf16
+    x_proj/Wh inputs stream as bf16 (GEMMs on the MXU in bf16 with f32
+    accumulation); state and gate math are always f32."""
     B, T, H3 = x_proj.shape
     H = H3 // 3
     f32 = jnp.float32
-    xt = x_proj.astype(f32).swapaxes(0, 1)  # (T, B, 3H) time-major
+    xt = x_proj.swapaxes(0, 1)  # (T, B, 3H) time-major, native dtype
     mt = mask.astype(f32).swapaxes(0, 1)[:, None, :]  # (T, 1, B)
     h0 = h0.astype(f32)
-    Wh = Wh.astype(f32)
     bh2 = bh.astype(f32).reshape(1, H3)
 
     if reverse:
@@ -147,13 +153,17 @@ def _gru_bwd_kernel(
         dbh_scr[:] = jnp.zeros_like(dbh_scr)
 
     # grid step t processes the (T-1-t)-th step of forward processing order
-    h_prev = jnp.where(t == T - 1, h0_ref[:], prev_ref[0])
-    x_proj = x_ref[0]
+    h_prev = jnp.where(t == T - 1, h0_ref[:], prev_ref[0].astype(jnp.float32))
+    x_proj = x_ref[0].astype(jnp.float32)
     m = m_ref[0, 0, :][:, None]
     g = g_ref[0]
+    cdt = wh_ref.dtype  # MXU dtype follows the weights (bf16 or f32)
 
     # recompute forward gates (bias on the hidden side, cuDNN convention)
-    h_proj = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
+    h_proj = (
+        jnp.dot(h_prev.astype(cdt), wh_ref[:], preferred_element_type=jnp.float32)
+        + bh_ref[0]
+    )
     H = h_prev.shape[-1]
     xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
     hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
@@ -174,11 +184,15 @@ def _gru_bwd_kernel(
     dr_pre = dr * r * (1.0 - r)
     dh_proj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
     dx_proj = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-    dh_prev = dh_prev + jnp.dot(dh_proj, wh_ref[:].T, preferred_element_type=jnp.float32)
+    dh_prev = dh_prev + jnp.dot(
+        dh_proj.astype(cdt), wh_ref[:].T, preferred_element_type=jnp.float32
+    )
 
     dx_ref[0] = dx_proj
     dh_scr[:] = dh_prev
-    dwh_scr[:] = dwh_scr[:] + jnp.dot(h_prev.T, dh_proj, preferred_element_type=jnp.float32)
+    dwh_scr[:] = dwh_scr[:] + jnp.dot(
+        h_prev.astype(cdt).T, dh_proj.astype(cdt), preferred_element_type=jnp.float32
+    )
     dbh_scr[:] = dbh_scr[:] + dh_proj.sum(axis=0, keepdims=True)
 
     @pl.when(t == T - 1)
@@ -263,17 +277,23 @@ def _gru_ad_bwd(reverse, interpret, res, grads):
         idx = 0 if reverse else T - 1
         g = g.at[:, idx, :].add(g_fin.astype(f32))
     dx, dh0, dWh, dbh = _gru_scan_bwd_impl(
-        x_proj.astype(f32).swapaxes(0, 1),
+        x_proj.swapaxes(0, 1),  # native dtype; kernel upcasts on load
         mask.astype(f32).swapaxes(0, 1)[:, None, :],
         h0.astype(f32),
-        Wh.astype(f32),
+        Wh,  # native dtype: sets the MXU dtype inside the kernel
         bh.astype(f32).reshape(1, -1),
-        outs.astype(f32).swapaxes(0, 1),
+        outs.swapaxes(0, 1),
         g.swapaxes(0, 1),
         reverse,
         interpret,
     )
-    return dx.swapaxes(0, 1), None, dh0, dWh, dbh.reshape(-1)
+    return (
+        dx.swapaxes(0, 1).astype(x_proj.dtype),
+        None,
+        dh0.astype(h0.dtype),
+        dWh.astype(Wh.dtype),
+        dbh.reshape(-1).astype(bh.dtype),
+    )
 
 
 gru_layer_scan_ad.defvjp(_gru_ad_fwd, _gru_ad_bwd)
