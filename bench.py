@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeat bench runs on this host skip the ~3min
+# first-compile of the train step + pallas kernels
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 def main() -> None:
     from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
