@@ -50,7 +50,8 @@ def main() -> None:
             emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2,
             latent_dim=128, img_feat_dim=2048, dropout=0.3, word_dropout=0.1,
             compute_dtype="bfloat16" if on_tpu else "float32",
-            use_pallas=on_tpu,  # fused GRU encoder kernels (+17% step time)
+            use_pallas=on_tpu,  # fused GRU encoder kernels
+            scan_unroll=4 if on_tpu else 1,  # decoder loop unrolling
         ),
         train=TrainConfig(batch_size=B, learning_rate=4e-4),
     )

@@ -192,3 +192,31 @@ def test_use_pallas_model_equivalence():
     gp = jax.grad(lambda p: loss(m_p, p))(params)
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4)
+
+
+def test_checkpoint_compatible_across_paths(tmp_path):
+    """Params saved from the XLA-scan model load into the pallas model and
+    decode identically (same parameter tree either way)."""
+    from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig
+    from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+    from variational_mmt_tpu.decode.translator import Translator
+    from variational_mmt_tpu.models.model import build_model
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from variational_mmt_tpu.train.trainer import create_train_state
+
+    kw = dict(model_type="vmmt_f", src_vocab_size=24, tgt_vocab_size=24, emb_dim=8,
+              hidden_dim=16, enc_layers=1, dec_layers=1, latent_dim=4, img_feat_dim=8,
+              dropout=0.0, compute_dtype="float32")
+    cfg = Config(model=ModelConfig(**kw), decode=DecodeConfig(beam_size=2, max_length=8))
+    model_x = build_model(cfg.model)
+    state = create_train_state(cfg, model_x)
+    save_checkpoint(str(tmp_path), state, cfg, Vocab(list(SPECIALS) + [f"w{i}" for i in range(20)]),
+                    Vocab(list(SPECIALS) + [f"w{i}" for i in range(20)]), keep=1)
+    state2, cfg2, _, sv, tv = load_checkpoint(latest_checkpoint(str(tmp_path)))
+    model_p = build_model(ModelConfig(**kw, use_pallas=True))
+    import numpy as np
+
+    feats = np.ones((1, 8), np.float32)
+    out_x = Translator(model_x, state2.params, sv, tv, cfg.decode, buckets=[8]).translate_ids([[5, 6, 7]], feats)
+    out_p = Translator(model_p, state2.params, sv, tv, cfg.decode, buckets=[8]).translate_ids([[5, 6, 7]], feats)
+    assert [ids for _, ids in out_x[0]] == [ids for _, ids in out_p[0]]

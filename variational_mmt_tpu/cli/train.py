@@ -76,6 +76,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
     p.add_argument("-metrics_log", default="", help="JSONL scalar log path (ELBO decomposition)")
     p.add_argument("-profile_dir", default="", help="jax.profiler trace directory")
+    p.add_argument("-valid_bleu", type=int, default=0,
+                   help="1: also report greedy BLEU on the validation set at each validation")
 
 
 def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
@@ -199,8 +201,26 @@ def main(argv=None) -> None:
     from variational_mmt_tpu.utils.profiling import trace
 
     logger = MetricsLogger(opt.metrics_log) if opt.metrics_log else None
+
+    bleu_fn = None
+    if opt.valid_bleu and valid_ds is not None:
+        from variational_mmt_tpu.config import DecodeConfig
+        from variational_mmt_tpu.decode.translator import Translator
+        from variational_mmt_tpu.evals.bleu import corpus_bleu
+
+        greedy_cfg = DecodeConfig(beam_size=1, max_length=max(buckets), batch_size=opt.batch_size)
+        _translator = Translator(model, None, sv, tv, greedy_cfg, buckets=buckets)
+        _val_src = [list(map(int, s)) for s in valid_ds.src]
+        _val_refs = [tv.decode(t) for t in valid_ds.tgt]
+
+        def bleu_fn(state):
+            _translator.params = state.params
+            out = _translator.translate_ids(_val_src, valid_feats)
+            hyps = [tv.decode(nbest[0][1]) for nbest in out]
+            return corpus_bleu(hyps, [[r] for r in _val_refs])["bleu"]
+
     trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh,
-                      checkpoint_fn=ckpt_fn, metrics_logger=logger)
+                      checkpoint_fn=ckpt_fn, metrics_logger=logger, bleu_fn=bleu_fn)
 
     with trace(opt.profile_dir):
         if opt.train_from:

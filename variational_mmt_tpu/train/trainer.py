@@ -137,6 +137,7 @@ class Trainer:
         mesh=None,
         checkpoint_fn: Optional[Callable[[TrainState, int, Dict], None]] = None,
         metrics_logger=None,
+        bleu_fn: Optional[Callable[[TrainState], float]] = None,
     ):
         self.cfg = cfg
         self.model = model
@@ -148,6 +149,7 @@ class Trainer:
         self.scheduler = PlateauScheduler(cfg.train)
         self.checkpoint_fn = checkpoint_fn
         self.metrics_logger = metrics_logger
+        self.bleu_fn = bleu_fn
         self.history: list = []
 
     def _device_batches(self, it: Iterable) -> Iterable:
@@ -212,6 +214,9 @@ class Trainer:
             if self.valid_iter is not None and step % cfg.valid_every == 0:
                 flush()
                 val = self.validate(state)
+                if self.bleu_fn is not None:
+                    val["bleu"] = self.bleu_fn(state)
+                    print(f"validation greedy BLEU: {val['bleu']:.2f}")
                 new_lr = self.scheduler.update(val["ppl"], step, float(state.lr))
                 if new_lr != float(state.lr):
                     print(f"validation ppl {val['ppl']:.3f} plateau -> lr {new_lr:.2e}")
