@@ -44,6 +44,8 @@ def main():
         ("full + pallas + unroll4", dict(use_pallas=True, scan_unroll=4)),
         ("full + unroll4", dict(scan_unroll=4)),
         ("no input feed", dict(input_feed=False)),
+        ("fast: no-feed + pallas + unroll4",
+         dict(input_feed=False, use_pallas=True, scan_unroll=4)),
         ("nmt (no latent)", dict(model_type="nmt", use_img_predict=False)),
         ("enc_layers=1 dec_layers=1", dict(enc_layers=1, dec_layers=1)),
     ]

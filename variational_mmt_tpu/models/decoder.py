@@ -11,12 +11,15 @@ TPU-native version:
   hidden-to-hidden GEMMs recur;
 - the same ``DecoderStep`` module is reused for single-step calls by the
   on-device greedy/beam decoders, so train and decode share parameters by
-  construction.
+  construction;
+- with ``input_feed=False`` the recurrence has no attention feedback, so
+  each layer becomes an independent unidirectional GRU sequence — executed
+  per-layer either as a ``lax.scan`` or as the fused Pallas kernel
+  (ops/pallas/gru.py), with ONE batched attention call afterwards. This is
+  the TPU-fast configuration (the reference's StdRNNDecoder analogue).
 
 Carry = (per-layer hidden states, input-feed vector = previous attentional
-hidden). With ``input_feed=False`` the recurrence drops the feed projection
-and attention is computed for all steps in one batched call after the scan
-(a documented fast path the reference's StdRNNDecoder also had).
+hidden).
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from variational_mmt_tpu.models.attention import GlobalAttention
-from variational_mmt_tpu.models.gru import GRUCell
+from variational_mmt_tpu.models.gru import gru_gates
 
 Dtype = Any
 
@@ -38,7 +41,9 @@ DecoderCarry = Tuple[Tuple[jax.Array, ...], jax.Array]
 
 class DecoderStep(nn.Module):
     """One decoder timestep over the whole batch. Expects the embedding part
-    of the layer-0 input projection precomputed (``emb_proj``: (B, 3H))."""
+    of the layer-0 input projection precomputed (``emb_proj``: (B, 3H)).
+    Owns the recurrent weights as raw (H, 3H) params so the fused Pallas
+    sequence path can reuse the exact same parameter tree."""
 
     hidden: int
     layers: int = 2
@@ -48,7 +53,15 @@ class DecoderStep(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.cells = [GRUCell(self.hidden, self.dtype, name=f"cell{l}") for l in range(self.layers)]
+        H = self.hidden
+        self.hh_kernels = [
+            self.param(f"hh_kernel{l}", nn.initializers.lecun_normal(), (H, 3 * H), jnp.float32)
+            for l in range(self.layers)
+        ]
+        self.hh_biases = [
+            self.param(f"hh_bias{l}", nn.initializers.zeros_init(), (3 * H,), jnp.float32)
+            for l in range(self.layers)
+        ]
         if self.input_feed:
             self.ih_feed = nn.Dense(3 * self.hidden, use_bias=False, dtype=self.dtype)
         self.ih_mid = [
@@ -57,6 +70,11 @@ class DecoderStep(nn.Module):
         ]
         self.attn = GlobalAttention(self.hidden, self.attn_type, self.dtype)
         self.drop = nn.Dropout(self.dropout)
+
+    def cell(self, l: int, h: jax.Array, x_proj: jax.Array) -> jax.Array:
+        wh = self.hh_kernels[l].astype(self.dtype)
+        bh = self.hh_biases[l].astype(self.dtype)
+        return gru_gates(x_proj, h @ wh + bh, h)
 
     def __call__(
         self,
@@ -72,7 +90,7 @@ class DecoderStep(nn.Module):
             x_proj = x_proj + self.ih_feed(feed)
         new_hs: List[jax.Array] = []
         for l in range(self.layers):
-            h_new = self.cells[l](hs[l], x_proj)
+            h_new = self.cell(l, hs[l], x_proj)
             new_hs.append(h_new)
             if l + 1 < self.layers:
                 x_proj = self.ih_mid[l](self.drop(h_new, deterministic=deterministic))
@@ -88,6 +106,7 @@ class GRUDecoder(nn.Module):
     input_feed: bool = True
     dtype: Dtype = jnp.float32
     unroll: int = 1
+    use_pallas: bool = False
 
     def setup(self):
         self.ih_emb = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype)
@@ -111,32 +130,40 @@ class GRUDecoder(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         """Teacher-forced full sequence. Returns (attn hiddens (B,T,H),
         alignments (B,T,S))."""
+        B, T, _ = emb.shape
         emb_proj = self.ih_emb(emb)  # hoisted: one GEMM for all T
         if extra_input_proj is not None:
             emb_proj = emb_proj + extra_input_proj[:, None, :]
 
         if not self.input_feed:
-            # fast path: recurrence first, one batched attention after
-            def body(mod, carry, x_t):
-                hs = carry
-                x_proj, = (x_t,)
-                new_hs = []
-                for l in range(self.layers):
-                    h_new = mod.cells[l](hs[l], x_proj)
-                    new_hs.append(h_new)
-                    if l + 1 < self.layers:
-                        x_proj = mod.ih_mid[l](mod.drop(h_new, deterministic=deterministic))
-                return tuple(new_hs), new_hs[-1]
+            # fast path: per-layer recurrences, one batched attention after
+            x_proj = emb_proj
+            top = None
+            ones = jnp.ones((B, T), jnp.float32)
+            for l in range(self.layers):
+                wh = self.step.hh_kernels[l].astype(self.dtype)
+                bh = self.step.hh_biases[l].astype(self.dtype)
+                h0 = init_hs[l]
+                if self.use_pallas:
+                    from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
 
-            scan = nn.scan(
-                body,
-                variable_broadcast="params",
-                split_rngs={"params": False, "dropout": True},
-                in_axes=1,
-                out_axes=1,
-                unroll=self.unroll,
-            )
-            _, top = scan(self.step, tuple(init_hs), emb_proj)
+                    interpret = jax.default_backend() != "tpu"
+                    outs_l, _ = gru_layer_scan_ad(x_proj, ones, h0, wh, bh, False, interpret)
+                    outs_l = outs_l.astype(self.dtype)
+                else:
+                    def body(h, xp_t):
+                        h = gru_gates(xp_t, h @ wh + bh, h)
+                        return h, h
+
+                    _, outs_l = jax.lax.scan(
+                        body, h0, x_proj.swapaxes(0, 1), unroll=self.unroll
+                    )
+                    outs_l = outs_l.swapaxes(0, 1)
+                top = outs_l
+                if l + 1 < self.layers:
+                    x_proj = self.step.ih_mid[l](
+                        self.step.drop(outs_l, deterministic=deterministic)
+                    )
             attn_h, align = self.step.attn(top, memory, src_mask)
             return self.out_drop(attn_h, deterministic=deterministic), align
 
