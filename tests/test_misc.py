@@ -99,3 +99,44 @@ def test_statistics_math():
     s.merge(s2)
     assert s.n_words == 20 and s.accuracy() == 75.0
     assert "ppl" in s.scalars()
+
+
+def test_checkpoint_averaging(tmp_path):
+    """tools/average_checkpoints: averaged params = elementwise mean."""
+    import subprocess, sys, os
+    from variational_mmt_tpu.config import Config, ModelConfig
+    from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+    from variational_mmt_tpu.models.model import build_model
+    from variational_mmt_tpu.train.checkpoint import load_checkpoint, latest_checkpoint, save_checkpoint
+    from variational_mmt_tpu.train.trainer import create_train_state
+
+    cfg = Config(model=ModelConfig(
+        model_type="nmt", src_vocab_size=12, tgt_vocab_size=12, emb_dim=4,
+        hidden_dim=8, enc_layers=1, dec_layers=1, dropout=0.0,
+        compute_dtype="float32", img_feat_dim=0, use_img_predict=False))
+    model = build_model(cfg.model)
+    v = Vocab(list(SPECIALS) + [f"w{i}" for i in range(8)])
+    states = []
+    dirs = []
+    for i in range(2):
+        cfg.train.seed = i
+        st = create_train_state(cfg, model)
+        st = st.replace(step=jnp.int32(i))
+        d = str(tmp_path / f"ck{i}")
+        save_checkpoint(d, st, cfg, v, v, keep=0)
+        states.append(st)
+        dirs.append(latest_checkpoint(d))
+
+    out_dir = str(tmp_path / "avg")
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         "tools", "average_checkpoints.py"),
+         "-ckpts", *dirs, "-output", out_dir],
+        check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    st_avg, *_ = load_checkpoint(latest_checkpoint(out_dir))
+    import jax as _jax
+    for a, b, c in zip(_jax.tree.leaves(st_avg.params),
+                       _jax.tree.leaves(states[0].params),
+                       _jax.tree.leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), (np.asarray(b) + np.asarray(c)) / 2, rtol=1e-6, atol=1e-7)

@@ -54,19 +54,23 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
                 jnp.take_along_axis(logp_tok, tgt_out[..., None], axis=-1)[..., 0]
                 * tok_mask
             ).sum(axis=-1)
-            logw = ll_y + gaussian_log_prob(z, mu_p, sigma_p) - gaussian_log_prob(z, mu_q, sigma_q)
+            # text-only weight: p(y,z|x)/q(z) — a bound on log p(y|x)
+            logw_text = ll_y + gaussian_log_prob(z, mu_p, sigma_p) - gaussian_log_prob(z, mu_q, sigma_q)
+            logw_joint = logw_text
             if model.cfg.use_img_predict and img is not None:
                 v = img.mean(axis=1) if img.ndim == 3 else img
                 v_pred = m_apply(VMMTModel.predict_img, z)
-                logw = logw + gaussian_log_prob(v, v_pred, jnp.float32(1.0))
-            return logw  # (B,)
+                # joint weight adds p(v|z): a bound on log p(y,v|x)
+                logw_joint = logw_joint + gaussian_log_prob(v, v_pred, jnp.float32(1.0))
+            return jnp.stack([logw_joint, logw_text])  # (2, B)
 
         keys = jax.random.split(rng, k_samples)
-        logws = jax.lax.map(one_sample, keys)  # (K, B)
-        iw = jax.nn.logsumexp(logws, axis=0) - jnp.log(float(k_samples))  # (B,)
-        iw = iw * ex_mask
+        logws = jax.lax.map(one_sample, keys)  # (K, 2, B)
+        iw = jax.nn.logsumexp(logws, axis=0) - jnp.log(float(k_samples))  # (2, B)
+        iw = iw * ex_mask[None, :]
         return {
-            "iw_elbo_sum": iw.sum(),
+            "iw_elbo_sum": iw[0].sum(),  # joint bound (model comparison)
+            "iw_text_sum": iw[1].sum(),  # text-only bound (-> IW perplexity)
             "n_sents": ex_mask.sum(),
             "n_tokens": tok_mask.sum(),
         }
@@ -77,16 +81,18 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
 def iw_elbo_corpus(model, params, batches, k_samples: int, rng) -> Dict[str, float]:
     """Aggregate the IW bound over an iterator of device batches."""
     fn = jax.jit(make_iw_elbo_fn(model, k_samples))
-    tot, n_sent, n_tok = 0.0, 0.0, 0.0
+    tot, tot_text, n_sent, n_tok = 0.0, 0.0, 0.0, 0.0
     for i, batch in enumerate(batches):
         out = fn(params, batch, jax.random.fold_in(rng, i))
         tot += float(out["iw_elbo_sum"])
+        tot_text += float(out["iw_text_sum"])
         n_sent += float(out["n_sents"])
         n_tok += float(out["n_tokens"])
     import math
 
     return {
-        "iw_elbo_per_sent": tot / max(1.0, n_sent),
-        "iw_ppl": math.exp(min(-tot / max(1.0, n_tok), 100.0)),
+        "iw_elbo_per_sent": tot / max(1.0, n_sent),  # joint log p(y,v|x) bound
+        "iw_text_per_sent": tot_text / max(1.0, n_sent),  # log p(y|x) bound
+        "iw_ppl": math.exp(min(-tot_text / max(1.0, n_tok), 100.0)),
         "n_sents": n_sent,
     }
