@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # persistent compilation cache: repeated test runs skip recompiles
 import jax  # noqa: E402
 
+# the axon TPU plugin force-sets jax_platforms="axon,cpu" at import,
+# OVERRIDING the env var — pin it back to cpu-only explicitly, with 8
+# virtual devices for the data-parallel tests
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
