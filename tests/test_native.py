@@ -55,3 +55,47 @@ def test_native_conv_features(have_native):
     for a, b in zip(it_py.epoch(0), it_cc.epoch(0)):
         np.testing.assert_allclose(a.img, b.img)
         assert b.img.shape[1:] == (7, 16)
+
+
+def test_native_bpe_matches_python(have_native):
+    """C++ BPE segmentation is byte-identical to the Python implementation."""
+    import random
+    from variational_mmt_tpu.data.bpe import BPE, learn_bpe, remove_bpe
+
+    rng = random.Random(0)
+    words = ["lower", "lowest", "newer", "wider", "training", "trainer",
+             "außergewöhnlich", "straße", "naïve", "mädchen", "日本語"]
+    corpus = [[rng.choice(words) for _ in range(8)] for _ in range(200)]
+    merges = learn_bpe(corpus, num_merges=80, min_freq=2)
+    py = BPE(merges, use_native=False)
+    cc = BPE(merges, use_native=True)
+    assert cc._native is not None, "native BPE did not load"
+    test_words = words + ["unseen", "wördxyz", "a", "", "ab"]
+    for w in test_words:
+        assert py.segment_word(w) == cc.segment_word(w), w
+        if w:
+            assert remove_bpe(cc.segment_word(w)) == [w]
+
+
+def test_native_bpe_speed(have_native):
+    """Native segmenter should not be slower than Python (uncached words)."""
+    import time
+    from variational_mmt_tpu.data.bpe import BPE, learn_bpe
+
+    corpus = [[f"w{i}x{j}" for j in range(20)] for i in range(100)]
+    merges = learn_bpe(corpus, num_merges=100, min_freq=1)
+    words = [f"w{i}x{j}q" for i in range(200) for j in range(20)]
+
+    py = BPE(merges, use_native=False)
+    t0 = time.perf_counter()
+    for w in words:
+        py._cache.clear() or py.segment_word(w)
+    t_py = time.perf_counter() - t0
+
+    cc = BPE(merges, use_native=True)
+    t0 = time.perf_counter()
+    for w in words:
+        cc._cache.clear() or cc.segment_word(w)
+    t_cc = time.perf_counter() - t0
+    # informational bound: native must be at least ~as fast
+    assert t_cc < t_py * 1.5, (t_cc, t_py)

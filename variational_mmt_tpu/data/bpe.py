@@ -76,12 +76,23 @@ def _merge_word(word: Tuple[str, ...], pair: Tuple[str, str], new_sym: str) -> T
 
 
 class BPE:
-    """Apply learned merges to tokenized text."""
+    """Apply learned merges to tokenized text. Uses the C++ segmenter
+    (native/bpe.cpp, byte-identical) when the native library is available;
+    falls back to the pure-Python loop."""
 
-    def __init__(self, merges: Sequence[Tuple[str, str]]):
+    def __init__(self, merges: Sequence[Tuple[str, str]], use_native: bool = True):
         self.merges = list(merges)
         self.ranks = {pair: i for i, pair in enumerate(merges)}
         self._cache: Dict[str, List[str]] = {}
+        self._native = None
+        if use_native:
+            try:
+                from variational_mmt_tpu import native
+
+                if native.available():
+                    self._native = native.NativeBPE(self.merges)
+            except Exception:
+                self._native = None
 
     def segment_word(self, word: str) -> List[str]:
         if not word:
@@ -89,6 +100,10 @@ class BPE:
         hit = self._cache.get(word)
         if hit is not None:
             return hit
+        if self._native is not None:
+            out = self._native.segment_word(word)
+            self._cache[word] = out
+            return out
         symbols = list(word[:-1]) + [word[-1] + EOW]
         while len(symbols) > 1:
             ranked = [

@@ -20,25 +20,23 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "batcher.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "batcher.cpp"),
+    os.path.join(os.path.dirname(__file__), "bpe.cpp"),
+]
 
 
 def _build(out_path: str) -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", out_path],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        try:  # -march=native may be unsupported in some sandboxes
+    for extra in (["-march=native"], []):  # -march may be unsupported
+        try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", out_path],
+                ["g++", "-O3", *extra, "-shared", "-fPIC", *_SRCS, "-o", out_path],
                 check=True, capture_output=True, timeout=120,
             )
             return True
         except Exception:
-            return False
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -50,14 +48,22 @@ def _load() -> Optional[ctypes.CDLL]:
         os.path.join(os.path.dirname(__file__), "_native_batcher.so"),
         os.path.join(tempfile.gettempdir(), "vmmt_native_batcher.so"),
     ]
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
     for path in candidates:
-        if not os.path.exists(path) or os.path.getmtime(path) < os.path.getmtime(_SRC):
+        if not os.path.exists(path) or os.path.getmtime(path) < newest_src:
             if not _build(path):
                 continue
         try:
             lib = ctypes.CDLL(path)
             lib.assemble_batch.restype = None
             lib.gather_rows_f32.restype = None
+            lib.bpe_create.restype = ctypes.c_void_p
+            lib.bpe_create.argtypes = [ctypes.c_char_p]
+            lib.bpe_free.argtypes = [ctypes.c_void_p]
+            lib.bpe_segment.restype = ctypes.c_int64
+            lib.bpe_segment.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ]
             _LIB = lib
             return _LIB
         except OSError:
@@ -121,3 +127,31 @@ def gather_rows(feats: np.ndarray, indices: np.ndarray, mask: np.ndarray) -> np.
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+class NativeBPE:
+    """C++ BPE segmenter handle (byte-identical to data/bpe.py:BPE)."""
+
+    def __init__(self, merges):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        txt = "\n".join(f"{a} {b}" for a, b in merges) + "\n"
+        self._h = lib.bpe_create(txt.encode("utf-8"))
+        self._buf = ctypes.create_string_buffer(4096)
+
+    def segment_word(self, word: str):
+        n = self._lib.bpe_segment(self._h, word.encode("utf-8"), self._buf, len(self._buf))
+        if n < 0:  # pathological word longer than the buffer
+            self._buf = ctypes.create_string_buffer(4 * len(self._buf))
+            return self.segment_word(word)
+        if n == 0:
+            return []
+        return self._buf.value.decode("utf-8").split(" ")
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_h", None)
+        if lib is not None and h:
+            lib.bpe_free(h)
