@@ -144,3 +144,25 @@ def test_grad_clipping_applied():
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p0))
     )
     assert max_delta < 1e-4
+
+
+def test_grad_accumulation_matches_full_batch():
+    """grad_accum=2 over a 16-batch == single step over the same batch
+    (equal-size micros; dropout off so the math is deterministic)."""
+    batch = make_batch(B=16)
+    # nmt (no latent): exact equality (latent sampling uses per-micro keys)
+    cfg_n = tiny_cfg("nmt")
+    cfg_n.model.dropout = 0.0
+    cfg_n.model.word_dropout = 0.0
+    cfg_n2 = tiny_cfg("nmt", grad_accum=2)
+    cfg_n2.model.dropout = 0.0
+    cfg_n2.model.word_dropout = 0.0
+    m = build_model(cfg_n.model)
+    sa = create_train_state(cfg_n, m)
+    sb = create_train_state(cfg_n2, m)
+    sa2, ma = make_train_step(cfg_n, m)(sa, batch)
+    sb2, mb = make_train_step(cfg_n2, m)(sb, batch)
+    np.testing.assert_allclose(float(ma["ce_sum"]), float(mb["ce_sum"]), rtol=1e-5)
+    assert float(mb["n_tokens"]) == float(ma["n_tokens"])
+    for a, b in zip(jax.tree.leaves(sa2.params), jax.tree.leaves(sb2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

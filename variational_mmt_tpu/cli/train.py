@@ -54,6 +54,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="JSON Config file; explicit CLI flags override it")
     # optimization
     p.add_argument("-batch_size", type=int, default=64)
+    p.add_argument("-grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer step (activation-memory scaling)")
     p.add_argument("-max_steps", type=int, default=20000)
     p.add_argument("-epochs", type=int, default=0)
     p.add_argument("-optim", default="adam", choices=["adam", "sgd", "adadelta"])
@@ -107,6 +109,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
         train=TrainConfig(
             seed=opt.seed,
             batch_size=opt.batch_size,
+            grad_accum=opt.grad_accum,
             max_steps=opt.max_steps,
             epochs=opt.epochs,
             optimizer=opt.optim,

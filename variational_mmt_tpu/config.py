@@ -85,6 +85,10 @@ class TrainConfig:
     kl_anneal_start: int = 0
     kl_free_bits: float = 0.0  # per-dim free bits (posterior-collapse guard)
 
+    # --- scaling ---
+    grad_accum: int = 1  # micro-batches per optimizer step (effective batch
+    # = batch_size; each micro sees batch_size // grad_accum examples)
+
     # --- loop mechanics ---
     report_every: int = 50
     valid_every: int = 500

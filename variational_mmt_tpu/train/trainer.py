@@ -59,24 +59,52 @@ def make_train_step(
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     tx = make_optimizer(cfg.train)
 
+    accum = max(1, cfg.train.grad_accum)
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         key = step_key(state.rng, state.step)
-        kd, kl_, kw = jax.random.split(key, 3)
-        rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
-        img = batch.get("img")
 
-        def loss_fn(params):
+        def loss_fn(params, micro, key):
+            kd, kl_, kw = jax.random.split(key, 3)
+            rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
+            img = micro.get("img")
             out = model.apply(
                 {"params": params},
-                batch["src"], batch["tgt_in"], img,
+                micro["src"], micro["tgt_in"], img,
                 deterministic=False, sample=True, rngs=rngs,
             )
             return compute_loss(
-                out, batch["tgt_out"], batch["example_mask"], img,
+                out, micro["tgt_out"], micro["example_mask"], img,
                 cfg.model, cfg.train, state.step,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+        else:
+            # gradient accumulation: split the global batch into `accum`
+            # micro-batches and lax.scan the grad computation (sequential,
+            # activation memory = one micro-batch). Grads are averaged over
+            # micros — exact when micros hold equal example counts.
+            micros = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch
+            )
+
+            def micro_step(acc, xs):
+                micro, k = xs
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params, micro, k)
+                acc = jax.tree.map(jnp.add, acc, g)
+                return acc, m
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            keys = jax.random.split(key, accum)
+            grads_sum, metrics_all = jax.lax.scan(micro_step, zero, (micros, keys))
+            grads = jax.tree.map(lambda g: g / accum, grads_sum)
+            # metric SUMS add across micros; scalar diagnostics take the mean
+            metrics = jax.tree.map(lambda m: m.sum(axis=0), metrics_all)
+            for k_ in ("beta", "loss"):
+                metrics[k_] = metrics[k_] / accum
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
