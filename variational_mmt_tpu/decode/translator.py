@@ -42,10 +42,12 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
         carry0 = (tuple(init_hs), jnp.zeros_like(init_hs[-1]))
         track_attn = dcfg.replace_unk
 
+        keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)
+
         if K == 1 and not track_attn:
             def step1(carry, toks):
                 carry, logits, _ = model.apply(
-                    {"params": params}, carry, toks, memory, src_mask, z,
+                    {"params": params}, carry, toks, memory, src_mask, z, keys,
                     method=VMMTModel.decode_step,
                 )
                 return carry, jax.nn.log_softmax(logits, axis=-1)
@@ -58,10 +60,11 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
         mem_t = jnp.repeat(memory, K, axis=0)
         mask_t = jnp.repeat(src_mask, K, axis=0)
         z_t = jnp.repeat(z, K, axis=0) if z is not None else None
+        keys_t = jnp.repeat(keys, K, axis=0)
 
         def step(carry, toks):
             carry, logits, align = model.apply(
-                {"params": params}, carry, toks, mem_t, mask_t, z_t,
+                {"params": params}, carry, toks, mem_t, mask_t, z_t, keys_t,
                 method=VMMTModel.decode_step,
             )
             logp = jax.nn.log_softmax(logits, axis=-1)

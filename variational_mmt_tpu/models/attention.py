@@ -37,9 +37,24 @@ class GlobalAttention(nn.Module):
             self.hidden, use_bias=(self.attn_type == "mlp"), dtype=self.dtype
         )
 
-    def scores(self, query: jax.Array, memory: jax.Array) -> jax.Array:
+    def project_memory(self, memory: jax.Array) -> jax.Array:
+        """Pre-apply the query projection to the (loop-invariant) memory:
+        scores = (q Wq) m^T == q (m Wq^T)^T, so keys = m @ Wq^T can be
+        computed ONCE per sequence instead of projecting q every decode
+        step. Only meaningful for 'general'; identity otherwise."""
+        if self.attn_type != "general":
+            return memory
+        if self.is_initializing():
+            # materialize linear_in's params (lazy Dense) during init
+            self.linear_in(memory[:, :1])
+        kernel = self.linear_in.variables["params"]["kernel"]
+        return memory @ kernel.T.astype(memory.dtype)
+
+    def scores(self, query: jax.Array, memory: jax.Array, keys=None) -> jax.Array:
         """query (B,T,H), memory (B,S,H) -> (B,T,S)."""
         if self.attn_type in ("general", "dot"):
+            if keys is not None:
+                return jnp.einsum("bth,bsh->bts", query, keys)
             q = self.linear_in(query) if self.attn_type == "general" else query
             return jnp.einsum("bth,bsh->bts", q, memory)
         # mlp (Bahdanau): v^T tanh(Wq q + Wk m)
@@ -48,15 +63,16 @@ class GlobalAttention(nn.Module):
         return self.v(jnp.tanh(q + k)).squeeze(-1)
 
     def __call__(
-        self, query: jax.Array, memory: jax.Array, src_mask: jax.Array
+        self, query: jax.Array, memory: jax.Array, src_mask: jax.Array, keys=None
     ) -> Tuple[jax.Array, jax.Array]:
         """query (B,H) or (B,T,H); memory (B,S,H); src_mask (B,S) 1=real.
+        ``keys``: optional pre-projected memory from :meth:`project_memory`.
 
         Returns (attn_hidden same leading shape as query, align weights)."""
         single = query.ndim == 2
         if single:
             query = query[:, None, :]
-        align = self.scores(query, memory).astype(jnp.float32)
+        align = self.scores(query, memory, keys).astype(jnp.float32)
         align = jnp.where(src_mask[:, None, :] > 0, align, NEG_INF)
         align = jax.nn.softmax(align, axis=-1).astype(memory.dtype)
         ctx = jnp.einsum("bts,bsh->bth", align, memory)

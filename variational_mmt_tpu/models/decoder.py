@@ -83,6 +83,7 @@ class DecoderStep(nn.Module):
         memory: jax.Array,
         src_mask: jax.Array,
         deterministic: bool = True,
+        keys: jax.Array = None,
     ):
         hs, feed = carry
         x_proj = emb_proj
@@ -94,7 +95,7 @@ class DecoderStep(nn.Module):
             new_hs.append(h_new)
             if l + 1 < self.layers:
                 x_proj = self.ih_mid[l](self.drop(h_new, deterministic=deterministic))
-        attn_h, align = self.attn(new_hs[-1], memory, src_mask)
+        attn_h, align = self.attn(new_hs[-1], memory, src_mask, keys=keys)
         return (tuple(new_hs), attn_h), (attn_h, align)
 
 
@@ -167,8 +168,13 @@ class GRUDecoder(nn.Module):
             attn_h, align = self.step.attn(top, memory, src_mask)
             return self.out_drop(attn_h, deterministic=deterministic), align
 
+        # hoist the loop-invariant attention memory projection out of the
+        # scan: scores = (q Wq) m^T == q (m Wq^T)^T  (one GEMM per sequence
+        # instead of one per step)
+        keys = self.step.attn.project_memory(memory)
+
         def body(mod, carry, x_t):
-            return mod(carry, x_t, memory, src_mask, deterministic)
+            return mod(carry, x_t, memory, src_mask, deterministic, keys)
 
         scan = nn.scan(
             body,
@@ -182,6 +188,11 @@ class GRUDecoder(nn.Module):
         _, (outs, aligns) = scan(self.step, carry0, emb_proj)
         return self.out_drop(outs, deterministic=deterministic), aligns
 
+    def project_memory(self, memory: jax.Array) -> jax.Array:
+        """Pre-projected attention keys for repeated one_step decoding
+        (compute once per sequence, pass to every one_step call)."""
+        return self.step.attn.project_memory(memory)
+
     def one_step(
         self,
         carry: DecoderCarry,
@@ -189,10 +200,11 @@ class GRUDecoder(nn.Module):
         memory: jax.Array,
         src_mask: jax.Array,
         extra_input_proj: jax.Array = None,
+        keys: jax.Array = None,
     ):
         """Single decode step (greedy/beam). Deterministic (inference)."""
         emb_proj = self.ih_emb(tok_emb)
         if extra_input_proj is not None:
             emb_proj = emb_proj + extra_input_proj
-        new_carry, (attn_h, align) = self.step(carry, emb_proj, memory, src_mask, True)
+        new_carry, (attn_h, align) = self.step(carry, emb_proj, memory, src_mask, True, keys)
         return new_carry, (attn_h, align)

@@ -161,14 +161,20 @@ class VMMTModel(nn.Module):
         logits = self.generator(outs).astype(jnp.float32)
         return logits, aligns
 
-    def decode_step(self, carry, tok: jax.Array, memory, src_mask, z):
-        """One inference step: tok (B,) int32 -> (carry, logits (B,V))."""
+    def decode_step(self, carry, tok: jax.Array, memory, src_mask, z, keys=None):
+        """One inference step: tok (B,) int32 -> (carry, logits (B,V)).
+        ``keys``: optional pre-projected attention memory
+        (:meth:`project_memory`, compute once per sequence)."""
         emb = self.tgt_embed(tok)
         carry, (attn_h, align) = self.decoder.one_step(
-            carry, emb, memory, src_mask, extra_input_proj=self.z_extra_proj(z)
+            carry, emb, memory, src_mask,
+            extra_input_proj=self.z_extra_proj(z), keys=keys,
         )
         logits = self.generator(attn_h).astype(jnp.float32)
         return carry, logits, align
+
+    def project_memory(self, memory):
+        return self.decoder.project_memory(memory)
 
     def init_decode_carry(self, init_hs):
         return self.decoder.init_carry(init_hs)
