@@ -36,7 +36,6 @@ class ModelConfig:
     word_dropout: float = 0.0  # replace tgt-input tokens by <unk> (VI trick)
     input_feed: bool = True
     attn_type: str = "general"  # Luong global attention variant
-    bridge: str = "tanh"  # enc final state -> dec init state projection
 
     # --- latent variable machinery (SURVEY.md §2.1 #10) ---
     latent_dim: int = 128
@@ -49,8 +48,7 @@ class ModelConfig:
     min_sigma: float = 1e-3  # numerical floor on predicted std-devs
 
     # --- TPU-specific ---
-    compute_dtype: str = "bfloat16"  # activations/matmuls on MXU
-    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
     use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
     scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
 
@@ -122,7 +120,6 @@ class DataConfig:
     share_vocab: bool = False
     # bucket boundaries: examples padded to the smallest bucket >= max(len)
     buckets: List[int] = field(default_factory=lambda: [16, 24, 32, 48, 64])
-    shuffle_buffer: int = 100000
 
 
 @dataclass
