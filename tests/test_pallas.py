@@ -220,3 +220,20 @@ def test_checkpoint_compatible_across_paths(tmp_path):
     out_x = Translator(model_x, state2.params, sv, tv, cfg.decode, buckets=[8]).translate_ids([[5, 6, 7]], feats)
     out_p = Translator(model_p, state2.params, sv, tv, cfg.decode, buckets=[8]).translate_ids([[5, 6, 7]], feats)
     assert [ids for _, ids in out_x[0]] == [ids for _, ids in out_p[0]]
+
+
+def test_gru_kernel_batch_chunking():
+    """Large batches are split into VMEM-sized row chunks transparently."""
+    from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan
+
+    B, T, H = 20, 4, 8
+    rng = np.random.default_rng(5)
+    xp = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    m = jnp.ones((B, T))
+    h0 = jnp.zeros((B, H))
+    Wh = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.3, jnp.float32)
+    bh = jnp.zeros(3 * H)
+    full = gru_layer_scan(xp, m, h0, Wh, bh, False, True)
+    chunked = gru_layer_scan(xp, m, h0, Wh, bh, False, True, row_chunk=8)
+    np.testing.assert_allclose(np.asarray(chunked[0]), np.asarray(full[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked[1]), np.asarray(full[1]), rtol=1e-6)

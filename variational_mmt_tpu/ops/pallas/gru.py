@@ -84,7 +84,15 @@ def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_sc
         fin_ref[:] = h_new
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
+def _max_rows(H: int) -> int:
+    """Batch rows per kernel invocation so all VMEM-resident blocks fit
+    (~72H f32 bytes/row across fwd+bwd double-buffered streams, 12MB
+    budget of the ~16MB VMEM)."""
+    rows = (12 * 1024 * 1024) // (72 * max(H, 1))
+    return max(64, (rows // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "row_chunk"))
 def gru_layer_scan(
     x_proj: jax.Array,  # (B, T, 3H) precomputed input projections
     mask: jax.Array,  # (B, T)
@@ -93,13 +101,28 @@ def gru_layer_scan(
     bh: jax.Array,  # (3H,)
     reverse: bool = False,
     interpret: bool = False,
+    row_chunk: int = 0,  # 0 = auto (VMEM heuristic); tests override
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward-only fused scan. Returns (outputs (B, T, H) float32, final
     (B, H) float32); matches models/gru.py UniGRU semantics 1:1. bf16
     x_proj/Wh inputs stream as bf16 (GEMMs on the MXU in bf16 with f32
-    accumulation); state and gate math are always f32."""
+    accumulation); state and gate math are always f32. Large batches are
+    processed in VMEM-sized chunks (rows are independent)."""
     B, T, H3 = x_proj.shape
     H = H3 // 3
+    chunk = row_chunk or _max_rows(H)
+    if B > chunk:
+        n = (B + chunk - 1) // chunk
+        outs_parts, fin_parts = [], []
+        for i in range(n):
+            s = slice(i * chunk, min((i + 1) * chunk, B))
+            o, f = gru_layer_scan(
+                x_proj[s], mask[s], h0[s], Wh, bh, reverse=reverse,
+                interpret=interpret, row_chunk=row_chunk,
+            )
+            outs_parts.append(o)
+            fin_parts.append(f)
+        return jnp.concatenate(outs_parts, 0), jnp.concatenate(fin_parts, 0)
     f32 = jnp.float32
     xt = x_proj.swapaxes(0, 1)  # (T, B, 3H) time-major, native dtype
     mt = mask.astype(f32).swapaxes(0, 1)[:, None, :]  # (T, 1, B)
@@ -204,10 +227,25 @@ def _gru_bwd_kernel(
 
 def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
     """All sequence args time-major (T, B, .). Returns (dx_proj (T,B,3H),
-    dh0, dWh, dbh)."""
+    dh0, dWh, dbh). Large batches chunked like the forward."""
     T, B, H3 = x_proj.shape
     H = H3 // 3
     f32 = jnp.float32
+    chunk = _max_rows(H)
+    if B > chunk:
+        n = (B + chunk - 1) // chunk
+        dx_p, dh0_p, dWh_acc, dbh_acc = [], [], None, None
+        for i in range(n):
+            s = slice(i * chunk, min((i + 1) * chunk, B))
+            dx, dh0_c, dWh_c, dbh_c = _gru_scan_bwd_impl(
+                x_proj[:, s], mask[:, :, s], h0[s], Wh, bh, outs[:, s], g[:, s],
+                reverse, interpret,
+            )
+            dx_p.append(dx)
+            dh0_p.append(dh0_c)
+            dWh_acc = dWh_c if dWh_acc is None else dWh_acc + dWh_c
+            dbh_acc = dbh_c if dbh_acc is None else dbh_acc + dbh_c
+        return (jnp.concatenate(dx_p, 1), jnp.concatenate(dh0_p, 0), dWh_acc, dbh_acc)
 
     if reverse:
         # forward processed time T-1 .. 0; backward revisits 0 .. T-1
