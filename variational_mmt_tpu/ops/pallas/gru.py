@@ -85,10 +85,12 @@ def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_sc
 
 
 def _max_rows(H: int) -> int:
-    """Batch rows per kernel invocation so all VMEM-resident blocks fit
-    (~72H f32 bytes/row across fwd+bwd double-buffered streams, 12MB
-    budget of the ~16MB VMEM)."""
-    rows = (12 * 1024 * 1024) // (72 * max(H, 1))
+    """Batch rows per kernel invocation so all VMEM-resident blocks fit.
+    The bwd kernel allocates ~28H bytes/row of streamed blocks per buffer
+    (x bf16 + outs/prev/g/dx f32), double-buffered by the pipeline; a 6MB
+    budget keeps the measured peak (~19.4M at 696 rows, H=250) under the
+    16MB VMEM limit with headroom for weights and scratch."""
+    rows = (6 * 1024 * 1024) // (72 * max(H, 1))
     return max(64, (rows // 8) * 8)
 
 
