@@ -140,3 +140,10 @@ def test_checkpoint_averaging(tmp_path):
                        _jax.tree.leaves(states[0].params),
                        _jax.tree.leaves(states[1].params)):
         np.testing.assert_allclose(np.asarray(a), (np.asarray(b) + np.asarray(c)) / 2, rtol=1e-6, atol=1e-7)
+
+
+def test_update_config_bool_strings():
+    cfg = Config()
+    update_config(cfg, {"model.input_feed": "False", "model.use_pallas": "true"})
+    assert cfg.model.input_feed is False
+    assert cfg.model.use_pallas is True

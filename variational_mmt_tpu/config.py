@@ -187,7 +187,10 @@ def update_config(cfg, dotted: Dict[str, Any]):
         if not hasattr(obj, name):
             raise KeyError(f"unknown config key: {key}")
         current = getattr(obj, name)
-        if current is not None and not isinstance(current, (list, dict)):
+        if isinstance(current, bool) and isinstance(value, str):
+            # bool("False") is True — parse common spellings explicitly
+            value = value.strip().lower() in ("1", "true", "yes", "on")
+        elif current is not None and not isinstance(current, (list, dict)):
             value = type(current)(value) if not isinstance(value, type(current)) else value
         setattr(obj, name, value)
     return cfg
