@@ -225,3 +225,35 @@ def test_conv_features_accepted():
         img, deterministic=True, sample=False,
     )
     assert out["logits"].shape[-1] == cfg.tgt_vocab_size
+
+
+def test_fused_decoder_equivalence():
+    """Custom-VJP fused decoder scan == generic nn.scan path: exact forward,
+    grads to float noise (models/fused_decoder.py)."""
+    from variational_mmt_tpu.config import Config
+    from variational_mmt_tpu.train.loss import compute_loss
+
+    kw = dict(model_type="vmmt_c", src_vocab_size=30, tgt_vocab_size=30, emb_dim=8,
+              hidden_dim=16, enc_layers=1, dec_layers=2, latent_dim=4, img_feat_dim=8,
+              dropout=0.0, word_dropout=0.0, compute_dtype="float32")
+    m_gen = build_model(ModelConfig(**kw, fused_decoder=False))
+    m_fus = build_model(ModelConfig(**kw, fused_decoder=True))
+    params = init_params(m_gen, jax.random.PRNGKey(0))
+    src = jnp.array([[4, 5, 6, 0], [7, 8, 9, 9]], jnp.int32)
+    tgt_in = jnp.array([[2, 9, 10, 11], [2, 11, 4, 5]], jnp.int32)
+    tgt_out = jnp.array([[9, 10, 3, 0], [11, 3, 0, 0]], jnp.int32)
+    img = jnp.ones((2, 8), jnp.float32)
+    cfg = Config()
+
+    def loss(model, p):
+        out = model.apply({"params": p}, src, tgt_in, img, deterministic=True, sample=False)
+        l, _ = compute_loss(out, tgt_out, jnp.ones(2), img, model.cfg, cfg.train, jnp.int32(0))
+        return l
+
+    fg = jax.jit(lambda p: loss(m_gen, p))
+    ff = jax.jit(lambda p: loss(m_fus, p))
+    np.testing.assert_allclose(float(fg(params)), float(ff(params)), rtol=1e-6)
+    gg = jax.jit(jax.grad(fg))(params)
+    gf = jax.jit(jax.grad(ff))(params)
+    for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)

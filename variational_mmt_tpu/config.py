@@ -51,6 +51,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
     use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
     scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
+    fused_decoder: bool = False  # custom-VJP decoder scan with hoisted
+    # weight-grad einsums (2-layer general-attention input-feed only).
+    # Verified exact (grads to 6e-8) but measured NO speedup on v5e — XLA
+    # already optimizes the scan's weight-grad accumulation; kept as
+    # infrastructure for other shapes/hardware
 
     def validate(self) -> None:
         assert self.model_type in ("nmt", "vmmt_f", "vmmt_c"), self.model_type

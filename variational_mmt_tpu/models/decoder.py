@@ -108,6 +108,7 @@ class GRUDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     unroll: int = 1
     use_pallas: bool = False
+    fused: bool = False  # custom-VJP scan (models/fused_decoder.py) when eligible
 
     def setup(self):
         self.ih_emb = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype)
@@ -172,6 +173,41 @@ class GRUDecoder(nn.Module):
         # scan: scores = (q Wq) m^T == q (m Wq^T)^T  (one GEMM per sequence
         # instead of one per step)
         keys = self.step.attn.project_memory(memory)
+
+        use_fused = (
+            self.fused
+            and self.layers == 2
+            and self.attn_type == "general"
+            and not self.is_initializing()  # init uses the generic path so
+            # every lazily-created Dense param exists in the tree
+        )
+        if use_fused:
+            from variational_mmt_tpu.models.fused_decoder import fused_input_feed_decoder
+
+            step = self.step
+            p_feed = step.ih_feed.variables["params"]["kernel"].astype(self.dtype)
+            p_mid = step.ih_mid[0].variables["params"]
+            p_out = step.attn.linear_out.variables["params"]["kernel"].astype(self.dtype)
+            Wc_ctx, Wc_q = p_out[: self.hidden], p_out[self.hidden :]
+            mem_v = memory @ Wc_ctx
+            mask_bias = (1.0 - src_mask.astype(jnp.float32)) * -1e9
+            if deterministic or self.dropout == 0.0:
+                dmid = jnp.ones((B, T, self.hidden), self.dtype)
+            else:
+                keep = 1.0 - self.dropout
+                dmid = (
+                    jax.random.bernoulli(self.make_rng("dropout"), keep, (B, T, self.hidden))
+                    .astype(self.dtype) / keep
+                )
+            attn_hs, probs = fused_input_feed_decoder(
+                emb_proj, dmid, init_hs[0], init_hs[1],
+                p_feed,
+                step.hh_kernels[0].astype(self.dtype), step.hh_biases[0].astype(self.dtype),
+                p_mid["kernel"].astype(self.dtype), p_mid["bias"].astype(self.dtype),
+                step.hh_kernels[1].astype(self.dtype), step.hh_biases[1].astype(self.dtype),
+                keys, mem_v, Wc_q, mask_bias, self.unroll,
+            )
+            return self.out_drop(attn_hs, deterministic=deterministic), probs
 
         def body(mod, carry, x_t):
             return mod(carry, x_t, memory, src_mask, deterministic, keys)
