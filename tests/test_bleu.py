@@ -74,3 +74,39 @@ def test_meteor_sanity():
     ordered = meteor_score([["a", "b", "c", "d"]], [[["a", "b", "c", "d"]]])["meteor"]
     shuffled = meteor_score([["d", "c", "b", "a"]], [[["a", "b", "c", "d"]]])["meteor"]
     assert ordered > shuffled
+
+
+def test_porter_stemmer_golden():
+    from variational_mmt_tpu.evals.porter import stem
+
+    # classic Porter paper examples
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "valenci": "valenc",
+        "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope", "formaliti": "formal",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+        "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for word, want in cases.items():
+        assert stem(word) == want, (word, stem(word), want)
+
+
+def test_meteor_stem_matching():
+    from variational_mmt_tpu.evals.meteor import meteor_sentence
+
+    # "riding" vs "rides" only match via stems
+    exact0 = meteor_sentence(["he", "is", "riding"], [["he", "is", "rides"]])
+    assert exact0 > meteor_sentence(["he", "is", "xxxxx"], [["he", "is", "rides"]])

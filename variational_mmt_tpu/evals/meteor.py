@@ -1,27 +1,43 @@
-"""METEOR (exact-match variant).
+"""METEOR (exact + Porter-stem matchers).
 
 The reference reports METEOR via the external Java meteor-1.5 jar
 (SURVEY.md §2.1 #16), which this environment cannot ship. This implements
-the METEOR scoring formula (Lavie & Agarwal 2007) with the *exact* matcher
-only (no stemming/synonym/paraphrase tables): unigram precision/recall with
-recall-weighted harmonic mean and a fragmentation penalty over chunks.
-Scores correlate with but are not identical to meteor-1.5; BLEU is the
-parity gate (BASELINE.md), METEOR is supplementary.
+the METEOR scoring formula (Lavie & Agarwal 2007) with the exact and
+Porter-stem matcher stages (no WordNet synonym/paraphrase tables): unigram
+precision/recall with recall-weighted harmonic mean and a fragmentation
+penalty over chunks. Scores correlate with but are not identical to
+meteor-1.5; BLEU is the parity gate (BASELINE.md), METEOR is supplementary.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
+from variational_mmt_tpu.evals.porter import stem
+
 
 def _align(hyp: List[str], ref: List[str]):
-    """Greedy left-to-right exact alignment (position-monotone preference)."""
+    """Two-stage alignment (meteor module order): exact matches first, then
+    Porter-stem matches over the leftovers. Greedy left-to-right."""
     used_ref = [False] * len(ref)
+    used_hyp = [False] * len(hyp)
     matches = []  # (hyp_idx, ref_idx)
     for i, h in enumerate(hyp):
         for j, r in enumerate(ref):
             if not used_ref[j] and h == r:
                 used_ref[j] = True
+                used_hyp[i] = True
+                matches.append((i, j))
+                break
+    hyp_stems = [stem(h) for h in hyp]
+    ref_stems = [stem(r) for r in ref]
+    for i, hs in enumerate(hyp_stems):
+        if used_hyp[i]:
+            continue
+        for j, rs in enumerate(ref_stems):
+            if not used_ref[j] and hs == rs:
+                used_ref[j] = True
+                used_hyp[i] = True
                 matches.append((i, j))
                 break
     return matches
