@@ -157,3 +157,17 @@ def test_beam_attn_tracking():
                 break
             assert attn[0, k, t] == prev * 10 + (t + 1), (k, t, tokens[0, k], attn[0, k])
             prev = tok
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_beam_fuzz_vs_host_reference(seed):
+    """Fuzz: random Markov LMs, K=3, must match the exhaustive host beam."""
+    V, K, L, alpha = 9, 3, 7, 0.6
+    step_fn, table = toy_lm(V, seed=seed)
+    init_carry = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    tokens, scores = beam_search(step_fn, init_carry, 1, K, L, alpha=alpha)
+    want = host_beam(table, K, L, alpha)
+    got_best = [t for t in np.asarray(tokens)[0, 0].tolist() if t != PAD]
+    want_best = [t for t in want[0][1] if t != PAD]
+    assert got_best == want_best, (seed, got_best, want_best)
+    np.testing.assert_allclose(float(scores[0, 0]), want[0][0], rtol=1e-4)

@@ -27,17 +27,18 @@ def corpus(tmp_path_factory):
     np.save(d / "train.feats.npy", feats[:60])
     np.save(d / "valid.feats.npy", feats[60:70])
     np.save(d / "test.feats.npy", feats[70:])
-    return d
-
-
-def test_cli_chain(corpus, capsys):
-    d = str(corpus)
+    # preprocess once so every test (in any order) has the binarized data
     cli_pre.main([
         "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
         "-valid_src", f"{d}/valid.src", "-valid_tgt", f"{d}/valid.tgt",
         "-save_data", f"{d}/demo", "-bpe_merges", "30", "-pretokenized",
     ])
-    assert os.path.exists(f"{d}/demo.train.npz")
+    return d
+
+
+def test_cli_chain(corpus, capsys):
+    d = str(corpus)
+    assert os.path.exists(f"{d}/demo.train.npz")  # built by the fixture
 
     cli_train.main([
         "-data", f"{d}/demo", "-save_model", f"{d}/ckpts", "-model_type", "vmmt_f",
@@ -85,3 +86,39 @@ def test_cli_resume(corpus):
 
     state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{d}/ckpts"))
     assert int(state.step) == 8  # resumed 6 -> 8
+
+
+def test_cli_conv_features(corpus, tmp_path):
+    """Train + translate with conv (N,49,D) features through the CLIs."""
+    d = str(corpus)
+    conv = np.repeat(np.load(f"{d}/train.feats.npy")[:, None, :], 4, axis=1)
+    np.save(f"{tmp_path}/train.conv.npy", conv)
+    vconv = np.repeat(np.load(f"{d}/valid.feats.npy")[:, None, :], 4, axis=1)
+    np.save(f"{tmp_path}/valid.conv.npy", vconv)
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/ck", "-model_type", "vmmt_c",
+        "-train_img_feats", f"{tmp_path}/train.conv.npy",
+        "-valid_img_feats", f"{tmp_path}/valid.conv.npy", "-img_feat_dim", "16",
+        "-img_feat_type", "conv", "-word_vec_size", "16", "-rnn_size", "32",
+        "-enc_layers", "1", "-dec_layers", "1", "-z_latent_dim", "4",
+        "-batch_size", "16", "-max_steps", "4", "-report_every", "4",
+        "-valid_every", "100", "-checkpoint_every", "100", "-buckets", "16",
+        "-compute_dtype", "float32",
+    ])
+    import os as _os
+    assert _os.path.isdir(f"{tmp_path}/ck")
+
+
+def test_cli_epochs_flag(corpus, tmp_path):
+    """-epochs computes max_steps from the corpus size."""
+    d = str(corpus)
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/cke", "-model_type", "nmt",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-batch_size", "32", "-epochs", "2",
+        "-report_every", "2", "-valid_every", "100", "-checkpoint_every", "100",
+        "-buckets", "16", "-compute_dtype", "float32",
+    ])
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cke"))
+    assert int(state.step) == 2  # 60 examples // 32 batch = 1 step/epoch x 2

@@ -168,3 +168,15 @@ def test_grad_accumulation_matches_full_batch():
     assert float(mb["n_tokens"]) == float(ma["n_tokens"])
     for a, b in zip(jax.tree.leaves(sa2.params), jax.tree.leaves(sb2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_batch_size_mesh_divisibility_error():
+    from variational_mmt_tpu.train.trainer import Trainer
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+
+    cfg = tiny_cfg()
+    cfg.train.batch_size = 30  # not divisible by the 8-device mesh
+    ds = binarize([[4, 5]] * 10, [[6, 7]] * 10)
+    it = BucketIterator(ds, 30, [8])
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))

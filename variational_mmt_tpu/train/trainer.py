@@ -172,6 +172,13 @@ class Trainer:
         self.train_iter = train_iter
         self.valid_iter = valid_iter
         self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = int(self.mesh.devices.size)
+        if cfg.train.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size ({cfg.train.batch_size}) must be divisible by the "
+                f"number of data-parallel devices ({n_dev}); pick e.g. "
+                f"{(cfg.train.batch_size // n_dev + 1) * n_dev}"
+            )
         self.train_step = make_train_step(cfg, model, self.mesh)
         self.eval_step = make_eval_step(cfg, model, self.mesh)
         self.scheduler = PlateauScheduler(cfg.train)
