@@ -147,3 +147,34 @@ def test_update_config_bool_strings():
     update_config(cfg, {"model.input_feed": "False", "model.use_pallas": "true"})
     assert cfg.model.input_feed is False
     assert cfg.model.use_pallas is True
+
+
+def test_step_timer_and_trace_noop():
+    import time as _time
+    from variational_mmt_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer()
+    assert t.summary() == {}
+    for _ in range(5):
+        t.mark()
+        _time.sleep(0.001)
+    t.mark()
+    s = t.summary()
+    assert s["steps"] == 5 and s["mean_ms"] >= 1.0 and s["p99_ms"] >= s["p50_ms"]
+    with trace(None):  # no log dir -> pure no-op
+        pass
+
+
+def test_metrics_logger(tmp_path):
+    import json
+    from variational_mmt_tpu.utils.metrics_log import MetricsLogger
+
+    p = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(p)
+    log.log(10, {"ppl": 3.5}, prefix="train")
+    log.log(20, {"bleu": 30.0})
+    log.close()
+    recs = [json.loads(l) for l in open(p)]
+    assert recs[0]["train/ppl"] == 3.5 and recs[0]["step"] == 10
+    assert recs[1]["bleu"] == 30.0
+    MetricsLogger(None).log(1, {"x": 1.0})  # disabled logger is a no-op
