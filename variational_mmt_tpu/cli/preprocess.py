@@ -54,6 +54,9 @@ def read_corpus(path: str, pretokenized: bool, lower: bool) -> List[List[str]]:
 
 
 def main(argv=None) -> None:
+    from variational_mmt_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     p = argparse.ArgumentParser("vmmt-tpu preprocess")
     add_args(p)
     opt = p.parse_args(argv)

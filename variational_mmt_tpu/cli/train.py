@@ -133,6 +133,9 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
 
 
 def main(argv=None) -> None:
+    from variational_mmt_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     p = argparse.ArgumentParser("vmmt-tpu train")
     add_args(p)
     opt = p.parse_args(argv)

@@ -50,6 +50,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
 
 
 def main(argv=None) -> None:
+    from variational_mmt_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     p = argparse.ArgumentParser("vmmt-tpu translate")
     add_args(p)
     opt = p.parse_args(argv)

@@ -20,11 +20,19 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
     if not log_dir:
         yield
         return
-    jax.profiler.start_trace(log_dir)
+    try:
+        jax.profiler.start_trace(log_dir)
+    except Exception as e:  # some remote backends don't support tracing
+        print(f"warning: jax.profiler unavailable ({e}); continuing untraced")
+        yield
+        return
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
 
 
 class StepTimer:
