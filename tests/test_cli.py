@@ -122,3 +122,15 @@ def test_cli_epochs_flag(corpus, tmp_path):
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
     state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cke"))
     assert int(state.step) == 2  # 60 examples // 32 batch = 1 step/epoch x 2
+
+
+def test_cli_preprocess_no_bpe_and_bucket_suggestion(corpus, tmp_path, capsys):
+    d = str(corpus)
+    cli_pre.main([
+        "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+        "-save_data", f"{tmp_path}/nb", "-no_bpe", "-pretokenized",
+    ])
+    out = capsys.readouterr().out
+    assert "suggested -buckets" in out
+    assert os.path.exists(f"{tmp_path}/nb.train.npz")
+    assert not os.path.exists(f"{tmp_path}/nb.bpe.codes")

@@ -41,6 +41,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-share_vocab", action="store_true")
 
 
+def _round8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
 def read_corpus(path: str, pretokenized: bool, lower: bool) -> List[List[str]]:
     out = []
     with open(path, encoding="utf-8") as f:
@@ -98,6 +102,18 @@ def main(argv=None) -> None:
     )
     ds.save(opt.save_data + ".train.npz")
     print(f"train: {len(ds)} examples -> {opt.save_data}.train.npz")
+
+    # suggest bucket boundaries from the post-BPE length distribution
+    # (each bucket shape costs one train-step compilation; percentile
+    # boundaries keep padding waste low with few shapes)
+    lens = sorted(max(len(s), len(t) + 1) for s, t in zip(ds.src, ds.tgt))
+    if lens:
+        def pct(p):
+            return lens[min(len(lens) - 1, int(p * len(lens)))]
+
+        cand = sorted({_round8(pct(p)) for p in (0.25, 0.5, 0.75, 0.9, 1.0)})
+        print(f"suggested -buckets {','.join(str(b) for b in cand)} "
+              f"(len p50={pct(0.5)}, p90={pct(0.9)}, max={lens[-1]})")
 
     if opt.valid_src:
         valid_src = read_corpus(opt.valid_src, opt.pretokenized, lower)
