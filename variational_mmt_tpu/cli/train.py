@@ -80,6 +80,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-profile_dir", default="", help="jax.profiler trace directory")
     p.add_argument("-valid_bleu", type=int, default=0,
                    help="1: also report greedy BLEU on the validation set at each validation")
+    p.add_argument("-valid_iw", type=int, default=0,
+                   help="K>0: also report the K-sample IW-ELBO bound at each validation")
 
 
 def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
@@ -226,7 +228,8 @@ def main(argv=None) -> None:
             return corpus_bleu(hyps, [[r] for r in _val_refs])["bleu"]
 
     trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh,
-                      checkpoint_fn=ckpt_fn, metrics_logger=logger, bleu_fn=bleu_fn)
+                      checkpoint_fn=ckpt_fn, metrics_logger=logger, bleu_fn=bleu_fn,
+                      valid_iw=opt.valid_iw)
 
     with trace(opt.profile_dir):
         if opt.train_from:

@@ -166,6 +166,7 @@ class Trainer:
         checkpoint_fn: Optional[Callable[[TrainState, int, Dict], None]] = None,
         metrics_logger=None,
         bleu_fn: Optional[Callable[[TrainState], float]] = None,
+        valid_iw: int = 0,  # K>0: also report the K-sample IW-ELBO bound
     ):
         self.cfg = cfg
         self.model = model
@@ -185,6 +186,12 @@ class Trainer:
         self.checkpoint_fn = checkpoint_fn
         self.metrics_logger = metrics_logger
         self.bleu_fn = bleu_fn
+        self.valid_iw = valid_iw
+        self._iw_fn = None
+        if valid_iw > 0 and model.is_latent:
+            from variational_mmt_tpu.decode.iw_eval import make_iw_elbo_fn
+
+            self._iw_fn = jax.jit(make_iw_elbo_fn(model, valid_iw))
         self.history: list = []
 
     def _device_batches(self, it: Iterable) -> Iterable:
@@ -275,12 +282,16 @@ class Trainer:
         import math
 
         agg = {"ce_sum": 0.0, "n_tokens": 0.0, "n_correct": 0.0, "n_sents": 0.0, "kl_sum": 0.0, "img_loss_sum": 0.0}
-        for batch in self._device_batches(self.valid_iter.epoch(0)):
+        iw_sum = 0.0
+        for i, batch in enumerate(self._device_batches(self.valid_iter.epoch(0))):
             m = self.eval_step(state, batch)
             for k in agg:
                 agg[k] += float(m[k])
+            if self._iw_fn is not None:
+                iw = self._iw_fn(state.params, batch, jax.random.fold_in(state.rng, i))
+                iw_sum += float(iw["iw_elbo_sum"])
         xent = agg["ce_sum"] / max(1.0, agg["n_tokens"])
-        return {
+        out = {
             "ppl": math.exp(min(xent, 100.0)),
             "xent": xent,
             "accuracy": 100.0 * agg["n_correct"] / max(1.0, agg["n_tokens"]),
@@ -288,3 +299,6 @@ class Trainer:
             "img_loss": agg["img_loss_sum"] / max(1.0, agg["n_sents"]),
             "elbo": -(agg["ce_sum"] + agg["kl_sum"]) / max(1.0, agg["n_sents"]),
         }
+        if self._iw_fn is not None:
+            out["iw_elbo"] = iw_sum / max(1.0, agg["n_sents"])
+        return out
