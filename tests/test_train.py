@@ -202,3 +202,33 @@ def test_valid_iw_reported():
     # joint bound (includes log p(v|z)) sits below the text-only ELBO by
     # roughly the image log-density scale; just sanity-bound the gap
     assert tr.history[-1]["iw_elbo"] < tr.history[-1]["elbo"]
+
+
+def test_device_resident_feature_table_matches_host_gather():
+    """Trainer with a device-resident feature table == host-gathered batches."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(1)
+    n = 16
+    src = [list(rng.integers(4, 30, 6)) for _ in range(n)]
+    tgt = [list(rng.integers(4, 30, 6)) for _ in range(n)]
+    feats = rng.standard_normal((n, 16)).astype(np.float32)
+    ds = binarize(src, tgt)
+    cfg = tiny_cfg(max_steps=3, valid_every=3, report_every=10, checkpoint_every=10**9)
+    cfg.model.dropout = 0.0
+    cfg.model.word_dropout = 0.0
+
+    # host-gather path
+    it_h = BucketIterator(ds, 8, [8], img_feats=feats, seed=0)
+    vi_h = BucketIterator(ds, 8, [8], img_feats=feats, shuffle=False)
+    tr_h = Trainer(cfg, build_model(cfg.model), it_h, vi_h, mesh=make_mesh(8))
+    tr_h.train()
+    # device-table path
+    it_d = BucketIterator(ds, 8, [8], seed=0)
+    vi_d = BucketIterator(ds, 8, [8], shuffle=False)
+    tr_d = Trainer(cfg, build_model(cfg.model), it_d, vi_d, mesh=make_mesh(8),
+                   train_feats=feats, valid_feats=feats)
+    tr_d.train()
+    np.testing.assert_allclose(tr_h.history[-1]["ppl"], tr_d.history[-1]["ppl"], rtol=1e-4)
+    np.testing.assert_allclose(tr_h.history[-1]["kl"], tr_d.history[-1]["kl"], rtol=1e-3, atol=1e-5)

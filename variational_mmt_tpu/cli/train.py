@@ -190,14 +190,12 @@ def main(argv=None) -> None:
     print(f"devices: {[str(d) for d in mesh.devices.flatten()]}")
     print(f"model: {cfg.model.model_type}; steps: {cfg.train.max_steps}")
 
-    train_iter = BucketIterator(
-        train_ds, opt.batch_size, buckets, img_feats=train_feats, seed=opt.seed
-    )
+    # iterators carry only indices; the feature tables live device-resident
+    # in the Trainer (per-step host transfer = ids, not 2MB of features)
+    train_iter = BucketIterator(train_ds, opt.batch_size, buckets, seed=opt.seed)
     valid_iter = None
     if valid_ds is not None:
-        valid_iter = BucketIterator(
-            valid_ds, opt.batch_size, buckets, img_feats=valid_feats, shuffle=False
-        )
+        valid_iter = BucketIterator(valid_ds, opt.batch_size, buckets, shuffle=False)
 
     os.makedirs(opt.save_model, exist_ok=True)
 
@@ -229,7 +227,8 @@ def main(argv=None) -> None:
 
     trainer = Trainer(cfg, model, train_iter, valid_iter, mesh=mesh,
                       checkpoint_fn=ckpt_fn, metrics_logger=logger, bleu_fn=bleu_fn,
-                      valid_iw=opt.valid_iw)
+                      valid_iw=opt.valid_iw,
+                      train_feats=train_feats, valid_feats=valid_feats)
 
     with trace(opt.profile_dir):
         if opt.train_from:

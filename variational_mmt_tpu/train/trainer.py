@@ -55,8 +55,14 @@ def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] =
 
 
 def make_train_step(
-    cfg: Config, model: VMMTModel, mesh=None
+    cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """``img_table``: optional device-resident (N, ...) feature table. When
+    given, batches carry only (B,) ``indices`` and the image rows are
+    gathered ON DEVICE inside the jit — the host->HBM transfer per step
+    shrinks from ~2MB of features to a few KB of ids (the TPU-idiomatic
+    "stream features straight to HBM once" design; critical when the host
+    link is slow, e.g. a remote-TPU tunnel)."""
     tx = make_optimizer(cfg.train)
 
     accum = max(1, cfg.train.grad_accum)
@@ -68,6 +74,10 @@ def make_train_step(
             kd, kl_, kw = jax.random.split(key, 3)
             rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
             img = micro.get("img")
+            if img is None and img_table is not None and "indices" in micro:
+                img = img_table[micro["indices"]] * micro["example_mask"].reshape(
+                    (-1,) + (1,) * (img_table.ndim - 1)
+                )
             out = model.apply(
                 {"params": params},
                 micro["src"], micro["tgt_in"], img,
@@ -126,11 +136,15 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: Config, model: VMMTModel, mesh=None):
+def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None):
     """Validation forward: deterministic, z = posterior mean (sample=False)."""
 
     def eval_step(state: TrainState, batch):
         img = batch.get("img")
+        if img is None and img_table is not None and "indices" in batch:
+            img = img_table[batch["indices"]] * batch["example_mask"].reshape(
+                (-1,) + (1,) * (img_table.ndim - 1)
+            )
         out = model.apply(
             {"params": state.params},
             batch["src"], batch["tgt_in"], img,
@@ -167,6 +181,8 @@ class Trainer:
         metrics_logger=None,
         bleu_fn: Optional[Callable[[TrainState], float]] = None,
         valid_iw: int = 0,  # K>0: also report the K-sample IW-ELBO bound
+        train_feats=None,  # (N, ...) image features -> device-resident table
+        valid_feats=None,  # (per-step host transfer becomes ids-only)
     ):
         self.cfg = cfg
         self.model = model
@@ -180,8 +196,17 @@ class Trainer:
                 f"number of data-parallel devices ({n_dev}); pick e.g. "
                 f"{(cfg.train.batch_size // n_dev + 1) * n_dev}"
             )
-        self.train_step = make_train_step(cfg, model, self.mesh)
-        self.eval_step = make_eval_step(cfg, model, self.mesh)
+        repl = replicated_sharding(self.mesh)
+        self._train_table = (
+            jax.device_put(jnp.asarray(train_feats, jnp.float32), repl)
+            if train_feats is not None else None
+        )
+        self._valid_table = (
+            jax.device_put(jnp.asarray(valid_feats, jnp.float32), repl)
+            if valid_feats is not None else None
+        )
+        self.train_step = make_train_step(cfg, model, self.mesh, self._train_table)
+        self.eval_step = make_eval_step(cfg, model, self.mesh, self._valid_table)
         self.scheduler = PlateauScheduler(cfg.train)
         self.checkpoint_fn = checkpoint_fn
         self.metrics_logger = metrics_logger
@@ -194,7 +219,7 @@ class Trainer:
             self._iw_fn = jax.jit(make_iw_elbo_fn(model, valid_iw))
         self.history: list = []
 
-    def _device_batches(self, it: Iterable) -> Iterable:
+    def _device_batches(self, it: Iterable, use_table: bool = False) -> Iterable:
         sh = batch_sharding(self.mesh)
 
         def to_dev(b):
@@ -202,7 +227,9 @@ class Trainer:
                 "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
                 "example_mask": b.example_mask,
             }
-            if b.img is not None:
+            if use_table:
+                tree["indices"] = b.indices  # device-side feature gather
+            elif b.img is not None:
                 tree["img"] = b.img
             return jax.device_put(tree, sh)
 
@@ -220,7 +247,8 @@ class Trainer:
             state = create_train_state(self.cfg, self.model)
         stats = Statistics()
         step = int(state.step)
-        data = self._device_batches(iter(self._infinite_train()))
+        data = self._device_batches(iter(self._infinite_train()),
+                                    use_table=self._train_table is not None)
         pending = []  # device-side metric dicts; synced only at report time
 
         def flush():
@@ -283,11 +311,16 @@ class Trainer:
 
         agg = {"ce_sum": 0.0, "n_tokens": 0.0, "n_correct": 0.0, "n_sents": 0.0, "kl_sum": 0.0, "img_loss_sum": 0.0}
         iw_sum = 0.0
-        for i, batch in enumerate(self._device_batches(self.valid_iter.epoch(0))):
+        for i, batch in enumerate(self._device_batches(
+                self.valid_iter.epoch(0), use_table=self._valid_table is not None)):
             m = self.eval_step(state, batch)
             for k in agg:
                 agg[k] += float(m[k])
             if self._iw_fn is not None:
+                if "img" not in batch and self._valid_table is not None:
+                    img = self._valid_table[batch["indices"]]
+                    img = img * batch["example_mask"].reshape((-1,) + (1,) * (img.ndim - 1))
+                    batch = dict(batch, img=img)
                 iw = self._iw_fn(state.params, batch, jax.random.fold_in(state.rng, i))
                 iw_sum += float(iw["iw_elbo_sum"])
         xent = agg["ce_sum"] / max(1.0, agg["n_tokens"])
