@@ -67,16 +67,18 @@ def make_train_step(
 
     accum = max(1, cfg.train.grad_accum)
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+    has_table = img_table is not None
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], table=None):
         key = step_key(state.rng, state.step)
 
         def loss_fn(params, micro, key):
             kd, kl_, kw = jax.random.split(key, 3)
             rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
             img = micro.get("img")
-            if img is None and img_table is not None and "indices" in micro:
-                img = img_table[micro["indices"]] * micro["example_mask"].reshape(
-                    (-1,) + (1,) * (img_table.ndim - 1)
+            if img is None and table is not None and "indices" in micro:
+                img = table[micro["indices"]] * micro["example_mask"].reshape(
+                    (-1,) + (1,) * (table.ndim - 1)
                 )
             out = model.apply(
                 {"params": params},
@@ -127,23 +129,31 @@ def make_train_step(
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        return jax.jit(
+        jit_step = jax.jit(
             train_step,
-            in_shardings=(repl, data),
+            in_shardings=(repl, data, repl) if has_table else (repl, data),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
-    return jax.jit(train_step, donate_argnums=(0,))
+    else:
+        jit_step = jax.jit(train_step, donate_argnums=(0,))
+    if has_table:
+        # explicit argument (NOT a closure const: a closed-over 200MB array
+        # would be serialized into every compile request)
+        return lambda state, batch: jit_step(state, batch, img_table)
+    return lambda state, batch: jit_step(state, batch)
 
 
 def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None):
     """Validation forward: deterministic, z = posterior mean (sample=False)."""
 
-    def eval_step(state: TrainState, batch):
+    has_table = img_table is not None
+
+    def eval_step(state: TrainState, batch, table=None):
         img = batch.get("img")
-        if img is None and img_table is not None and "indices" in batch:
-            img = img_table[batch["indices"]] * batch["example_mask"].reshape(
-                (-1,) + (1,) * (img_table.ndim - 1)
+        if img is None and table is not None and "indices" in batch:
+            img = table[batch["indices"]] * batch["example_mask"].reshape(
+                (-1,) + (1,) * (table.ndim - 1)
             )
         out = model.apply(
             {"params": state.params},
@@ -159,8 +169,16 @@ def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=repl)
-    return jax.jit(eval_step)
+        jit_eval = jax.jit(
+            eval_step,
+            in_shardings=(repl, data, repl) if has_table else (repl, data),
+            out_shardings=repl,
+        )
+    else:
+        jit_eval = jax.jit(eval_step)
+    if has_table:
+        return lambda state, batch: jit_eval(state, batch, img_table)
+    return lambda state, batch: jit_eval(state, batch)
 
 
 def optax_global_norm(tree) -> jax.Array:
