@@ -232,3 +232,44 @@ def test_device_resident_feature_table_matches_host_gather():
     tr_d.train()
     np.testing.assert_allclose(tr_h.history[-1]["ppl"], tr_d.history[-1]["ppl"], rtol=1e-4)
     np.testing.assert_allclose(tr_h.history[-1]["kl"], tr_d.history[-1]["kl"], rtol=1e-3, atol=1e-5)
+
+
+def test_steps_per_call_matches_single_dispatch():
+    """steps_per_call=2 == two single steps (same batches, same PRNG chain)."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+    n = 32
+    src = [list(rng.integers(4, 30, 6)) for _ in range(n)]
+    tgt = [list(rng.integers(4, 30, 6)) for _ in range(n)]
+    ds = binarize(src, tgt)
+
+    def run(spc):
+        cfg = tiny_cfg(max_steps=4, report_every=4, valid_every=4,
+                       checkpoint_every=4, steps_per_call=spc)
+        cfg.model.img_feat_dim = 0
+        cfg.model.use_img_predict = False
+        cfg.model.dropout = 0.0
+        cfg.model.word_dropout = 0.0
+        it = BucketIterator(ds, 8, [8], seed=0)
+        vi = BucketIterator(ds, 8, [8], shuffle=False)
+        tr = Trainer(cfg, build_model(cfg.model), it, vi, mesh=make_mesh(8))
+        tr.train()
+        return tr.history[-1]
+
+    a, b = run(1), run(2)
+    # single bucket -> identical batch order -> identical PRNG chain -> same result
+    np.testing.assert_allclose(a["ppl"], b["ppl"], rtol=1e-5)
+    np.testing.assert_allclose(a["xent"], b["xent"], rtol=1e-5)
+
+
+def test_steps_per_call_interval_guard():
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(steps_per_call=3, report_every=50)  # 50 % 3 != 0
+    ds = binarize([[4, 5]] * 8, [[6, 7]] * 8)
+    it = BucketIterator(ds, 8, [8])
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))

@@ -56,6 +56,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-grad_accum", type=int, default=1,
                    help="micro-batches per optimizer step (activation-memory scaling)")
+    p.add_argument("-steps_per_call", type=int, default=1,
+                   help="optimizer steps per jit dispatch (amortizes dispatch/RPC latency)")
     p.add_argument("-max_steps", type=int, default=20000)
     p.add_argument("-epochs", type=int, default=0)
     p.add_argument("-optim", default="adam", choices=["adam", "sgd", "adadelta"])
@@ -112,6 +114,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             seed=opt.seed,
             batch_size=opt.batch_size,
             grad_accum=opt.grad_accum,
+            steps_per_call=opt.steps_per_call,
             max_steps=opt.max_steps,
             epochs=opt.epochs,
             optimizer=opt.optim,

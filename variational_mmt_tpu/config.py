@@ -91,6 +91,9 @@ class TrainConfig:
     # --- scaling ---
     grad_accum: int = 1  # micro-batches per optimizer step (effective batch
     # = batch_size; each micro sees batch_size // grad_accum examples)
+    steps_per_call: int = 1  # optimizer steps per jit dispatch (lax.scan over
+    # stacked batches): amortizes host->device dispatch latency; report/valid/
+    # checkpoint intervals must be multiples of it
 
     # --- loop mechanics ---
     report_every: int = 50

@@ -126,17 +126,39 @@ def make_train_step(
         new_state = state.replace(params=new_params, opt_state=new_opt, step=state.step + 1)
         return new_state, metrics
 
+    spc = max(1, cfg.train.steps_per_call)
+
+    def multi_step(state: TrainState, batches: Dict[str, jax.Array], table=None):
+        """spc optimizer steps in ONE dispatch: lax.scan over batches whose
+        leaves are stacked (spc, B, ...). Amortizes per-dispatch host/RPC
+        latency (dominant on remote-TPU links). Metric sums cover all spc
+        steps; scalar diagnostics (loss/beta/grad_norm) report the last."""
+
+        def body(s, batch):
+            return train_step(s, batch, table)
+
+        state, metrics_all = jax.lax.scan(body, state, batches)
+        metrics = jax.tree.map(lambda m: m.sum(axis=0), metrics_all)
+        for k in ("beta", "loss", "grad_norm"):
+            metrics[k] = metrics_all[k][-1]
+        return state, metrics
+
+    entry = train_step if spc == 1 else multi_step
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         repl = replicated_sharding(mesh)
-        data = batch_sharding(mesh)
+        # stacked (spc, B, ...) batches shard the SECOND axis
+        data = (batch_sharding(mesh) if spc == 1
+                else NamedSharding(mesh, P(None, cfg.train.data_axis)))
         jit_step = jax.jit(
-            train_step,
+            entry,
             in_shardings=(repl, data, repl) if has_table else (repl, data),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
     else:
-        jit_step = jax.jit(train_step, donate_argnums=(0,))
+        jit_step = jax.jit(entry, donate_argnums=(0,))
     if has_table:
         # explicit argument (NOT a closure const: a closed-over 200MB array
         # would be serialized into every compile request)
@@ -214,6 +236,15 @@ class Trainer:
                 f"number of data-parallel devices ({n_dev}); pick e.g. "
                 f"{(cfg.train.batch_size // n_dev + 1) * n_dev}"
             )
+        spc = max(1, cfg.train.steps_per_call)
+        self._spc = spc
+        if spc > 1:
+            for name in ("report_every", "valid_every", "checkpoint_every"):
+                iv = getattr(cfg.train, name)
+                if iv % spc != 0:
+                    raise ValueError(
+                        f"{name} ({iv}) must be a multiple of steps_per_call ({spc})"
+                    )
         repl = replicated_sharding(self.mesh)
         self._train_table = (
             jax.device_put(jnp.asarray(train_feats, jnp.float32), repl)
@@ -237,10 +268,14 @@ class Trainer:
             self._iw_fn = jax.jit(make_iw_elbo_fn(model, valid_iw))
         self.history: list = []
 
-    def _device_batches(self, it: Iterable, use_table: bool = False) -> Iterable:
-        sh = batch_sharding(self.mesh)
+    def _device_batches(self, it: Iterable, use_table: bool = False,
+                        stack: int = 1) -> Iterable:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def to_dev(b):
+        sh = (batch_sharding(self.mesh) if stack == 1
+              else NamedSharding(self.mesh, P(None, self.cfg.train.data_axis)))
+
+        def tree_of(b):
             tree = {
                 "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
                 "example_mask": b.example_mask,
@@ -249,9 +284,24 @@ class Trainer:
                 tree["indices"] = b.indices  # device-side feature gather
             elif b.img is not None:
                 tree["img"] = b.img
-            return jax.device_put(tree, sh)
+            return tree
 
-        return prefetch(it, size=2, transform=to_dev)
+        if stack == 1:
+            return prefetch(it, size=2, transform=lambda b: jax.device_put(tree_of(b), sh))
+
+        def stacked(source):
+            # group consecutive same-shape batches so (stack, B, L) leaves
+            # are homogeneous (bucketed shapes vary batch to batch)
+            buffers: Dict[tuple, list] = {}
+            for b in source:
+                key = b.src.shape
+                buf = buffers.setdefault(key, [])
+                buf.append(tree_of(b))
+                if len(buf) == stack:
+                    yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                    buffers[key] = []
+
+        return prefetch(stacked(it), size=2, transform=lambda t: jax.device_put(t, sh))
 
     def train(self, max_steps: Optional[int] = None) -> Statistics:
         return self.train_from(None, max_steps)
@@ -266,7 +316,8 @@ class Trainer:
         stats = Statistics()
         step = int(state.step)
         data = self._device_batches(iter(self._infinite_train()),
-                                    use_table=self._train_table is not None)
+                                    use_table=self._train_table is not None,
+                                    stack=self._spc)
         pending = []  # device-side metric dicts; synced only at report time
 
         def flush():
@@ -288,7 +339,7 @@ class Trainer:
             batch = next(data)
             state, metrics = self.train_step(state, batch)
             pending.append(metrics)
-            step += 1
+            step += self._spc
             if step % cfg.report_every == 0:
                 flush()
                 stats.output(step, max_steps, beta=float(metrics["beta"]), lr=float(state.lr))
