@@ -264,12 +264,12 @@ def test_steps_per_call_matches_single_dispatch():
     np.testing.assert_allclose(a["xent"], b["xent"], rtol=1e-5)
 
 
-def test_steps_per_call_interval_guard():
+def test_steps_per_call_interval_rounding():
     from variational_mmt_tpu.data.dataset import binarize, BucketIterator
     from variational_mmt_tpu.train.trainer import Trainer
 
     cfg = tiny_cfg(steps_per_call=3, report_every=50)  # 50 % 3 != 0
     ds = binarize([[4, 5]] * 8, [[6, 7]] * 8)
     it = BucketIterator(ds, 8, [8])
-    with pytest.raises(ValueError, match="steps_per_call"):
-        Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
+    Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
+    assert cfg.train.report_every == 51  # rounded up to a multiple of 3

@@ -242,9 +242,10 @@ class Trainer:
             for name in ("report_every", "valid_every", "checkpoint_every"):
                 iv = getattr(cfg.train, name)
                 if iv % spc != 0:
-                    raise ValueError(
-                        f"{name} ({iv}) must be a multiple of steps_per_call ({spc})"
-                    )
+                    rounded = ((iv + spc - 1) // spc) * spc
+                    print(f"note: {name} rounded {iv} -> {rounded} "
+                          f"(multiple of steps_per_call={spc})")
+                    setattr(cfg.train, name, rounded)
         repl = replicated_sharding(self.mesh)
         self._train_table = (
             jax.device_put(jnp.asarray(train_feats, jnp.float32), repl)
