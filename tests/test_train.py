@@ -273,3 +273,27 @@ def test_steps_per_call_interval_rounding():
     it = BucketIterator(ds, 8, [8])
     Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
     assert cfg.train.report_every == 51  # rounded up to a multiple of 3
+
+
+def test_steps_per_call_multi_bucket():
+    """Shape grouping: stacked dispatch works when batches span buckets."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(5)
+    # half short, half long examples -> two bucket shapes interleaved
+    src = [list(rng.integers(4, 30, 4)) for _ in range(32)] + \
+          [list(rng.integers(4, 30, 12)) for _ in range(32)]
+    tgt = [list(rng.integers(4, 30, 4)) for _ in range(32)] + \
+          [list(rng.integers(4, 30, 12)) for _ in range(32)]
+    ds = binarize(src, tgt)
+    cfg = tiny_cfg(max_steps=8, report_every=4, valid_every=8,
+                   checkpoint_every=8, steps_per_call=2)
+    cfg.model.img_feat_dim = 0
+    cfg.model.use_img_predict = False
+    it = BucketIterator(ds, 8, [8, 16], seed=0)
+    vi = BucketIterator(ds, 8, [8, 16], shuffle=False)
+    tr = Trainer(cfg, build_model(cfg.model), it, vi, mesh=make_mesh(8))
+    stats = tr.train()
+    assert int(tr.final_state.step) >= 8
+    assert np.isfinite(tr.history[-1]["ppl"])
