@@ -171,3 +171,86 @@ def test_beam_fuzz_vs_host_reference(seed):
     want_best = [t for t in want[0][1] if t != PAD]
     assert got_best == want_best, (seed, got_best, want_best)
     np.testing.assert_allclose(float(scores[0, 0]), want[0][0], rtol=1e-4)
+
+
+def test_beam_full_attn_probs_argmax_tracking():
+    """A 2-D (probs) third output from step_fn: the beam derives the argmax
+    internally (the translator now returns full probs for replace_unk)."""
+    step_fn0, table = toy_lm()
+    S = 4
+
+    def step_fn(carry, toks):
+        inner, logp = step_fn0(carry, toks)
+        # attention peaked at position (tok mod S)
+        probs = jax.nn.one_hot(toks % S, S) * 0.7 + 0.3 / S
+        return inner, logp, probs
+
+    init = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    tokens, scores, attn = beam_search(step_fn, init, 1, 3, 5, return_attn=True)
+    tokens, attn = np.asarray(tokens), np.asarray(attn)
+    prev = BOS
+    for t in range(5):
+        tok = tokens[0, 0, t]
+        if tok == PAD:
+            break
+        assert attn[0, 0, t] == prev % S, (t, tokens[0, 0], attn[0, 0])
+        prev = tok
+
+
+def test_beam_coverage_penalty_golden():
+    """coverage_beta: final score == (beta=0 score) + beta * sum_s
+    log(min(cov_s, 1)) with uniform per-step attention (K=1 so the raw
+    search path is identical)."""
+    step_fn0, table = toy_lm()
+    S = 4
+    src_mask = jnp.ones((1, S), jnp.float32)
+
+    def step_fn(carry, toks):
+        inner, logp = step_fn0(carry, toks)
+        return inner, logp, jnp.full((toks.shape[0], S), 1.0 / S)
+
+    init = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    L = 6
+    t0, s0 = beam_search(step_fn, init, 1, 1, L)
+    beta = 0.3
+    t1, s1 = beam_search(step_fn, init, 1, 1, L, coverage_beta=beta,
+                         src_mask=src_mask)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # length = emitted tokens incl. EOS
+    toks = [int(x) for x in np.asarray(t0)[0, 0] if x != PAD]
+    n = len(toks)
+    cov = min(n / S, 1.0)
+    want = float(s0[0, 0]) + beta * S * np.log(cov)
+    np.testing.assert_allclose(float(s1[0, 0]), want, rtol=1e-5)
+
+
+def test_beam_coverage_prefers_covering_hypothesis():
+    """Two equal-raw-score continuations; the one whose attention covers the
+    source must win once coverage_beta > 0."""
+    S = 4
+    V = 6
+    # logp: tokens 4 and 5 equally likely every step; EOS after 2 steps
+    base = np.full((V,), -1e9, np.float32)
+    base[4] = base[5] = np.log(0.5)
+
+    def step_fn(carry, toks):
+        t = carry["t"]
+        logp = jnp.where(
+            (t >= 2)[:, None] & (jnp.arange(V)[None, :] == EOS), 0.0,
+            jnp.where((t >= 2)[:, None], -1e9, jnp.asarray(base)[None, :]),
+        )
+        # token 4 always attends position 0; token 5 spreads uniformly
+        probs = jnp.where(
+            (toks == 4)[:, None], jax.nn.one_hot(jnp.zeros_like(toks), S),
+            jnp.full((toks.shape[0], S), 1.0 / S),
+        )
+        return {"t": t + 1}, logp, probs
+
+    init = {"t": jnp.zeros((4,), jnp.int32)}
+    src_mask = jnp.ones((4, S), jnp.float32)
+    tokens, scores = beam_search(
+        step_fn, init, 4, 4, 4, coverage_beta=0.5, src_mask=src_mask
+    )
+    top = np.asarray(tokens)[:, 0, :2]
+    # the all-5 hypothesis (uniform attention -> best coverage) must rank first
+    np.testing.assert_array_equal(top, np.full((4, 2), 5))

@@ -121,7 +121,84 @@ def test_cli_epochs_flag(corpus, tmp_path):
     ])
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
     state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cke"))
-    assert int(state.step) == 2  # 60 examples // 32 batch = 1 step/epoch x 2
+    # 60 examples in one bucket, batch 32 -> ceil(60/32) = 2 steps/epoch x 2
+    # (the final partial batch pads up and trains; it is NOT dropped)
+    assert int(state.step) == 4
+
+
+def test_flag_map_covers_full_surface():
+    """Every argparse flag is either mapped to a Config field (FLAG2KEY) or
+    a declared runtime flag — nothing can fall through silently."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    cli_train.add_args(p)
+    dests = {a.dest for a in p._actions if a.dest != "help"}
+    mapped = set(cli_train.FLAG2KEY) | cli_train.RUNTIME_FLAGS
+    assert dests == mapped, f"unmapped: {dests - mapped}; stale: {mapped - dests}"
+    # every FLAG2KEY target must be a real Config field
+    from variational_mmt_tpu.config import Config
+
+    cd = Config().to_dict()
+    for flag, (sect, key) in cli_train.FLAG2KEY.items():
+        assert key in cd[sect], f"{flag} -> {sect}.{key} is not a Config field"
+
+
+def test_config_file_with_full_cli_override(corpus, tmp_path):
+    """-config as base + EVERY mapped flag passed explicitly: each must land
+    in the final Config (the round-1 partial map silently dropped most)."""
+    from variational_mmt_tpu.config import Config
+
+    d = str(corpus)
+    base = Config()
+    cfg_path = f"{tmp_path}/base.json"
+    open(cfg_path, "w").write(base.to_json())
+
+    overrides = {
+        "data": f"{d}/demo", "buckets": "16", "model_type": "vmmt_c",
+        "word_vec_size": "16", "rnn_size": "32", "enc_layers": "1",
+        "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
+        "input_feed": "1", "global_attention": "dot", "z_latent_dim": "4",
+        "img_feat_dim": "16", "img_feat_type": "pool5", "use_img_predict": "1",
+        "img_loss": "mse", "img_loss_weight": "0.5", "z_cond": "init+input",
+        "compute_dtype": "float32", "use_pallas": "0", "batch_size": "16",
+        "grad_accum": "1", "steps_per_call": "1", "max_steps": "1",
+        "epochs": "0", "optim": "sgd", "learning_rate": "0.123",
+        "max_grad_norm": "3.5", "learning_rate_decay": "0.7",
+        "start_decay_at": "77", "label_smoothing": "0.05",
+        "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
+        "kl_free_bits": "0.25", "seed": "42", "report_every": "9",
+        "valid_every": "100", "checkpoint_every": "100",
+        "keep_checkpoints": "2", "num_shards": "1",
+    }
+    argv = ["-save_model", f"{tmp_path}/ckov", "-config", cfg_path,
+            "-train_img_feats", f"{d}/train.feats.npy"]
+    for k, v in overrides.items():
+        argv += [f"-{k}", v]
+    cli_train.main(argv)
+
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/ckov"))
+    got = cfg.to_dict()
+    skip = {"data", "buckets"}  # non-scalar/positional handling checked below
+    for flag, (sect, key) in cli_train.FLAG2KEY.items():
+        if flag in skip:
+            continue
+        want = overrides[flag]
+        have = got[sect][key]
+        if isinstance(have, bool):
+            assert have == bool(int(want)), f"{flag}: {have} != {want}"
+        elif isinstance(have, (int, float)):
+            assert abs(float(have) - float(want)) < 1e-9, f"{flag}: {have} != {want}"
+        else:
+            assert str(have) == want, f"{flag}: {have} != {want}"
+    assert got["data"]["buckets"] == [16]
+    assert got["data"]["save_data"] == f"{d}/demo"
+
+
+def test_unmapped_passed_flag_errors():
+    with pytest.raises(SystemExit, match="not mapped"):
+        cli_train.passed_flags(["-totally_bogus_flag", "1"])
 
 
 def test_cli_preprocess_no_bpe_and_bucket_suggestion(corpus, tmp_path, capsys):

@@ -74,18 +74,28 @@ def test_token_ce_masking_and_accuracy():
     logits = jnp.array([[[0.0, 0.0, 10.0], [0.0, 0.0, 10.0]]])
     targets = jnp.array([[2, 1]])
     mask = jnp.array([[1.0, 0.0]])  # second position masked out
-    ce, n_correct = token_ce(logits, targets, mask)
+    ce, nll, n_correct = token_ce(logits, targets, mask)
     assert float(n_correct) == 1.0  # only the unmasked correct one counts
     assert float(ce[0]) < 0.01  # masked wrong position contributes nothing
+    assert float(nll[0]) == float(ce[0])  # no smoothing: raw == training CE
 
 
 def test_token_ce_label_smoothing():
-    logits = jnp.array([[[2.0, 0.0, -1.0]]])
-    targets = jnp.array([[0]])
+    logits = jnp.array([[[0.0, -1.0, 3.0, 0.5]]])
+    targets = jnp.array([[2]])
     mask = jnp.ones((1, 1))
-    ce0, _ = token_ce(logits, targets, mask, label_smoothing=0.0)
-    ce1, _ = token_ce(logits, targets, mask, label_smoothing=0.1)
+    ce0, nll0, _ = token_ce(logits, targets, mask, label_smoothing=0.0)
+    ce1, nll1, _ = token_ce(logits, targets, mask, label_smoothing=0.1)
     assert float(ce1[0]) > float(ce0[0])  # smoothing penalizes confident spikes
+    # the raw-NLL report is smoothing-independent
+    np.testing.assert_allclose(float(nll1[0]), float(nll0[0]), rtol=1e-6)
+
+    # Golden check of the reference-style distribution: confidence 1-eps on
+    # gold, eps/(V-2) on each class that is neither PAD(=0) nor gold.
+    eps, V = 0.1, 4
+    logp = np.log(np.exp(logits[0, 0]) / np.exp(logits[0, 0]).sum())
+    want = -(1 - eps) * logp[2] - (eps / (V - 2)) * (logp[1] + logp[3])
+    np.testing.assert_allclose(float(ce1[0]), want, rtol=1e-5)
 
 
 def test_image_loss_variants():

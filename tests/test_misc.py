@@ -38,16 +38,28 @@ def test_update_config_dotted():
 
 
 def test_plateau_scheduler():
-    sched = PlateauScheduler(TrainConfig(lr_decay=0.5, start_decay_at=10))
+    # Reference Optim.update_learning_rate semantics: decay latches on when
+    # ppl worsens vs the LAST validation OR once past start_decay_at, and
+    # then fires at every subsequent validation.
+    sched = PlateauScheduler(TrainConfig(lr_decay=0.5, start_decay_at=100))
     lr = 1.0
-    lr = sched.update(10.0, step=5, lr=lr)   # before start_decay_at: no decay
+    lr = sched.update(10.0, step=5, lr=lr)   # first validation: no decay
     assert lr == 1.0
-    lr = sched.update(9.0, step=20, lr=lr)   # improved: no decay
+    lr = sched.update(9.0, step=20, lr=lr)   # improved vs last: no decay
     assert lr == 1.0
-    lr = sched.update(9.5, step=30, lr=lr)   # worse: decay
+    lr = sched.update(9.5, step=30, lr=lr)   # worse vs last: latch + decay
     assert lr == 0.5
-    lr = sched.update(8.0, step=40, lr=lr)   # improved again
-    assert lr == 0.5
+    lr = sched.update(8.0, step=40, lr=lr)   # improved, but latched: decay
+    assert lr == 0.25
+    lr = sched.update(7.0, step=150, lr=lr)  # past start_decay_at: decay
+    assert lr == 0.125
+
+    # start_decay_at <= 0 disables the step trigger entirely.
+    sched2 = PlateauScheduler(TrainConfig(lr_decay=0.5, start_decay_at=0))
+    lr = sched2.update(10.0, step=1000, lr=1.0)
+    assert lr == 1.0
+    lr = sched2.update(9.0, step=2000, lr=lr)
+    assert lr == 1.0
 
 
 def test_prefetch_preserves_order_and_errors():

@@ -264,15 +264,58 @@ def test_steps_per_call_matches_single_dispatch():
     np.testing.assert_allclose(a["xent"], b["xent"], rtol=1e-5)
 
 
-def test_steps_per_call_interval_rounding():
+def test_intervals_fire_when_misaligned_with_spc():
+    """valid_every need not divide steps_per_call: triggers fire on interval
+    CROSSINGS, so validation happens even when step never hits an exact
+    multiple (also covers resuming from a step misaligned with spc)."""
     from variational_mmt_tpu.data.dataset import binarize, BucketIterator
     from variational_mmt_tpu.train.trainer import Trainer
 
-    cfg = tiny_cfg(steps_per_call=3, report_every=50)  # 50 % 3 != 0
-    ds = binarize([[4, 5]] * 8, [[6, 7]] * 8)
-    it = BucketIterator(ds, 8, [8])
-    Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
-    assert cfg.train.report_every == 51  # rounded up to a multiple of 3
+    rng = np.random.default_rng(7)
+    src = [list(rng.integers(4, 30, 6)) for _ in range(48)]
+    tgt = [list(rng.integers(4, 30, 6)) for _ in range(48)]
+    ds = binarize(src, tgt)
+    # dispatches land on steps 3 and 6; valid_every=4 would never fire with
+    # modulo logic (6 % 4 != 0) but must fire once via the 4-boundary crossing
+    cfg = tiny_cfg(max_steps=6, steps_per_call=3, report_every=100,
+                   valid_every=4, checkpoint_every=10**9)
+    cfg.model.img_feat_dim = 0
+    cfg.model.use_img_predict = False
+    it = BucketIterator(ds, 8, [8], seed=0)
+    vi = BucketIterator(ds, 8, [8], shuffle=False)
+    tr = Trainer(cfg, build_model(cfg.model), it, vi, mesh=make_mesh(8))
+    tr.train()
+    assert len(tr.history) == 1 and tr.history[0]["step"] == 6
+
+
+def test_stacked_dispatch_flushes_rare_bucket_each_epoch():
+    """A bucket shape producing fewer than steps_per_call batches per epoch
+    must still train every one of its batches within that epoch (via the
+    single-step flush at the epoch boundary), not strand them across
+    epochs."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(9)
+    # 32 short examples -> 4 batches in bucket 8; 8 long -> ONE batch in
+    # bucket 16 per epoch (< spc=4, so it only ever trains via the flush)
+    src = [list(rng.integers(4, 30, 4)) for _ in range(32)] + \
+          [list(rng.integers(4, 30, 12)) for _ in range(8)]
+    tgt = [list(rng.integers(4, 30, 4)) for _ in range(32)] + \
+          [list(rng.integers(4, 30, 12)) for _ in range(8)]
+    ds = binarize(src, tgt)
+    cfg = tiny_cfg(max_steps=10, report_every=10**6, valid_every=10**9,
+                   checkpoint_every=10**9, steps_per_call=4)
+    cfg.model.img_feat_dim = 0
+    cfg.model.use_img_predict = False
+    it = BucketIterator(ds, 8, [8, 16], seed=0)
+    tr = Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
+    stats = tr.train()
+    # 5 steps/epoch (4 stacked + 1 flushed) -> exactly 2 full epochs
+    assert int(tr.final_state.step) == 10
+    # every target token of both buckets trained twice:
+    # 32 * (4+1) + 8 * (12+1) = 264 tokens per epoch
+    assert stats.n_words == 2 * 264
 
 
 def test_steps_per_call_multi_bucket():

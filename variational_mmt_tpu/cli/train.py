@@ -86,6 +86,86 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="K>0: also report the K-sample IW-ELBO bound at each validation")
 
 
+# Complete flag -> Config field map (every add_args flag that lands in
+# Config). -config override resolution and tests iterate this, so adding a
+# flag without extending it is an error the CLI raises at parse time.
+FLAG2KEY = {
+    "data": ("data", "save_data"),
+    "buckets": ("data", "buckets"),
+    "model_type": ("model", "model_type"),
+    "word_vec_size": ("model", "emb_dim"),
+    "rnn_size": ("model", "hidden_dim"),
+    "enc_layers": ("model", "enc_layers"),
+    "dec_layers": ("model", "dec_layers"),
+    "dropout": ("model", "dropout"),
+    "word_dropout": ("model", "word_dropout"),
+    "input_feed": ("model", "input_feed"),
+    "global_attention": ("model", "attn_type"),
+    "z_latent_dim": ("model", "latent_dim"),
+    "img_feat_dim": ("model", "img_feat_dim"),
+    "img_feat_type": ("model", "img_feat_type"),
+    "use_img_predict": ("model", "use_img_predict"),
+    "img_loss": ("model", "img_loss"),
+    "img_loss_weight": ("model", "img_loss_weight"),
+    "z_cond": ("model", "z_cond"),
+    "compute_dtype": ("model", "compute_dtype"),
+    "use_pallas": ("model", "use_pallas"),
+    "batch_size": ("train", "batch_size"),
+    "grad_accum": ("train", "grad_accum"),
+    "steps_per_call": ("train", "steps_per_call"),
+    "max_steps": ("train", "max_steps"),
+    "epochs": ("train", "epochs"),
+    "optim": ("train", "optimizer"),
+    "learning_rate": ("train", "learning_rate"),
+    "max_grad_norm": ("train", "max_grad_norm"),
+    "learning_rate_decay": ("train", "lr_decay"),
+    "start_decay_at": ("train", "start_decay_at"),
+    "label_smoothing": ("train", "label_smoothing"),
+    "kl_anneal": ("train", "kl_anneal"),
+    "kl_anneal_steps": ("train", "kl_anneal_steps"),
+    "kl_anneal_start": ("train", "kl_anneal_start"),
+    "kl_free_bits": ("train", "kl_free_bits"),
+    "seed": ("train", "seed"),
+    "report_every": ("train", "report_every"),
+    "valid_every": ("train", "valid_every"),
+    "checkpoint_every": ("train", "checkpoint_every"),
+    "keep_checkpoints": ("train", "keep_checkpoints"),
+    "num_shards": ("train", "num_data_shards"),
+}
+
+# flags that configure the run but have no Config field
+RUNTIME_FLAGS = {
+    "save_model", "train_img_feats", "valid_img_feats", "train_from",
+    "config", "metrics_log", "profile_dir", "valid_bleu", "valid_iw",
+}
+
+
+def passed_flags(argv) -> set:
+    """Names of flags explicitly present on the command line, resolved
+    through the same unambiguous-prefix matching argparse applies. Raises
+    SystemExit for a flag that is neither mapped (FLAG2KEY) nor a known
+    runtime flag — a passed flag must never be silently discarded."""
+    known = set(FLAG2KEY) | RUNTIME_FLAGS
+    out = set()
+    for a in argv:
+        if not (a.startswith("-") and len(a) > 1 and not a[1].isdigit()):
+            continue
+        tok = a.lstrip("-").split("=")[0]
+        if tok in known:
+            out.add(tok)
+            continue
+        cands = [k for k in known if k.startswith(tok)]
+        if len(cands) == 1:
+            out.add(cands[0])
+        elif not cands:
+            raise SystemExit(
+                f"flag -{tok} is not mapped to a Config field; extend "
+                "FLAG2KEY/RUNTIME_FLAGS in cli/train.py"
+            )
+        # ambiguous prefixes are argparse's error to raise
+    return out
+
+
 def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
     return Config(
         model=ModelConfig(
@@ -144,6 +224,14 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser("vmmt-tpu train")
     add_args(p)
     opt = p.parse_args(argv)
+    import sys as _sys
+
+    raw_argv = list(argv) if argv is not None else _sys.argv[1:]
+    passed = passed_flags(raw_argv)
+    if opt.optim == "adadelta" and "learning_rate" not in passed:
+        # reference parity: Optim runs adadelta at lr 1.0 (the shared 4e-4
+        # default would cripple it)
+        opt.learning_rate = 1.0
 
     sv = Vocab.load(opt.data + ".vocab.src.json")
     tv = Vocab.load(opt.data + ".vocab.tgt.json")
@@ -162,48 +250,41 @@ def main(argv=None) -> None:
 
     cfg = build_config(opt, len(sv), len(tv))
     if opt.config:
-        # config file as base; explicitly-passed CLI flags take precedence
-        import sys as _sys
-
+        # config file as base; EVERY explicitly-passed CLI flag overrides it
         base = Config.from_json(open(opt.config).read())
-        passed = {a.lstrip("-").split("=")[0] for a in _sys.argv[1:] if a.startswith("-")}
         file_cfg = base.to_dict()
         cli_cfg = cfg.to_dict()
-        _FLAG2KEY = {
-            "model_type": ("model", "model_type"), "word_vec_size": ("model", "emb_dim"),
-            "rnn_size": ("model", "hidden_dim"), "enc_layers": ("model", "enc_layers"),
-            "dec_layers": ("model", "dec_layers"), "dropout": ("model", "dropout"),
-            "word_dropout": ("model", "word_dropout"), "z_latent_dim": ("model", "latent_dim"),
-            "batch_size": ("train", "batch_size"), "max_steps": ("train", "max_steps"),
-            "learning_rate": ("train", "learning_rate"), "seed": ("train", "seed"),
-        }
-        for flag, (sect, key) in _FLAG2KEY.items():
-            if flag in passed:
+        for flag in passed:
+            if flag in FLAG2KEY:
+                sect, key = FLAG2KEY[flag]
                 file_cfg[sect][key] = cli_cfg[sect][key]
         # vocab sizes always come from the data
         file_cfg["model"]["src_vocab_size"] = len(sv)
         file_cfg["model"]["tgt_vocab_size"] = len(tv)
         cfg = Config.from_dict(file_cfg)
-    if opt.epochs > 0:
-        steps_per_epoch = max(1, len(train_ds) // opt.batch_size)
-        cfg.train.max_steps = opt.epochs * steps_per_epoch
     buckets = cfg.data.buckets
-    model = build_model(cfg.model)
-    mesh = make_mesh(opt.num_shards)
-    print(f"devices: {[str(d) for d in mesh.devices.flatten()]}")
-    print(f"model: {cfg.model.model_type}; steps: {cfg.train.max_steps}")
 
     # iterators carry only indices; the feature tables live device-resident
     # in the Trainer (per-step host transfer = ids, not 2MB of features)
-    train_iter = BucketIterator(train_ds, opt.batch_size, buckets, seed=opt.seed)
+    train_iter = BucketIterator(train_ds, cfg.train.batch_size, buckets, seed=cfg.train.seed)
     valid_iter = None
     if valid_ds is not None:
-        valid_iter = BucketIterator(valid_ds, opt.batch_size, buckets, shuffle=False)
+        valid_iter = BucketIterator(valid_ds, cfg.train.batch_size, buckets, shuffle=False)
+
+    if cfg.train.epochs > 0:
+        # exact steps/epoch: each bucket pads its own final partial batch,
+        # so len(iterator) (sum of per-bucket ceil-divisions) is the truth —
+        # len(ds)//batch_size undercounts by up to n_buckets-1
+        cfg.train.max_steps = cfg.train.epochs * max(1, len(train_iter))
+    model = build_model(cfg.model)
+    mesh = make_mesh(cfg.train.num_data_shards)
+    print(f"devices: {[str(d) for d in mesh.devices.flatten()]}")
+    print(f"model: {cfg.model.model_type}; steps: {cfg.train.max_steps}")
 
     os.makedirs(opt.save_model, exist_ok=True)
 
     def ckpt_fn(state, step, _):
-        path = save_checkpoint(opt.save_model, state, cfg, sv, tv, keep=opt.keep_checkpoints)
+        path = save_checkpoint(opt.save_model, state, cfg, sv, tv, keep=cfg.train.keep_checkpoints)
         print(f"saved checkpoint {path}")
 
     from variational_mmt_tpu.utils.metrics_log import MetricsLogger
@@ -217,7 +298,7 @@ def main(argv=None) -> None:
         from variational_mmt_tpu.decode.translator import Translator
         from variational_mmt_tpu.evals.bleu import corpus_bleu
 
-        greedy_cfg = DecodeConfig(beam_size=1, max_length=max(buckets), batch_size=opt.batch_size)
+        greedy_cfg = DecodeConfig(beam_size=1, max_length=max(buckets), batch_size=cfg.train.batch_size)
         _translator = Translator(model, None, sv, tv, greedy_cfg, buckets=buckets)
         _val_src = [list(map(int, s)) for s in valid_ds.src]
         _val_refs = [tv.decode(t) for t in valid_ds.tgt]

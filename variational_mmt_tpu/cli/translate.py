@@ -40,6 +40,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-max_length", type=int, default=100)
     p.add_argument("-min_length", type=int, default=0)
     p.add_argument("-alpha", type=float, default=0.6, help="GNMT length penalty exponent")
+    p.add_argument("-coverage_beta", type=float, default=0.0,
+                   help="GNMT coverage penalty weight (0 = off)")
     p.add_argument("-batch_size", type=int, default=32)
     p.add_argument("-replace_unk", action="store_true",
                    help="replace <unk> outputs with the max-attention source token")
@@ -82,7 +84,7 @@ def main(argv=None) -> None:
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
-        replace_unk=opt.replace_unk,
+        replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
     )
     translator = Translator(model, state.params, sv, tv, dcfg,
                             buckets=cfg.data.buckets or [16, 24, 32, 48, 64])

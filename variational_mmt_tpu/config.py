@@ -140,6 +140,7 @@ class DecodeConfig:
     min_length: int = 0
     length_penalty: str = "gnmt"  # gnmt | none | average
     alpha: float = 0.6  # GNMT length-penalty exponent
+    coverage_beta: float = 0.0  # GNMT coverage-penalty weight (0 = off)
     batch_size: int = 32
     replace_unk: bool = False
     iw_samples: int = 10  # K for importance-weighted ELBO eval

@@ -35,9 +35,8 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
             return model.apply({"params": params}, *args, method=method)
 
         memory, finals, src_mask, summary = m_apply(VMMTModel.encode, src)
-        gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
         mu_q, sigma_q = model.apply(
-            {"params": params}, summary, gold, img, method=VMMTModel.posterior
+            {"params": params}, summary, tgt_out, img, method=VMMTModel.posterior
         )
         mu_p, sigma_p = m_apply(VMMTModel.prior_params, summary, img)
         tok_mask = (tgt_out != PAD).astype(jnp.float32) * ex_mask[:, None]

@@ -40,7 +40,7 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
             z = model.apply({"params": params}, summary, img, method=VMMTModel.prior_latent)
         init_hs = model.apply({"params": params}, finals, z, method=VMMTModel.init_decoder_state)
         carry0 = (tuple(init_hs), jnp.zeros_like(init_hs[-1]))
-        track_attn = dcfg.replace_unk
+        track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
 
         keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)
 
@@ -69,12 +69,15 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             if track_attn:
-                return carry, logp, jnp.argmax(align, axis=-1).astype(jnp.int32)
+                # full attention probs: the beam derives the argmax for
+                # -replace_unk and accumulates coverage when beta != 0
+                return carry, logp, align.astype(jnp.float32)
             return carry, logp
 
         return beam_search(
             step, carry0, B, K, dcfg.max_length, dcfg.min_length,
-            dcfg.alpha, dcfg.length_penalty, return_attn=track_attn,
+            dcfg.alpha, dcfg.length_penalty, return_attn=dcfg.replace_unk,
+            coverage_beta=dcfg.coverage_beta, src_mask=src_mask,
         )
 
     return fn

@@ -192,17 +192,27 @@ class VMMTModel(nn.Module):
         img: Optional[jax.Array] = None,
         deterministic: bool = True,
         sample: bool = True,
+        tgt_out: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         """Full training-path forward. Returns logits + distribution params
-        (+ image prediction); ELBO assembly lives in train/loss.py."""
+        (+ image prediction); ELBO assembly lives in train/loss.py.
+
+        ``tgt_out``: the gold target (y + EOS, PAD-masked) the posterior
+        conditions on. When omitted it is reconstructed by left-shifting
+        ``tgt_in`` — which drops the final EOS, so callers that have the
+        real tgt_out should pass it."""
         c = self.cfg
         memory, finals, src_mask, src_summary = self._encode_train(src, deterministic)
 
         out: Dict[str, jax.Array] = {}
         z = None
         if self.is_latent:
-            # q consumes the *gold* target; tgt_in is BOS+y, so strip BOS col
-            gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
+            # q consumes the *gold* target y+EOS (reference: the inference
+            # net reads the full gold sequence, SURVEY.md §2.4)
+            if tgt_out is not None:
+                gold = tgt_out
+            else:
+                gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
             mu_q, sigma_q = self.posterior(src_summary, gold, img, deterministic)
             mu_p, sigma_p = self.prior_params(src_summary, img)
             if sample:

@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import ctypes
 import os
+import stat
 import subprocess
-import tempfile
 from typing import Optional
 
 import numpy as np
@@ -39,20 +39,49 @@ def _build(out_path: str) -> bool:
     return False
 
 
+def _user_cache_dir() -> Optional[str]:
+    """Per-user 0700 cache dir for the fallback build (never a shared tmp
+    path — loading a .so another local user could pre-plant would hand them
+    code execution in the training process)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    path = os.path.join(base, "vmmt_native")
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        os.chmod(path, 0o700)
+    except OSError:
+        return None
+    return path
+
+
+def _safe_to_load(path: str) -> bool:
+    """Only CDLL files we own that nobody else can write."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if st.st_uid != os.getuid():
+        return False
+    return not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    candidates = [
-        os.path.join(os.path.dirname(__file__), "_native_batcher.so"),
-        os.path.join(tempfile.gettempdir(), "vmmt_native_batcher.so"),
-    ]
+    candidates = [os.path.join(os.path.dirname(__file__), "_native_batcher.so")]
+    cache = _user_cache_dir()
+    if cache is not None:
+        candidates.append(os.path.join(cache, "_native_batcher.so"))
     newest_src = max(os.path.getmtime(s) for s in _SRCS)
     for path in candidates:
         if not os.path.exists(path) or os.path.getmtime(path) < newest_src:
             if not _build(path):
                 continue
+        if not _safe_to_load(path):
+            continue
         try:
             lib = ctypes.CDLL(path)
             lib.assemble_batch.restype = None

@@ -45,6 +45,8 @@ class BeamState(NamedTuple):
     carry: Any  # decoder carry, leaves (B*K, ...)
     last_tok: jax.Array  # (B, K)
     attn_src: jax.Array  # (B, K, L) argmax source position per emitted token
+    coverage: jax.Array  # (B, K, S) summed attention mass per source position
+    # ((B, K, 1) zeros when the coverage penalty is off)
 
 
 def length_penalty(lengths: jax.Array, alpha: float, kind: str = "gnmt") -> jax.Array:
@@ -81,13 +83,27 @@ def beam_search(
     bos_id: int = BOS,
     pad_id: int = PAD,
     return_attn: bool = False,
+    coverage_beta: float = 0.0,
+    src_mask: Any = None,
 ):
     """Returns (tokens (B, K, max_length) sorted best-first, penalized scores
     (B, K)) — plus attention-argmax source positions (B, K, max_length) when
     ``return_attn`` (for the reference's -replace_unk). ``step_fn`` consumes
     flattened (B*K,) token ids and returns (carry, log_probs) or
-    (carry, log_probs, attn_argmax (B*K,))."""
+    (carry, log_probs, attn) where attn is either per-beam argmax source
+    positions (N,) or full attention probs (N, S) — the full probs are
+    required when ``coverage_beta != 0``.
+
+    ``coverage_beta``: GNMT coverage penalty (Wu et al. 2016, the
+    reference's Penalties.py coverage_wu): the finalized score adds
+    beta * sum_s log(min(coverage_s, 1)) over real source positions
+    (``src_mask`` (B, S), required when beta != 0), rewarding hypotheses
+    whose attention covers the whole source."""
     B, K, L = batch_size, beam_size, max_length
+    use_cov = coverage_beta != 0.0
+    if use_cov and src_mask is None:
+        raise ValueError("coverage_beta != 0 requires src_mask (B, S)")
+    S = src_mask.shape[1] if use_cov else 1
 
     carry0 = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), init_carry)
     state = BeamState(
@@ -100,6 +116,7 @@ def beam_search(
         carry=carry0,
         last_tok=jnp.full((B, K), bos_id, jnp.int32),
         attn_src=jnp.zeros((B, K, L), jnp.int32),
+        coverage=jnp.zeros((B, K, S), jnp.float32),
     )
 
     def cond(s: BeamState):
@@ -107,12 +124,22 @@ def beam_search(
 
     def body(s: BeamState) -> BeamState:
         out = step_fn(s.carry, s.last_tok.reshape(B * K))
+        attn_probs = None
         if len(out) == 3:
-            carry, logp, attn_arg = out
-            attn_arg = attn_arg.reshape(B, K)
+            carry, logp, attn = out
+            if attn.ndim == 2:  # full attention probs (N, S)
+                attn_probs = attn.reshape(B, K, -1).astype(jnp.float32)
+                attn_arg = jnp.argmax(attn_probs, axis=-1).astype(jnp.int32)
+            else:
+                attn_arg = attn.reshape(B, K)
         else:
             carry, logp = out
             attn_arg = jnp.zeros((B, K), jnp.int32)
+        if use_cov and attn_probs is None:
+            raise ValueError(
+                "coverage_beta != 0 requires step_fn to return full attention "
+                "probs (N, S) as its third output"
+            )
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V).astype(jnp.float32)
         # min-length: no EOS before min_length tokens emitted
@@ -144,6 +171,14 @@ def beam_search(
         lengths = jnp.where(was_finished, lengths, lengths + 1)
         finished = was_finished | (toks == eos_id)
         carry = _gather_beams(carry, parents, B, K)
+        coverage = s.coverage
+        if use_cov:
+            coverage = jnp.take_along_axis(s.coverage, parents[..., None], axis=1)
+            step_attn = jnp.take_along_axis(
+                attn_probs, parents[..., None], axis=1
+            )
+            # finished beams stop accumulating (their PAD steps attend nowhere)
+            coverage = coverage + step_attn * (~was_finished)[..., None]
         return BeamState(
             t=s.t + 1,
             tokens=tokens,
@@ -153,6 +188,7 @@ def beam_search(
             carry=carry,
             last_tok=toks,
             attn_src=attn_src,
+            coverage=coverage,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -160,6 +196,10 @@ def beam_search(
     # unfinished beams count as length max_length (no EOS)
     lengths = jnp.where(final.finished, final.lengths, L)
     scored = final.scores / length_penalty(jnp.maximum(lengths, 1), alpha, penalty)
+    if use_cov:
+        cov = jnp.clip(jnp.minimum(final.coverage, 1.0), 1e-10, None)
+        cp = (jnp.log(cov) * src_mask[:, None, :].astype(jnp.float32)).sum(-1)
+        scored = scored + coverage_beta * cp
     order = jnp.argsort(-scored, axis=1)
     tokens = jnp.take_along_axis(final.tokens, order[..., None], axis=1)
     scored = jnp.take_along_axis(scored, order, axis=1)

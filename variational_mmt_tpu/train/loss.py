@@ -43,18 +43,31 @@ def token_ce(
     targets: jax.Array,  # (B, T) int32
     token_mask: jax.Array,  # (B, T) float32
     label_smoothing: float = 0.0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (per-sentence CE sum (B,), n_correct scalar)."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (per-sentence training CE sum (B,), per-sentence raw NLL sum
+    (B,), n_correct scalar).
+
+    Label smoothing follows the reference convention: confidence 1-eps on
+    the gold class, eps spread uniformly over the V-2 classes that are
+    neither PAD nor gold. The raw (unsmoothed) NLL is returned alongside so
+    reported ppl and the plateau-decay metric stay smoothing-independent.
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    nll_raw = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    nll = nll_raw
     if label_smoothing > 0.0:
         V = logits.shape[-1]
-        smooth = -logp.mean(axis=-1)
-        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth * (V / (V - 1.0))
+        # sum of logp over classes != gold, != PAD (gold==PAD only on padded
+        # positions, which the mask zeroes anyway).
+        logp_pad = logp[..., PAD]
+        rest = logp.sum(axis=-1) - (-nll_raw) - logp_pad
+        smooth = -rest / (V - 2.0)
+        nll = (1.0 - label_smoothing) * nll_raw + label_smoothing * smooth
     nll = nll * token_mask
+    nll_raw = nll_raw * token_mask
     pred = jnp.argmax(logits, axis=-1)
     n_correct = ((pred == targets) * token_mask).sum()
-    return nll.sum(axis=-1), n_correct
+    return nll.sum(axis=-1), nll_raw.sum(axis=-1), n_correct
 
 
 def image_loss(
@@ -85,15 +98,17 @@ def compute_loss(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Scalar training loss (mean per-sentence -ELBO) + metric sums."""
     token_mask = (tgt_out != PAD).astype(jnp.float32) * example_mask[:, None]
-    ce_per_sent, n_correct = token_ce(
+    ce_per_sent, nll_per_sent, n_correct = token_ce(
         out["logits"], tgt_out, token_mask, tcfg.label_smoothing
     )
     n_sents = jnp.maximum(example_mask.sum(), 1.0)
     n_tokens = token_mask.sum()
 
     loss = ce_per_sent.sum() / n_sents
+    # ce_sum reports the RAW NLL (smoothing-independent) so ppl and the
+    # plateau metric match the reference's Statistics semantics.
     metrics = {
-        "ce_sum": ce_per_sent.sum(),
+        "ce_sum": nll_per_sent.sum(),
         "n_tokens": n_tokens,
         "n_correct": n_correct,
         "n_sents": example_mask.sum(),

@@ -34,15 +34,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 class PlateauScheduler:
     """Host-side plateau logic matching the reference's
-    ``Optim.update_learning_rate``: decay when validation ppl fails to
-    improve (after ``start_decay_at``)."""
+    ``Optim.update_learning_rate`` (SURVEY.md §2.1 #12): decay latches ON
+    when validation ppl worsens versus the *previous* validation OR once
+    past ``start_decay_at``; after latching, every validation decays.
+    """
 
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
-        self.best = float("inf")
+        self.last: float | None = None
+        self.start_decay = False
 
     def update(self, val_metric: float, step: int, lr: float) -> float:
-        decay = step >= self.cfg.start_decay_at and val_metric >= self.best
-        if val_metric < self.best:
-            self.best = val_metric
-        return lr * self.cfg.lr_decay if decay else lr
+        # start_decay_at <= 0 disables the step-count trigger (decay then
+        # latches only on a worsening validation), mirroring the reference's
+        # far-future epoch default.
+        if self.cfg.start_decay_at > 0 and step >= self.cfg.start_decay_at:
+            self.start_decay = True
+        if self.last is not None and val_metric > self.last:
+            self.start_decay = True
+        self.last = val_metric
+        return lr * self.cfg.lr_decay if self.start_decay else lr

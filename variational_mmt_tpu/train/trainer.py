@@ -33,6 +33,9 @@ from variational_mmt_tpu.utils.logging import Statistics
 from variational_mmt_tpu.utils.prng import base_key, step_key
 
 
+EPOCH_END = object()  # epoch-boundary sentinel in the training batch stream
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
@@ -55,7 +58,8 @@ def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] =
 
 
 def make_train_step(
-    cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None
+    cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None,
+    steps_per_call: Optional[int] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """``img_table``: optional device-resident (N, ...) feature table. When
     given, batches carry only (B,) ``indices`` and the image rows are
@@ -83,7 +87,8 @@ def make_train_step(
             out = model.apply(
                 {"params": params},
                 micro["src"], micro["tgt_in"], img,
-                deterministic=False, sample=True, rngs=rngs,
+                deterministic=False, sample=True, tgt_out=micro["tgt_out"],
+                rngs=rngs,
             )
             return compute_loss(
                 out, micro["tgt_out"], micro["example_mask"], img,
@@ -126,7 +131,7 @@ def make_train_step(
         new_state = state.replace(params=new_params, opt_state=new_opt, step=state.step + 1)
         return new_state, metrics
 
-    spc = max(1, cfg.train.steps_per_call)
+    spc = max(1, cfg.train.steps_per_call if steps_per_call is None else steps_per_call)
 
     def multi_step(state: TrainState, batches: Dict[str, jax.Array], table=None):
         """spc optimizer steps in ONE dispatch: lax.scan over batches whose
@@ -180,7 +185,7 @@ def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional
         out = model.apply(
             {"params": state.params},
             batch["src"], batch["tgt_in"], img,
-            deterministic=True, sample=False,
+            deterministic=True, sample=False, tgt_out=batch["tgt_out"],
         )
         _, metrics = compute_loss(
             out, batch["tgt_out"], batch["example_mask"], img,
@@ -238,14 +243,10 @@ class Trainer:
             )
         spc = max(1, cfg.train.steps_per_call)
         self._spc = spc
-        if spc > 1:
-            for name in ("report_every", "valid_every", "checkpoint_every"):
-                iv = getattr(cfg.train, name)
-                if iv % spc != 0:
-                    rounded = ((iv + spc - 1) // spc) * spc
-                    print(f"note: {name} rounded {iv} -> {rounded} "
-                          f"(multiple of steps_per_call={spc})")
-                    setattr(cfg.train, name, rounded)
+        # report/valid/checkpoint fire on interval-boundary CROSSINGS, so no
+        # alignment between intervals, steps_per_call, and the resumed step
+        # counter is required (a resume from step 1003 with valid_every=500
+        # still validates at the dispatch that crosses 1500).
         repl = replicated_sharding(self.mesh)
         self._train_table = (
             jax.device_put(jnp.asarray(train_feats, jnp.float32), repl)
@@ -256,6 +257,13 @@ class Trainer:
             if valid_feats is not None else None
         )
         self.train_step = make_train_step(cfg, model, self.mesh, self._train_table)
+        # single-step path for epoch-boundary remainders of stacked dispatch
+        # (bucket shapes that produced fewer than steps_per_call batches)
+        self.train_step_single = (
+            self.train_step if spc == 1
+            else make_train_step(cfg, model, self.mesh, self._train_table,
+                                 steps_per_call=1)
+        )
         self.eval_step = make_eval_step(cfg, model, self.mesh, self._valid_table)
         self.scheduler = PlateauScheduler(cfg.train)
         self.checkpoint_fn = checkpoint_fn
@@ -288,21 +296,42 @@ class Trainer:
             return tree
 
         if stack == 1:
-            return prefetch(it, size=2, transform=lambda b: jax.device_put(tree_of(b), sh))
+            def no_sentinel(source):
+                for b in source:
+                    if b is not EPOCH_END:
+                        yield b
+
+            return prefetch(no_sentinel(it), size=2,
+                            transform=lambda b: jax.device_put(tree_of(b), sh))
+
+        single_sh = batch_sharding(self.mesh)
 
         def stacked(source):
             # group consecutive same-shape batches so (stack, B, L) leaves
-            # are homogeneous (bucketed shapes vary batch to batch)
+            # are homogeneous (bucketed shapes vary batch to batch); at each
+            # epoch boundary (EPOCH_END sentinel) partial groups flush
+            # through the single-step path so no batch is ever stranded
+            # across epochs (rare bucket shapes would otherwise defer —
+            # or never train — their batches)
             buffers: Dict[tuple, list] = {}
             for b in source:
+                if b is EPOCH_END:
+                    for key in list(buffers):
+                        for t in buffers.pop(key):
+                            yield ("single", t)
+                    continue
                 key = b.src.shape
                 buf = buffers.setdefault(key, [])
                 buf.append(tree_of(b))
                 if len(buf) == stack:
-                    yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                    yield ("stack", jax.tree.map(lambda *xs: np.stack(xs), *buf))
                     buffers[key] = []
 
-        return prefetch(stacked(it), size=2, transform=lambda t: jax.device_put(t, sh))
+        def put(item):
+            kind, t = item
+            return kind, jax.device_put(t, sh if kind == "stack" else single_sh)
+
+        return prefetch(stacked(it), size=2, transform=put)
 
     def train(self, max_steps: Optional[int] = None) -> Statistics:
         return self.train_from(None, max_steps)
@@ -335,13 +364,30 @@ class Trainer:
                 )
             pending.clear()
 
+        def crossed(prev: int, cur: int, interval: int) -> bool:
+            # fires once whenever the step counter crosses an interval
+            # boundary — correct for any steps_per_call and any resumed
+            # step offset (step % interval == 0 can never fire when the
+            # resume point and interval are misaligned with spc)
+            return interval > 0 and (cur // interval) > (prev // interval)
+
         metrics = None
         while step < max_steps:
-            batch = next(data)
-            state, metrics = self.train_step(state, batch)
+            item = next(data)
+            if self._spc == 1:
+                kind, batch = "single", item
+            else:
+                kind, batch = item
+            if kind == "stack":
+                state, metrics = self.train_step(state, batch)
+                prev, step = step, step + self._spc
+            else:
+                state, metrics = self.train_step_single(state, batch)
+                prev, step = step, step + 1
             pending.append(metrics)
-            step += self._spc
-            if step % cfg.report_every == 0:
+            if len(pending) >= 512:  # bound host memory between reports
+                flush()
+            if crossed(prev, step, cfg.report_every):
                 flush()
                 stats.output(step, max_steps, beta=float(metrics["beta"]), lr=float(state.lr))
                 if self.metrics_logger is not None:
@@ -351,7 +397,7 @@ class Trainer:
                          "lr": float(state.lr), "grad_norm": float(metrics["grad_norm"])},
                         prefix="train",
                     )
-            if self.valid_iter is not None and step % cfg.valid_every == 0:
+            if self.valid_iter is not None and crossed(prev, step, cfg.valid_every):
                 flush()
                 val = self.validate(state)
                 if self.bleu_fn is not None:
@@ -364,7 +410,7 @@ class Trainer:
                 self.history.append({"step": step, **val})
                 if self.metrics_logger is not None:
                     self.metrics_logger.log(step, val, prefix="valid")
-            if self.checkpoint_fn is not None and step % cfg.checkpoint_every == 0:
+            if self.checkpoint_fn is not None and crossed(prev, step, cfg.checkpoint_every):
                 self.checkpoint_fn(state, step, {})
         flush()
         self.final_state = state
@@ -374,6 +420,7 @@ class Trainer:
         e = 0
         while True:
             yield from self.train_iter.epoch(e)
+            yield EPOCH_END
             e += 1
 
     def validate(self, state: TrainState) -> Dict[str, float]:
