@@ -161,7 +161,8 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "input_feed": "1", "global_attention": "dot", "z_latent_dim": "4",
         "img_feat_dim": "16", "img_feat_type": "pool5", "use_img_predict": "1",
         "img_loss": "mse", "img_loss_weight": "0.5", "z_cond": "init+input",
-        "compute_dtype": "float32", "use_pallas": "0", "batch_size": "16",
+        "compute_dtype": "float32", "use_pallas": "0", "fused_ce": "1",
+        "batch_size": "16",
         "grad_accum": "1", "steps_per_call": "1", "max_steps": "1",
         "epochs": "0", "optim": "sgd", "learning_rate": "0.123",
         "max_grad_norm": "3.5", "learning_rate_decay": "0.7",

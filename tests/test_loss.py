@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from variational_mmt_tpu.config import ModelConfig, TrainConfig
 from variational_mmt_tpu.models.latent import (
@@ -113,3 +114,93 @@ def test_image_loss_variants():
     # conv features (B, R, D) are region-pooled
     v3 = jnp.stack([v, v], axis=1)[0][None]  # (1, 2, 3)
     np.testing.assert_allclose(float(image_loss(v3, v_hat_same, "mse")[0]), 0.0, atol=1e-6)
+
+
+def _fused_setup(seed=0, N=37, H=24, V=50, eps=0.0):
+    rng = np.random.default_rng(seed)
+    x = jnp.array(rng.standard_normal((N, H)), jnp.float32)
+    W = jnp.array(rng.standard_normal((H, V)) * 0.1, jnp.float32)
+    b = jnp.array(rng.standard_normal(V) * 0.1, jnp.float32)
+    tgt = jnp.array(rng.integers(1, V, N), jnp.int32)  # never PAD
+    mask = jnp.array((rng.random(N) > 0.2).astype(np.float32))
+    return x, W, b, tgt, mask
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.1])
+@pytest.mark.parametrize("chunk", [8, 16, 1024])
+def test_fused_ce_matches_naive(eps, chunk):
+    """fused_generator_ce == generator GEMM + token_ce, values AND grads
+    (chunk sizes cover padding remainders and the single-chunk case)."""
+    from variational_mmt_tpu.ops.fused_ce import fused_generator_ce
+
+    x, W, b, tgt, mask = _fused_setup(eps=eps)
+
+    def naive(x, W, b):
+        logits = (x @ W + b)[None]  # (1, N, V)
+        nll, nll_raw, nc = token_ce(logits, tgt[None], mask[None], eps)
+        return nll[0], nll_raw[0], nc
+
+    def fused(x, W, b):
+        n, r, nc = fused_generator_ce(x, W, b, tgt, mask, eps, chunk)
+        return n.sum(), r.sum(), nc
+
+    n0, r0, nc0 = naive(x, W, b)
+    n1, r1, nc1 = fused_generator_ce(x, W, b, tgt, mask, eps, chunk)
+    np.testing.assert_allclose(float(n1.sum()), float(n0), rtol=1e-5)
+    np.testing.assert_allclose(float(r1.sum()), float(r0), rtol=1e-5)
+    assert float(nc0) == float(nc1)
+
+    # gradient equality wrt x, W, b on a mixed scalar objective
+    def obj_naive(args):
+        n, r, _ = naive(*args)
+        return 1.3 * n + 0.7 * r
+
+    def obj_fused(args):
+        x, W, b = args
+        n, r, _ = fused_generator_ce(x, W, b, tgt, mask, eps, chunk)
+        return 1.3 * n.sum() + 0.7 * r.sum()
+
+    g0 = jax.grad(obj_naive)((x, W, b))
+    g1 = jax.grad(obj_fused)((x, W, b))
+    for a, c in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-4, atol=1e-6)
+
+
+def test_fused_ce_end_to_end_train_step_matches():
+    """A full train step with model fused_ce=True matches fused_ce=False:
+    same loss/metrics and (near-)identical updated params."""
+    from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
+    from variational_mmt_tpu.models.model import build_model
+    from variational_mmt_tpu.train.trainer import create_train_state, make_train_step
+
+    def run(fused):
+        cfg = Config(
+            model=ModelConfig(model_type="vmmt_c", src_vocab_size=30,
+                              tgt_vocab_size=30, emb_dim=16, hidden_dim=32,
+                              enc_layers=1, dec_layers=1, latent_dim=4,
+                              img_feat_dim=16, dropout=0.0, word_dropout=0.0,
+                              compute_dtype="float32", fused_ce=fused),
+            train=TrainConfig(learning_rate=3e-3, label_smoothing=0.1),
+        )
+        model = build_model(cfg.model)
+        state = create_train_state(cfg, model)
+        step = make_train_step(cfg, model)
+        rng = np.random.default_rng(0)
+        B, L = 8, 6
+        batch = {
+            "src": jnp.array(rng.integers(4, 30, (B, L)), jnp.int32),
+            "tgt_in": jnp.array(rng.integers(4, 30, (B, L)), jnp.int32),
+            "tgt_out": jnp.array(rng.integers(4, 30, (B, L)), jnp.int32),
+            "example_mask": jnp.ones((B,), jnp.float32),
+            "img": jnp.array(rng.standard_normal((B, 16)), jnp.float32),
+        }
+        state, m = step(state, batch)
+        return state, m
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["ce_sum"]), float(m0["ce_sum"]), rtol=1e-5)
+    assert float(m0["n_correct"]) == float(m1["n_correct"])
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-6)

@@ -50,6 +50,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("-use_pallas", type=int, default=0,
                    help="fused Pallas GRU kernels for the encoder scans")
+    p.add_argument("-fused_ce", type=int, default=0,
+                   help="fuse generator GEMM + CE (never materializes (B*T,V) logits)")
     p.add_argument("-config", default="",
                    help="JSON Config file; explicit CLI flags override it")
     # optimization
@@ -110,6 +112,7 @@ FLAG2KEY = {
     "z_cond": ("model", "z_cond"),
     "compute_dtype": ("model", "compute_dtype"),
     "use_pallas": ("model", "use_pallas"),
+    "fused_ce": ("model", "fused_ce"),
     "batch_size": ("train", "batch_size"),
     "grad_accum": ("train", "grad_accum"),
     "steps_per_call": ("train", "steps_per_call"),
@@ -189,6 +192,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             z_cond=opt.z_cond,
             compute_dtype=opt.compute_dtype,
             use_pallas=bool(opt.use_pallas),
+            fused_ce=bool(opt.fused_ce),
         ),
         train=TrainConfig(
             seed=opt.seed,

@@ -51,6 +51,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
     use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
     scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
+    fused_ce: bool = False  # fuse the generator GEMM with the softmax-CE in
+    # row chunks (ops/fused_ce.py): the (B*T, V) f32 logits tensor is never
+    # materialized or saved for backward (recompute-in-bwd, Liger-style)
     fused_decoder: bool = False  # custom-VJP decoder scan with hoisted
     # weight-grad einsums (2-layer general-attention input-feed only).
     # Verified exact (grads to 6e-8) but measured NO speedup on v5e — XLA

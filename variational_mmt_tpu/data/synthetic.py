@@ -56,3 +56,118 @@ def make_corpus(
     src_vocab = Vocab(SPECIALS + src_words)
     tgt_vocab = Vocab(SPECIALS + tgt_words)
     return src_lines, tgt_lines, feats, src_vocab, tgt_vocab
+
+
+# ---------------------------------------------------------------------------
+# Discriminative benchmark corpus (round-2 quality gate)
+#
+# The deterministic task above saturates at BLEU ~100, so it can confirm the
+# pipeline learns but cannot *discriminate* — a 1-BLEU defect is invisible at
+# saturation. This harder task is built so that:
+#   - a per-sentence latent "sense" c makes a fraction of source word TYPES
+#     genuinely ambiguous (their translation depends on c, which is NOT
+#     recoverable from the source text) -> the text-only asymptote sits far
+#     below the ceiling;
+#   - the image feature encodes c (plus a bag-of-words summary), so a model
+#     that routes decode-time image information through z (vmmt_c's
+#     conditional prior) can resolve the ambiguity the text-only model can't;
+#   - irreducible target-side token noise caps even the oracle below 100.
+# `oracle_bleu_bounds` computes both asymptotes directly from the data so
+# tests can assert the task is non-saturating by construction.
+# ---------------------------------------------------------------------------
+
+_STRIDE = 11  # sense offset in the target id space
+
+
+def _sense_map(ids: np.ndarray, c: int, n_words: int, amb: np.ndarray) -> np.ndarray:
+    """Per-token translation: affine remap + sense offset on ambiguous types."""
+    return (ids * 7 + 3 + amb[ids] * (c * _STRIDE)) % n_words
+
+
+def _local_reorder(tids: np.ndarray) -> np.ndarray:
+    out = tids.copy()
+    for j in range(0, len(out) - 1, 2):
+        out[j], out[j + 1] = out[j + 1], out[j]
+    return out
+
+
+def make_ambiguous_corpus(
+    n: int,
+    vocab_size: int = 200,
+    n_senses: int = 4,
+    p_ambiguous: float = 0.5,
+    tgt_noise: float = 0.15,
+    min_len: int = 6,
+    max_len: int = 24,
+    img_dim: int = 512,
+    sense_strength: float = 3.0,
+    img_noise: float = 0.5,
+    seed: int = 0,
+):
+    """Returns (src_lines, tgt_lines, feats, src_vocab, tgt_vocab, senses,
+    amb_mask). ``senses``: (n,) int sense id per sentence; ``amb_mask``:
+    (n_words,) 0/1 per source word type."""
+    rng = np.random.default_rng(seed)
+    n_words = vocab_size - len(SPECIALS)
+    src_words = [f"s{i}" for i in range(n_words)]
+    tgt_words = [f"t{i}" for i in range(n_words)]
+    amb = np.zeros(n_words, np.int64)
+    amb[rng.permutation(n_words)[: int(round(p_ambiguous * n_words))]] = 1
+    word_emb = rng.standard_normal((n_words, img_dim)).astype(np.float32)
+    sense_emb = rng.standard_normal((n_senses, img_dim)).astype(np.float32)
+
+    src_lines, tgt_lines = [], []
+    feats = np.zeros((n, img_dim), np.float32)
+    senses = rng.integers(0, n_senses, size=n)
+    for i in range(n):
+        L = int(rng.integers(min_len, max_len + 1))
+        ids = rng.integers(0, n_words, size=L)
+        tids = _local_reorder(_sense_map(ids, int(senses[i]), n_words, amb))
+        # irreducible noise: some gold tokens are random (caps the ceiling)
+        noise_pos = rng.random(L) < tgt_noise
+        tids[noise_pos] = rng.integers(0, n_words, size=int(noise_pos.sum()))
+        src_lines.append([src_words[k] for k in ids])
+        tgt_lines.append([tgt_words[k] for k in tids])
+        feats[i] = (
+            word_emb[ids].mean(axis=0)
+            + sense_strength * sense_emb[int(senses[i])]
+            + img_noise * rng.standard_normal(img_dim).astype(np.float32)
+        )
+    src_vocab = Vocab(SPECIALS + src_words)
+    tgt_vocab = Vocab(SPECIALS + tgt_words)
+    return src_lines, tgt_lines, feats, src_vocab, tgt_vocab, senses, amb
+
+
+def ideal_hypotheses(src_lines, senses, amb, vocab_size=200, fixed_sense=None):
+    """Noise-free model translations of ``src_lines``: with the TRUE sense
+    (oracle / multimodal asymptote) or with a single ``fixed_sense`` (the
+    consistent text-only asymptote — text alone cannot recover c)."""
+    n_words = vocab_size - len(SPECIALS)
+    tgt_words = [f"t{i}" for i in range(n_words)]
+    out = []
+    for i, toks in enumerate(src_lines):
+        ids = np.asarray([int(t[1:]) for t in toks])
+        c = int(senses[i]) if fixed_sense is None else int(fixed_sense)
+        tids = _local_reorder(_sense_map(ids, c, n_words, amb))
+        out.append([tgt_words[k] for k in tids])
+    return out
+
+
+def oracle_bleu_bounds(src_lines, tgt_lines, senses, amb, vocab_size=200):
+    """(oracle_bleu, text_only_bleu): corpus BLEU of the true-sense and the
+    best fixed-sense hypotheses against the (noisy) references. These bound
+    what a perfectly-trained multimodal / text-only model can reach."""
+    from variational_mmt_tpu.evals.bleu import corpus_bleu
+
+    refs = [[r] for r in tgt_lines]
+    oracle = corpus_bleu(
+        ideal_hypotheses(src_lines, senses, amb, vocab_size), refs
+    )["bleu"]
+    text = max(
+        corpus_bleu(
+            ideal_hypotheses(src_lines, senses, amb, vocab_size, fixed_sense=c),
+            refs,
+        )["bleu"]
+        for c in range(int(np.max(senses)) + 1)
+    )
+    return oracle, text

@@ -174,16 +174,18 @@ class GRUDecoder(nn.Module):
         # instead of one per step)
         keys = self.step.attn.project_memory(memory)
 
-        use_fused = (
-            self.fused
-            and self.layers == 2
+        # fused input-feed paths for the flagship 2-layer/general config:
+        # Pallas sequence kernels (use_pallas) or the custom-VJP jax scan
+        # (fused). init uses the generic path so every lazily-created Dense
+        # param exists in the tree.
+        eligible = (
+            self.layers == 2
             and self.attn_type == "general"
-            and not self.is_initializing()  # init uses the generic path so
-            # every lazily-created Dense param exists in the tree
+            and not self.is_initializing()
         )
-        if use_fused:
-            from variational_mmt_tpu.models.fused_decoder import fused_input_feed_decoder
-
+        use_pallas_dec = self.use_pallas and eligible
+        use_fused = self.fused and eligible
+        if use_pallas_dec or use_fused:
             step = self.step
             p_feed = step.ih_feed.variables["params"]["kernel"].astype(self.dtype)
             p_mid = step.ih_mid[0].variables["params"]
@@ -199,14 +201,24 @@ class GRUDecoder(nn.Module):
                     jax.random.bernoulli(self.make_rng("dropout"), keep, (B, T, self.hidden))
                     .astype(self.dtype) / keep
                 )
-            attn_hs, probs = fused_input_feed_decoder(
+            wargs = (
                 emb_proj, dmid, init_hs[0], init_hs[1],
                 p_feed,
                 step.hh_kernels[0].astype(self.dtype), step.hh_biases[0].astype(self.dtype),
                 p_mid["kernel"].astype(self.dtype), p_mid["bias"].astype(self.dtype),
                 step.hh_kernels[1].astype(self.dtype), step.hh_biases[1].astype(self.dtype),
-                keys, mem_v, Wc_q, mask_bias, self.unroll,
+                keys, mem_v, Wc_q, mask_bias,
             )
+            if use_pallas_dec:
+                from variational_mmt_tpu.ops.pallas.decoder import fused_decoder_pallas
+
+                interpret = jax.default_backend() != "tpu"
+                attn_hs, probs = fused_decoder_pallas(*wargs, interpret, 0)
+                attn_hs = attn_hs.astype(self.dtype)
+            else:
+                from variational_mmt_tpu.models.fused_decoder import fused_input_feed_decoder
+
+                attn_hs, probs = fused_input_feed_decoder(*wargs, self.unroll)
             return self.out_drop(attn_hs, deterministic=deterministic), probs
 
         def body(mod, carry, x_t):

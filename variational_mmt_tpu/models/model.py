@@ -152,12 +152,20 @@ class VMMTModel(nn.Module):
             return self.z_input_proj(z.astype(self.dt))
         return None
 
-    def decode_train(self, tgt_in, memory, src_mask, init_hs, z, deterministic: bool):
+    def decode_train(self, tgt_in, memory, src_mask, init_hs, z, deterministic: bool,
+                     return_pre_gen: bool = False):
         emb = self.tgt_embed(tgt_in)
         outs, aligns = self.decoder(
             emb, memory, src_mask, init_hs,
             deterministic=deterministic, extra_input_proj=self.z_extra_proj(z),
         )
+        if return_pre_gen:
+            # fused-CE path: the generator GEMM happens inside the loss
+            # (ops/fused_ce.py); still materialize the generator params at
+            # init time so the checkpoint layout is identical either way
+            if self.is_initializing():
+                self.generator(outs[:, :1])
+            return outs, aligns
         logits = self.generator(outs).astype(jnp.float32)
         return logits, aligns
 
@@ -233,8 +241,14 @@ class VMMTModel(nn.Module):
             tgt_in = jnp.where(drop, UNK, tgt_in)
 
         init_hs = self.init_decoder_state(finals, z)
-        logits, aligns = self.decode_train(tgt_in, memory, src_mask, init_hs, z, deterministic)
-        out["logits"] = logits
+        dec, aligns = self.decode_train(
+            tgt_in, memory, src_mask, init_hs, z, deterministic,
+            return_pre_gen=c.fused_ce,
+        )
+        if c.fused_ce:
+            out["dec_out"] = dec
+        else:
+            out["logits"] = dec
         out["aligns"] = aligns
         return out
 

@@ -95,12 +95,33 @@ def compute_loss(
     mcfg: ModelConfig,
     tcfg: TrainConfig,
     step: jax.Array,
+    generator_params: Optional[Dict[str, jax.Array]] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Scalar training loss (mean per-sentence -ELBO) + metric sums."""
+    """Scalar training loss (mean per-sentence -ELBO) + metric sums.
+
+    ``generator_params``: required when the model ran with ``fused_ce``
+    (out carries pre-generator ``dec_out`` instead of ``logits``); the
+    generator GEMM is then fused into the chunked CE (ops/fused_ce.py)."""
     token_mask = (tgt_out != PAD).astype(jnp.float32) * example_mask[:, None]
-    ce_per_sent, nll_per_sent, n_correct = token_ce(
-        out["logits"], tgt_out, token_mask, tcfg.label_smoothing
-    )
+    if "dec_out" in out:
+        from variational_mmt_tpu.ops.fused_ce import fused_generator_ce
+
+        B, T, H = out["dec_out"].shape
+        cdt = out["dec_out"].dtype
+        nll, nll_raw, n_correct = fused_generator_ce(
+            out["dec_out"].reshape(B * T, H),
+            generator_params["kernel"].astype(cdt),
+            generator_params["bias"],
+            tgt_out.reshape(-1),
+            token_mask.reshape(-1),
+            tcfg.label_smoothing,
+        )
+        ce_per_sent = nll.reshape(B, T).sum(axis=-1)
+        nll_per_sent = nll_raw.reshape(B, T).sum(axis=-1)
+    else:
+        ce_per_sent, nll_per_sent, n_correct = token_ce(
+            out["logits"], tgt_out, token_mask, tcfg.label_smoothing
+        )
     n_sents = jnp.maximum(example_mask.sum(), 1.0)
     n_tokens = token_mask.sum()
 

@@ -93,6 +93,7 @@ def make_train_step(
             return compute_loss(
                 out, micro["tgt_out"], micro["example_mask"], img,
                 cfg.model, cfg.train, state.step,
+                generator_params=params.get("generator") if cfg.model.fused_ce else None,
             )
 
         if accum == 1:
@@ -190,6 +191,9 @@ def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional
         _, metrics = compute_loss(
             out, batch["tgt_out"], batch["example_mask"], img,
             cfg.model, cfg.train, state.step,
+            generator_params=(
+                state.params.get("generator") if cfg.model.fused_ce else None
+            ),
         )
         return metrics
 
