@@ -110,3 +110,74 @@ def test_meteor_stem_matching():
     # "riding" vs "rides" only match via stems
     exact0 = meteor_sentence(["he", "is", "riding"], [["he", "is", "rides"]])
     assert exact0 > meteor_sentence(["he", "is", "xxxxx"], [["he", "is", "rides"]])
+
+
+def test_meteor_chunk_minimizing_alignment():
+    """The aligner must pick the alignment with FEWER chunks when the match
+    count ties — greedy left-to-right picks the wrong one here."""
+    from variational_mmt_tpu.evals.meteor import MeteorScorer
+
+    s = MeteorScorer("original")
+    # hyp 'b b c': greedy matches hyp[0] b -> ref[2] b? No: greedy L-to-R
+    # matches hyp b to the FIRST free ref b, splitting the 'b c' run.
+    # ref: 'a b c', hyp: 'x b c'. One alignment: b->b, c->c contiguous
+    # (2 matches, 1 chunk). There is no ambiguity here; use a real one:
+    # ref: 'b a b c', hyp: 'b c'. Matches: b->ref0 + c->ref3 (2 chunks) OR
+    # b->ref2 + c->ref3 (contiguous, 1 chunk). Beam must choose 1 chunk.
+    m = s._align(["b", "c"], ["b", "a", "b", "c"])
+    assert len(m) == 2
+    assert MeteorScorer._chunks(m) == 1
+    assert sorted((i, j) for i, j, _ in m) == [(0, 2), (1, 3)]
+
+
+def test_meteor_golden_hand_computed():
+    """Hand-computed METEOR (original params a=.9 b=3 g=.5):
+    hyp 'the cat sat', ref 'the cat mat': m=2, P=R=2/3,
+    Fmean = PR/(.9P+.1R) = (2/3)/1.0... = 2/3; chunks=1, frag=1/2,
+    pen = .5*(1/2)^3 = 1/16; score = (1-1/16)*(2/3)."""
+    from variational_mmt_tpu.evals.meteor import meteor_sentence
+
+    got = meteor_sentence(["the", "cat", "sat"], [["the", "cat", "mat"]])
+    p = r = 2.0 / 3.0
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    want = (1 - 0.5 * (1 / 2) ** 3) * fmean
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_meteor_synonym_and_paraphrase_tables():
+    from variational_mmt_tpu.evals.meteor import MeteorScorer
+
+    base = MeteorScorer("original")
+    with_syn = MeteorScorer("original", synonyms={"cat": {"feline"}})
+    hyp, refs = ["the", "cat"], [["the", "feline"]]
+    assert with_syn.sentence(hyp, refs) > base.sentence(hyp, refs)
+    with_para = MeteorScorer("original", paraphrases={"sofa": {"couch"}})
+    assert (with_para.sentence(["sofa"], [["couch"]])
+            > base.sentence(["sofa"], [["couch"]]))
+
+
+def test_meteor_load_table(tmp_path):
+    from variational_mmt_tpu.evals.meteor import load_table
+
+    p = tmp_path / "syn.txt"
+    p.write_text("cat\tfeline kitty\ndog hound\n")
+    t = load_table(str(p))
+    assert t["cat"] == {"feline", "kitty"} and t["dog"] == {"hound"}
+
+
+def test_meteor_15_preset_weighted_golden():
+    """1.5-en preset hand check with a stem match and a function word:
+    hyp 'the cats', ref 'the cat'.
+    Matches: the->the (exact, w=1), cats->cat (stem, w=.6).
+    delta=.75: 'the' is a function word (weight .25), 'cats'/'cat' content
+    (weight .75). w_hyp = w_ref = 1.0;
+    wm = 1*.25 + .6*.75 = .7 -> P = R = .7;
+    Fmean = PR/(.85P+.15R) = .7; chunks=1, m=2, pen = .6*(.5)^.2.
+    """
+    from variational_mmt_tpu.evals.meteor import MeteorScorer
+
+    s = MeteorScorer("1.5-en")
+    got = s.sentence(["the", "cats"], [["the", "cat"]])
+    pen = 0.6 * (0.5 ** 0.2)
+    want = (1 - pen) * 0.7
+    np.testing.assert_allclose(got, want, rtol=1e-9)

@@ -159,7 +159,8 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "word_vec_size": "16", "rnn_size": "32", "enc_layers": "1",
         "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
         "input_feed": "1", "global_attention": "dot", "z_latent_dim": "4",
-        "img_feat_dim": "16", "img_feat_type": "pool5", "use_img_predict": "1",
+        "img_feat_dim": "16", "img_feat_type": "pool5", "img_pool": "mean",
+        "use_img_predict": "1",
         "img_loss": "mse", "img_loss_weight": "0.5", "z_cond": "init+input",
         "compute_dtype": "float32", "use_pallas": "0", "fused_ce": "1",
         "batch_size": "16",

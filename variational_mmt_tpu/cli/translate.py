@@ -48,6 +48,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-iw_eval", type=int, default=0, help="K>0: report K-sample IW-ELBO (needs -tgt)")
     p.add_argument("-report_bleu", action="store_true")
     p.add_argument("-report_meteor", action="store_true")
+    p.add_argument("-meteor_preset", default="original", choices=["original", "1.5-en"])
+    p.add_argument("-meteor_synonyms", default="", help="synonym table file (meteor hook)")
+    p.add_argument("-meteor_paraphrases", default="", help="paraphrase table file (meteor hook)")
     p.add_argument("-seed", type=int, default=1234)
 
 
@@ -113,8 +116,14 @@ def main(argv=None) -> None:
             bleu = corpus_bleu(hyps, [[r] for r in refs])
             print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
         if opt.report_meteor:
-            met = meteor_score(hyps, [[r] for r in refs])
-            print(f"METEOR(exact) = {met['meteor']:.2f}")
+            from variational_mmt_tpu.evals.meteor import load_table
+
+            met = meteor_score(
+                hyps, [[r] for r in refs], preset=opt.meteor_preset,
+                synonyms=load_table(opt.meteor_synonyms) if opt.meteor_synonyms else None,
+                paraphrases=load_table(opt.meteor_paraphrases) if opt.meteor_paraphrases else None,
+            )
+            print(f"METEOR({opt.meteor_preset}) = {met['meteor']:.2f}")
 
         if opt.iw_eval > 0 and model.is_latent:
             tgt_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]

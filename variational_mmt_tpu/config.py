@@ -41,6 +41,8 @@ class ModelConfig:
     latent_dim: int = 128
     img_feat_dim: int = 2048  # ResNet-50 pool5
     img_feat_type: str = "pool5"  # pool5 (global 2048) | conv (49x2048)
+    img_pool: str = "mean"  # conv-region pooling: mean | attn (a
+    # text-conditioned attention over the 49 regions, SURVEY.md §2.1 #6)
     use_img_predict: bool = True  # image-prediction head p(v|z)
     img_loss: str = "logprob"  # logprob | mse | cosine
     img_loss_weight: float = 1.0  # gamma
@@ -66,6 +68,7 @@ class ModelConfig:
         assert self.img_loss in ("logprob", "mse", "cosine"), self.img_loss
         assert self.z_cond in ("init", "init+input"), self.z_cond
         assert self.img_feat_type in ("pool5", "conv"), self.img_feat_type
+        assert self.img_pool in ("mean", "attn"), self.img_pool
 
 
 @dataclass

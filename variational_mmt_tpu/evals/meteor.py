@@ -1,81 +1,204 @@
-"""METEOR (exact + Porter-stem matchers).
+"""METEOR with the meteor-1.5 scoring structure.
 
 The reference reports METEOR via the external Java meteor-1.5 jar
-(SURVEY.md §2.1 #16), which this environment cannot ship. This implements
-the METEOR scoring formula (Lavie & Agarwal 2007) with the exact and
-Porter-stem matcher stages (no WordNet synonym/paraphrase tables): unigram
-precision/recall with recall-weighted harmonic mean and a fragmentation
-penalty over chunks. Scores correlate with but are not identical to
-meteor-1.5; BLEU is the parity gate (BASELINE.md), METEOR is supplementary.
+(SURVEY.md §2.1 #16), which this environment cannot ship (no egress).
+This implements the meteor-1.5 *architecture* (Denkowski & Lavie 2014)
+natively:
+
+- matcher stages in module order: exact, Porter stem, synonym, paraphrase.
+  The synonym/paraphrase stages are load-if-present hooks (``load_table``)
+  — WordNet / the paraphrase tables cannot ship here, so they default to
+  empty (making those stages no-ops) and activate when the user provides
+  table files in meteor's one-mapping-per-line format;
+- one-to-one alignment selected by BEAM SEARCH maximizing matches and then
+  MINIMIZING CHUNKS (meteor's Aligner semantics) — a greedy left-to-right
+  matcher changes both the match set and the fragmentation penalty;
+- weighted precision/recall with per-module weights and the
+  content/function-word distinction (delta);
+- Pen = gamma * (chunks / matches)^beta; score = (1 - Pen) * Fmean.
+
+Parameter presets:
+- ``"original"`` (default): alpha=0.9, beta=3.0, gamma=0.5, delta=1 —
+  Lavie & Agarwal 2007, exactly verifiable by hand (tests do);
+- ``"1.5-en"``: alpha=0.85, beta=0.2, gamma=0.6, delta=0.75 with module
+  weights (1.0, 0.6, 0.8, 0.6) — the recalled meteor-1.5 English tuning.
+  UNVERIFIED against the jar in this environment (zero egress); validate
+  against meteor-1.5 output before citing scores as paper-comparable.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from variational_mmt_tpu.evals.porter import stem
 
+# a standard small English function-word list (meteor-1.5 ships a
+# corpus-derived one; hook: pass your own set to MeteorScorer)
+_DEFAULT_FUNCTION_WORDS = {
+    "a", "an", "the", "and", "or", "but", "if", "of", "at", "by", "for",
+    "with", "about", "to", "from", "in", "on", "is", "am", "are", "was",
+    "were", "be", "been", "being", "it", "its", "this", "that", "these",
+    "those", "as", "not", "no", "so", "than", "too", "very", "can", "will",
+    "just", "do", "does", "did", "has", "have", "had", "he", "she", "they",
+    "we", "you", "i", "his", "her", "their", "our", "your", "my",
+}
 
-def _align(hyp: List[str], ref: List[str]):
-    """Two-stage alignment (meteor module order): exact matches first, then
-    Porter-stem matches over the leftovers. Greedy left-to-right."""
-    used_ref = [False] * len(ref)
-    used_hyp = [False] * len(hyp)
-    matches = []  # (hyp_idx, ref_idx)
-    for i, h in enumerate(hyp):
-        for j, r in enumerate(ref):
-            if not used_ref[j] and h == r:
-                used_ref[j] = True
-                used_hyp[i] = True
-                matches.append((i, j))
-                break
-    hyp_stems = [stem(h) for h in hyp]
-    ref_stems = [stem(r) for r in ref]
-    for i, hs in enumerate(hyp_stems):
-        if used_hyp[i]:
-            continue
-        for j, rs in enumerate(ref_stems):
-            if not used_ref[j] and hs == rs:
-                used_ref[j] = True
-                used_hyp[i] = True
-                matches.append((i, j))
-                break
-    return matches
+_PRESETS = {
+    # delta=0.5 weights content and function words equally (the 2007 scorer
+    # has no content/function distinction; the 0.5/0.5 split cancels out)
+    "original": dict(alpha=0.9, beta=3.0, gamma=0.5, delta=0.5,
+                     weights=(1.0, 1.0, 1.0, 1.0)),
+    "1.5-en": dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+                   weights=(1.0, 0.6, 0.8, 0.6)),
+}
+
+BEAM = 40  # aligner beam width (meteor's own aligner is also beam-limited)
 
 
-def _chunks(matches) -> int:
-    if not matches:
-        return 0
-    matches = sorted(matches)
-    chunks = 1
-    for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
-        if not (i2 == i1 + 1 and j2 == j1 + 1):
-            chunks += 1
-    return chunks
+def load_table(path: str) -> Dict[str, Set[str]]:
+    """Load a synonym/paraphrase table: one ``word<TAB>alt1 alt2 ...`` (or
+    ``word alt``) mapping per line. The hook meteor-1.5 fills from WordNet /
+    its paraphrase DBs."""
+    table: Dict[str, Set[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").replace("\t", " ").split()
+            if len(parts) < 2:
+                continue
+            table.setdefault(parts[0], set()).update(parts[1:])
+    return table
 
 
-def meteor_sentence(hyp: Sequence[str], refs: Sequence[Sequence[str]],
-                    alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    best = 0.0
-    hyp = list(hyp)
-    for ref in refs:
-        ref = list(ref)
-        matches = _align(hyp, ref)
-        m = len(matches)
-        if m == 0 or not hyp or not ref:
-            continue
-        p = m / len(hyp)
-        r = m / len(ref)
-        f_mean = p * r / (alpha * p + (1 - alpha) * r)
-        frag = _chunks(matches) / m
-        penalty = gamma * (frag ** beta)
-        best = max(best, f_mean * (1.0 - penalty))
-    return best
+class MeteorScorer:
+    def __init__(
+        self,
+        preset: str = "original",
+        synonyms: Optional[Dict[str, Set[str]]] = None,
+        paraphrases: Optional[Dict[str, Set[str]]] = None,
+        function_words: Optional[Set[str]] = None,
+        **overrides,
+    ):
+        p = dict(_PRESETS[preset])
+        p.update(overrides)
+        self.alpha = p["alpha"]
+        self.beta = p["beta"]
+        self.gamma = p["gamma"]
+        self.delta = p["delta"]
+        self.weights = p["weights"]
+        self.syn = synonyms or {}
+        self.para = paraphrases or {}
+        self.fwords = (
+            function_words if function_words is not None else _DEFAULT_FUNCTION_WORDS
+        )
+
+    # -- matching ------------------------------------------------------
+    def _match_module(self, h: str, r: str, hs: str, rs: str) -> int:
+        """Lowest matching module index for (hyp word, ref word), -1 if none.
+        Module order: 0 exact, 1 stem, 2 synonym, 3 paraphrase."""
+        if h == r:
+            return 0
+        if hs == rs:
+            return 1
+        if r in self.syn.get(h, ()) or h in self.syn.get(r, ()):
+            return 2
+        if r in self.para.get(h, ()) or h in self.para.get(r, ()):
+            return 3
+        return -1
+
+    def _align(self, hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+        """Beam search over one-to-one alignments: maximize matches, then
+        minimize chunks (then prefer lower-module matches). Returns
+        [(hyp_idx, ref_idx, module)] sorted by hyp_idx."""
+        hst = [stem(h) for h in hyp]
+        rst = [stem(r) for r in ref]
+        cands: List[List[Tuple[int, int]]] = []
+        for i, h in enumerate(hyp):
+            row = []
+            for j, r in enumerate(ref):
+                mod = self._match_module(h, r, hst[i], rst[j])
+                if mod >= 0:
+                    row.append((j, mod))
+            cands.append(row)
+
+        # beam state: (-matches, chunks, mod_sum, used_ref frozenset,
+        #              last (i, j) or None, matches tuple)
+        beams = [(0, 0, 0, frozenset(), None, ())]
+        for i in range(len(hyp)):
+            nxt = []
+            for (negm, ch, ms, used, last, matches) in beams:
+                nxt.append((negm, ch, ms, used, last, matches))  # skip i
+                for (j, mod) in cands[i]:
+                    if j in used:
+                        continue
+                    contiguous = last is not None and i == last[0] + 1 and j == last[1] + 1
+                    nch = ch if contiguous else ch + 1
+                    nxt.append((
+                        negm - 1, nch, ms + mod, used | {j}, (i, j),
+                        matches + ((i, j, mod),),
+                    ))
+            nxt.sort(key=lambda s: (s[0], s[1], s[2]))
+            beams = nxt[:BEAM]
+        return list(beams[0][5])
+
+    # -- scoring -------------------------------------------------------
+    def sentence(self, hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
+        best = 0.0
+        hyp = [h.lower() for h in hyp]
+        for ref in refs:
+            ref = [r.lower() for r in ref]
+            if not hyp or not ref:
+                continue
+            matches = self._align(hyp, ref)
+            m = len(matches)
+            if m == 0:
+                continue
+            d = self.delta
+
+            def weight_of(tok: str) -> float:
+                return d if tok not in self.fwords else (1.0 - d)
+
+            w_hyp = sum(weight_of(t) for t in hyp)
+            w_ref = sum(weight_of(t) for t in ref)
+            wm_hyp = sum(self.weights[mod] * weight_of(hyp[i]) for i, _, mod in matches)
+            wm_ref = sum(self.weights[mod] * weight_of(ref[j]) for _, j, mod in matches)
+            if w_hyp == 0 or w_ref == 0:
+                continue
+            p = wm_hyp / w_hyp
+            r = wm_ref / w_ref
+            if p == 0 or r == 0:
+                continue
+            f_mean = p * r / (self.alpha * p + (1 - self.alpha) * r)
+            frag = self._chunks(matches) / m
+            penalty = self.gamma * (frag ** self.beta)
+            best = max(best, f_mean * (1.0 - penalty))
+        return best
+
+    @staticmethod
+    def _chunks(matches: List[Tuple[int, int, int]]) -> int:
+        if not matches:
+            return 0
+        ms = sorted((i, j) for i, j, _ in matches)
+        chunks = 1
+        for (i1, j1), (i2, j2) in zip(ms, ms[1:]):
+            if not (i2 == i1 + 1 and j2 == j1 + 1):
+                chunks += 1
+        return chunks
+
+    def corpus(
+        self,
+        hypotheses: Sequence[Sequence[str]],
+        references: Sequence[Sequence[Sequence[str]]],
+    ) -> Dict[str, float]:
+        scores = [self.sentence(h, r) for h, r in zip(hypotheses, references)]
+        return {"meteor": 100.0 * (sum(scores) / max(1, len(scores)))}
 
 
-def meteor_score(
-    hypotheses: Sequence[Sequence[str]],
-    references: Sequence[Sequence[Sequence[str]]],
-) -> Dict[str, float]:
-    scores = [meteor_sentence(h, r) for h, r in zip(hypotheses, references)]
-    return {"meteor": 100.0 * (sum(scores) / max(1, len(scores)))}
+# -- module-level API (back-compat with round-1 callers) ----------------
+def meteor_sentence(hyp, refs, alpha: float = 0.9, beta: float = 3.0,
+                    gamma: float = 0.5) -> float:
+    return MeteorScorer("original", alpha=alpha, beta=beta, gamma=gamma).sentence(hyp, refs)
+
+
+def meteor_score(hypotheses, references, preset: str = "original",
+                 **kw) -> Dict[str, float]:
+    return MeteorScorer(preset, **kw).corpus(hypotheses, references)

@@ -78,6 +78,28 @@ class ConditionalPrior(nn.Module):
         return GaussianHead(self.latent_dim, self.hidden, 1, self.min_sigma, self.dtype, name="head")(x)
 
 
+class RegionAttentionPool(nn.Module):
+    """Attention pooling over conv-feature regions (SURVEY.md §2.1 #6: the
+    7x7x2048 *local* feature variant): a text-conditioned additive attention
+    over the R regions replaces the structure-collapsing mean-pool, so
+    q(z|x,y,v) / p(z|x,v) can weight the image regions the sentence is
+    about. Enabled via ``ModelConfig.img_pool='attn'``."""
+
+    hidden: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jax.Array, query: jax.Array) -> jax.Array:
+        """img (B, R, D), query (B, H) -> (B, D) pooled features."""
+        k = nn.Dense(self.hidden, dtype=self.dtype, name="key")(img.astype(self.dtype))
+        q = nn.Dense(self.hidden, dtype=self.dtype, name="query")(query)
+        scores = nn.Dense(1, use_bias=False, dtype=self.dtype, name="v")(
+            jnp.tanh(k + q[:, None, :])
+        )[..., 0]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        return (probs[..., None] * img.astype(jnp.float32)).sum(axis=1)
+
+
 class ImagePredictor(nn.Module):
     """p(v|z): MLP z -> image-feature vector (2048-d pool5 by default)."""
 

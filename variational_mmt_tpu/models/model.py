@@ -35,6 +35,7 @@ from variational_mmt_tpu.models.latent import (
     ConditionalPrior,
     ImagePredictor,
     InferenceNetwork,
+    RegionAttentionPool,
     reparameterize,
 )
 
@@ -88,6 +89,10 @@ class VMMTModel(nn.Module):
                 )
             if c.use_img_predict:
                 self.img_predictor = ImagePredictor(c.img_feat_dim, c.hidden_dim, dt, name="img_pred")
+            if c.img_pool == "attn":
+                self.region_pool = RegionAttentionPool(
+                    min(256, c.hidden_dim), dt, name="region_pool"
+                )
             if c.z_cond == "init+input":
                 self.z_input_proj = nn.Dense(3 * c.hidden_dim, use_bias=False, dtype=dt, name="z_input_proj")
 
@@ -109,11 +114,16 @@ class VMMTModel(nn.Module):
         memory, finals = self.encoder(emb, src_mask, deterministic=deterministic)
         return memory, finals, src_mask, masked_mean(memory, src_mask)
 
-    def _img_in(self, img: Optional[jax.Array]) -> Optional[jax.Array]:
+    def _img_in(self, img: Optional[jax.Array], query: Optional[jax.Array] = None) -> Optional[jax.Array]:
         if img is None:
             return None
-        if img.ndim == 3:  # conv features (B, R, D) -> mean-pool regions
-            img = img.mean(axis=1)
+        if img.ndim == 3:  # conv features (B, R, D)
+            if self.cfg.img_pool == "attn" and query is not None:
+                # text-conditioned attention over the local regions keeps
+                # the 7x7 spatial structure usable (SURVEY.md §2.1 #6)
+                img = self.region_pool(img, query)
+            else:
+                img = img.mean(axis=1)
         return img
 
     def posterior(self, src_summary, tgt: jax.Array, img, deterministic: bool = True):
@@ -122,13 +132,13 @@ class VMMTModel(nn.Module):
         emb = self.tgt_embed(tgt)
         tgt_enc, _ = self.tgt_encoder(emb, tgt_mask, deterministic=deterministic)
         tgt_summary = masked_mean(tgt_enc, tgt_mask)
-        return self.infnet(src_summary, tgt_summary, self._img_in(img))
+        return self.infnet(src_summary, tgt_summary, self._img_in(img, src_summary))
 
     def prior_params(self, src_summary, img):
         """(mu_p, sigma_p): learned for vmmt_c, N(0, I) for vmmt_f."""
         B = src_summary.shape[0]
         if self.cfg.model_type == "vmmt_c":
-            return self.prior_net(src_summary, self._img_in(img))
+            return self.prior_net(src_summary, self._img_in(img, src_summary))
         z_shape = (B, self.cfg.latent_dim)
         return jnp.zeros(z_shape, jnp.float32), jnp.ones(z_shape, jnp.float32)
 
@@ -264,7 +274,13 @@ def init_params(model: VMMTModel, rng: jax.Array, batch_size: int = 2, seq_len: 
     c = model.cfg
     src = jnp.ones((batch_size, seq_len), jnp.int32)
     tgt_in = jnp.ones((batch_size, seq_len), jnp.int32)
-    img = jnp.ones((batch_size, c.img_feat_dim), jnp.float32) if model.is_latent or c.use_img_predict else None
+    img = None
+    if model.is_latent or c.use_img_predict:
+        # conv features are (B, R, D): init with the 3-D shape so the
+        # region-pooling params (img_pool='attn') materialize
+        shape = ((batch_size, 2, c.img_feat_dim) if c.img_feat_type == "conv"
+                 else (batch_size, c.img_feat_dim))
+        img = jnp.ones(shape, jnp.float32)
 
     def _init(k1, k2, k3, k4):
         return model.init(
