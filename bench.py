@@ -50,8 +50,9 @@ def main() -> None:
             emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2,
             latent_dim=128, img_feat_dim=2048, dropout=0.3, word_dropout=0.1,
             compute_dtype="bfloat16" if on_tpu else "float32",
-            use_pallas=on_tpu,  # fused GRU encoder kernels
+            use_pallas=on_tpu,  # fused GRU encoder + input-feed decoder kernels
             scan_unroll=4 if on_tpu else 1,  # decoder loop unrolling
+            fused_ce=on_tpu,  # generator GEMM fused into the chunked CE
         ),
         train=TrainConfig(batch_size=B, learning_rate=4e-4),
     )
@@ -103,6 +104,34 @@ def main() -> None:
 
     tok_per_sec = n_tokens * n_steps / dt
     per_chip = tok_per_sec / n_dev
+    step_s = dt / n_steps
+
+    # analytic MFU (matmul FLOPs only -> conservative); peak overridable
+    # for non-v5e chips via VMMT_PEAK_FLOPS
+    from variational_mmt_tpu.utils.flops import V5E_BF16_PEAK, train_step_flops
+
+    peak = float(os.environ.get("VMMT_PEAK_FLOPS", V5E_BF16_PEAK))
+    flops = train_step_flops(cfg.model, B, L, L)
+    mfu = flops / step_s / (peak * n_dev) if on_tpu else 0.0
+
+    # --- beam-4 decode throughput (same flagship checkpoint) ---
+    from variational_mmt_tpu.config import DecodeConfig
+    from variational_mmt_tpu.decode.translator import make_translate_fn
+
+    DB, DS = (64, 24) if on_tpu else (8, 8)
+    dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 12, batch_size=DB)
+    tfn = jax.jit(make_translate_fn(model, dcfg))
+    dsrc = jnp.asarray(rng.integers(4, 10000, (DB, DS)), jnp.int32)
+    dimg = jnp.asarray(rng.standard_normal((DB, 2048)), jnp.float32)
+    toks, _ = tfn(state.params, dsrc, dimg)
+    toks.block_until_ready()
+    n_dec = 10 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(n_dec):
+        toks, _ = tfn(state.params, dsrc, dimg)
+    float(toks.sum())  # full drain (axon: scalar block under-reports)
+    dec_dt = time.time() - t0
+    dec_sent_s = DB * n_dec / dec_dt
 
     # First real-TPU measurement of this rebuild becomes the baseline the
     # driver tracks across rounds (reference published no perf numbers).
@@ -118,9 +147,11 @@ def main() -> None:
         "n_devices": n_dev,
         "global_batch": B,
         "seq_len": L,
-        "step_ms": round(1000 * dt / n_steps, 2),
+        "step_ms": round(1000 * step_s, 2),
+        "mfu": round(mfu, 4),
+        "decode_beam4_sent_per_sec": round(dec_sent_s, 1),
         "compile_s": round(compile_s, 1),
-        "model": ("vmmt_c 500/500x2+2 z128 bf16 pallas" if on_tpu
+        "model": ("vmmt_c 500/500x2+2 z128 bf16 pallas+fusedce" if on_tpu
                   else "vmmt_c 500/500x2+2 z128 f32"),
     }))
 

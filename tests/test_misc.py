@@ -190,3 +190,45 @@ def test_metrics_logger(tmp_path):
     assert recs[0]["train/ppl"] == 3.5 and recs[0]["step"] == 10
     assert recs[1]["bleu"] == 30.0
     MetricsLogger(None).log(1, {"x": 1.0})  # disabled logger is a no-op
+
+
+def test_tensorboard_writer_roundtrip(tmp_path):
+    """Native tfevents writer: frames round-trip through our own parser with
+    CRC32C verification, and crc32c matches a known vector."""
+    import glob
+    from variational_mmt_tpu.utils.tensorboard import (
+        TensorBoardWriter, crc32c, read_events,
+    )
+
+    # RFC 3720 test vector: crc32c of 32 zero bytes
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    d = str(tmp_path / "tb")
+    w = TensorBoardWriter(d)
+    w.log(10, {"ppl": 3.5, "kl": 1.25}, prefix="train")
+    w.log(20, {"bleu": 30.5})
+    w.close()
+    files = glob.glob(d + "/events.out.tfevents.*")
+    assert len(files) == 1
+    events = read_events(files[0])
+    # first record is the file_version header (step 0, no scalars)
+    assert events[0] == (0, {})
+    assert events[1][0] == 10
+    np.testing.assert_allclose(events[1][1]["train/ppl"], 3.5)
+    np.testing.assert_allclose(events[1][1]["train/kl"], 1.25)
+    assert events[2] == (20, {"bleu": 30.5})
+
+    # disabled writer is a no-op
+    TensorBoardWriter(None).log(1, {"x": 1.0})
+
+
+def test_metrics_logger_tensorboard_integration(tmp_path):
+    import glob
+    from variational_mmt_tpu.utils.metrics_log import MetricsLogger
+    from variational_mmt_tpu.utils.tensorboard import read_events
+
+    log = MetricsLogger(str(tmp_path / "m.jsonl"), str(tmp_path / "tb"))
+    log.log(5, {"loss": 2.0}, prefix="train")
+    log.close()
+    events = read_events(glob.glob(str(tmp_path / "tb") + "/events.*")[0])
+    assert events[1][0] == 5 and events[1][1]["train/loss"] == 2.0

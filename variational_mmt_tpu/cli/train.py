@@ -83,6 +83,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-buckets", default="16,24,32,48,64")
     p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
     p.add_argument("-metrics_log", default="", help="JSONL scalar log path (ELBO decomposition)")
+    p.add_argument("-tensorboard_dir", default="",
+                   help="TensorBoard scalar event dir (native writer, no TF dependency)")
     p.add_argument("-profile_dir", default="", help="jax.profiler trace directory")
     p.add_argument("-valid_bleu", type=int, default=0,
                    help="1: also report greedy BLEU on the validation set at each validation")
@@ -142,7 +144,8 @@ FLAG2KEY = {
 # flags that configure the run but have no Config field
 RUNTIME_FLAGS = {
     "save_model", "train_img_feats", "valid_img_feats", "train_from",
-    "config", "metrics_log", "profile_dir", "valid_bleu", "valid_iw",
+    "config", "metrics_log", "tensorboard_dir", "profile_dir", "valid_bleu",
+    "valid_iw",
 }
 
 
@@ -298,7 +301,8 @@ def main(argv=None) -> None:
     from variational_mmt_tpu.utils.metrics_log import MetricsLogger
     from variational_mmt_tpu.utils.profiling import trace
 
-    logger = MetricsLogger(opt.metrics_log) if opt.metrics_log else None
+    logger = (MetricsLogger(opt.metrics_log, opt.tensorboard_dir)
+              if (opt.metrics_log or opt.tensorboard_dir) else None)
 
     bleu_fn = None
     if opt.valid_bleu and valid_ds is not None:
