@@ -42,7 +42,10 @@ def main() -> None:
     n_dev = len(jax.devices())
     on_tpu = platform == "tpu"
 
-    B = 256 if on_tpu else 32  # global batch (sentences)
+    # B=256 is the training-realistic default; B=512 is the measured
+    # throughput sweet spot (docs/perf_notes.md #3) — override to compare:
+    #   VMMT_BENCH_BATCH=512 python bench.py
+    B = int(os.environ.get("VMMT_BENCH_BATCH", 256 if on_tpu else 32))
     L = 32  # bucket length (covers Multi30k's ~20-token BPE sentences)
     cfg = Config(
         model=ModelConfig(
