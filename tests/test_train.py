@@ -46,10 +46,13 @@ def test_overfit_single_batch(model_type):
     step = make_train_step(cfg, model)
     batch = make_batch()
     losses = []
-    for _ in range(30):
+    for _ in range(80):
         state, m = step(state, batch)
         losses.append(float(m["ce_sum"]) / float(m["n_tokens"]))
-    assert losses[-1] < losses[0] * 0.7, f"{model_type}: no learning {losses[0]} -> {losses[-1]}"
+    # genuinely memorizing, not "barely learning": measured ratio after 80
+    # single-batch steps is ~0.16 for all three families; 0.35 leaves 2x
+    # headroom while failing any model that merely drifts downhill
+    assert losses[-1] < losses[0] * 0.35, f"{model_type}: no learning {losses[0]} -> {losses[-1]}"
     assert np.isfinite(losses).all()
 
 

@@ -12,8 +12,15 @@ This harness trains nmt / vmmt_f / vmmt_c on the *ambiguous* synthetic task
 over multiple seeds, and reports mean +/- sd test BLEU per model. It can
 also inject deliberate defects to prove the gate detects them:
 
-  kl_off      beta=1 from step 0 (no KL annealing) -> posterior collapse
-  attn_shift  off-by-one attention mask (rolls src_mask by one position)
+  kl_off      beta=1 from step 0 (no KL annealing). Measured round 2: NOT
+              detectable here (+3.4, within seed noise) — with the p(v|z)
+              image objective anchoring z, annealing isn't load-bearing on
+              this task. Kept for documentation.
+  attn_shift  DECODE-TIME-ONLY off-by-one: attention reads the source
+              memory rolled by one position at decode (training is clean).
+              The classic train/decode mismatch bug class.
+  z_zero      DECODE-TIME-ONLY latent-substitution bug: decode uses z=0
+              instead of the conditional prior mean.
   alpha0      beam length penalty disabled at decode
 
 Usage:
@@ -75,17 +82,41 @@ def build_cfg(model_type, seed, steps, platform, args):
 
 
 def apply_attn_shift_defect():
-    """Monkeypatch: roll the attention mask by one source position —
-    simulates the classic off-by-one masking bug the gate must detect."""
+    """DECODE-TIME monkeypatch: the attention SCORES are computed against
+    keys rolled one source position while the context values stay in place
+    — i.e., the alignment found for source word i fetches word i±1's
+    content. (Rolling keys AND values together is a no-op: content-based
+    attention is permutation-equivariant — measured 53.1 vs clean 52.1.)
+    Training-time variants of consistent shifts are *learnable*, so the
+    gate injects the decode-time form, where this bug class actually
+    bites."""
     import jax.numpy as jnp
     from variational_mmt_tpu.models import attention as attn_mod
 
     orig = attn_mod.GlobalAttention.__call__
 
     def buggy(self, query, memory, src_mask, keys=None):
-        return orig(self, query, memory, jnp.roll(src_mask, 1, axis=-1), keys)
+        keys = self.project_memory(memory) if keys is None else keys
+        return orig(self, query, memory, src_mask, jnp.roll(keys, 1, axis=1))
 
     attn_mod.GlobalAttention.__call__ = buggy
+    return lambda: setattr(attn_mod.GlobalAttention, "__call__", orig)
+
+
+def apply_z_zero_defect():
+    """DECODE-TIME monkeypatch: latent-mean substitution returns 0 instead
+    of the conditional prior mean (the bug that would silently turn vmmt_c
+    decode into vmmt_f decode)."""
+    import jax.numpy as jnp
+    from variational_mmt_tpu.models import model as model_mod
+
+    orig = model_mod.VMMTModel.prior_latent
+
+    def buggy(self, src_summary, img):
+        return jnp.zeros_like(orig(self, src_summary, img))
+
+    model_mod.VMMTModel.prior_latent = buggy
+    return lambda: setattr(model_mod.VMMTModel, "prior_latent", orig)
 
 
 def run_one(model_type, seed, data, args, platform):
@@ -110,6 +141,13 @@ def run_one(model_type, seed, data, args, platform):
     trainer.train()
     train_s = time.time() - t0
 
+    # decode-time-only defects activate AFTER clean training
+    undo = None
+    if args.defect == "attn_shift":
+        undo = apply_attn_shift_defect()
+    elif args.defect == "z_zero":
+        undo = apply_z_zero_defect()
+
     dcfg = DecodeConfig(
         beam_size=4, max_length=40, batch_size=args.batch_size,
         alpha=0.0 if args.defect == "alpha0" else 0.6,
@@ -130,6 +168,8 @@ def run_one(model_type, seed, data, args, platform):
         va_feats if model_type != "nmt" else None,
     )
     vbleu = corpus_bleu([tv.decode(nb[0][1]) for nb in out_v], [[r] for r in va_tgt])["bleu"]
+    if undo is not None:
+        undo()
     return {"model": model_type, "seed": seed, "defect": args.defect,
             "test_bleu": round(bleu, 2), "valid_bleu": round(vbleu, 2),
             "steps": args.steps, "train_s": round(train_s, 1),
@@ -141,7 +181,7 @@ def main():
     p.add_argument("-models", default="nmt,vmmt_f,vmmt_c")
     p.add_argument("-seeds", default="11,12,13")
     p.add_argument("-defect", default="none",
-                   choices=["none", "kl_off", "attn_shift", "alpha0"])
+                   choices=["none", "kl_off", "attn_shift", "z_zero", "alpha0"])
     p.add_argument("-n_train", type=int, default=6000)
     p.add_argument("-n_valid", type=int, default=300)
     p.add_argument("-n_test", type=int, default=500)
@@ -166,9 +206,6 @@ def main():
     if platform == "axon":
         platform = "tpu"
     print(f"platform: {platform}")
-
-    if args.defect == "attn_shift":
-        apply_attn_shift_defect()
 
     from variational_mmt_tpu.data.synthetic import (
         make_ambiguous_corpus, oracle_bleu_bounds,

@@ -52,6 +52,9 @@ class ModelConfig:
     # --- TPU-specific ---
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
     use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
+    pallas_decoder: bool = True  # when use_pallas: also fuse the eligible
+    # input-feed decoder (ops/pallas/decoder.py); False isolates the
+    # encoder kernels for ablation
     scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
     fused_ce: bool = False  # fuse the generator GEMM with the softmax-CE in
     # row chunks (ops/fused_ce.py): the (B*T, V) f32 logits tensor is never

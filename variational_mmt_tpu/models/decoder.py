@@ -108,6 +108,7 @@ class GRUDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     unroll: int = 1
     use_pallas: bool = False
+    pallas_decoder: bool = True  # gate the fused decoder kernel separately
     fused: bool = False  # custom-VJP scan (models/fused_decoder.py) when eligible
 
     def setup(self):
@@ -183,7 +184,7 @@ class GRUDecoder(nn.Module):
             and self.attn_type == "general"
             and not self.is_initializing()
         )
-        use_pallas_dec = self.use_pallas and eligible
+        use_pallas_dec = self.use_pallas and self.pallas_decoder and eligible
         use_fused = self.fused and eligible
         if use_pallas_dec or use_fused:
             step = self.step

@@ -63,7 +63,8 @@ class VMMTModel(nn.Module):
         )
         self.decoder = GRUDecoder(
             c.hidden_dim, c.dec_layers, c.dropout, c.attn_type, c.input_feed, dt,
-            c.scan_unroll, c.use_pallas, c.fused_decoder, name="decoder"
+            c.scan_unroll, c.use_pallas, c.pallas_decoder, c.fused_decoder,
+            name="decoder"
         )
         # generator GEMM in compute dtype (bf16 on MXU is ~several-fold
         # faster than an f32 3-pass matmul); logits upcast to f32 for the
