@@ -57,11 +57,16 @@ def main() -> None:
             scan_unroll=4 if on_tpu else 1,  # decoder loop unrolling
             fused_ce=on_tpu,  # generator GEMM fused into the chunked CE
         ),
-        train=TrainConfig(batch_size=B, learning_rate=4e-4),
+        # steps_per_call matches the recommended training config (multi-step
+        # lax.scan dispatch amortizes per-dispatch host/RPC latency — the
+        # same program a real -steps_per_call 8 run executes)
+        train=TrainConfig(batch_size=B, learning_rate=4e-4,
+                          steps_per_call=int(os.environ.get("VMMT_BENCH_SPC", 8 if on_tpu else 1))),
     )
     model = build_model(cfg.model)
     mesh = make_mesh()
     state = create_train_state(cfg, model)
+    spc = max(1, cfg.train.steps_per_call)
     step = make_train_step(cfg, model, mesh)
 
     rng = np.random.default_rng(0)
@@ -80,8 +85,15 @@ def main() -> None:
         "example_mask": jnp.ones((B,), jnp.float32),
         "img": jnp.asarray(rng.standard_normal((B, 2048)), jnp.float32),
     }
-    batch = jax.device_put(batch, batch_sharding(mesh))
-    n_tokens = int((tgt != 0).sum())
+    if spc > 1:
+        # stacked (spc, B, ...) batches, second axis sharded (trainer layout)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (spc,) + x.shape), batch)
+        batch = jax.device_put(batch, NamedSharding(mesh, P(None, "data")))
+    else:
+        batch = jax.device_put(batch, batch_sharding(mesh))
+    n_tokens = int((tgt != 0).sum()) * spc
 
     def drain(s):
         # force FULL materialization: under the axon remote client,
@@ -98,16 +110,18 @@ def main() -> None:
         state, m = step(state, batch)
     drain(state)
 
-    n_steps = 30 if on_tpu else 10
+    n_calls = (32 if on_tpu else 10) // spc if spc > 1 else (30 if on_tpu else 10)
+    n_calls = max(2, n_calls)
     t0 = time.time()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         state, m = step(state, batch)
     drain(state)
     dt = time.time() - t0
 
-    tok_per_sec = n_tokens * n_steps / dt
+    n_opt_steps = n_calls * spc
+    tok_per_sec = n_tokens * n_calls / dt
     per_chip = tok_per_sec / n_dev
-    step_s = dt / n_steps
+    step_s = dt / n_opt_steps
 
     # analytic MFU (matmul FLOPs only -> conservative); peak overridable
     # for non-v5e chips via VMMT_PEAK_FLOPS
@@ -151,6 +165,7 @@ def main() -> None:
         "global_batch": B,
         "seq_len": L,
         "step_ms": round(1000 * step_s, 2),
+        "steps_per_call": spc,
         "mfu": round(mfu, 4),
         "decode_beam4_sent_per_sec": round(dec_sent_s, 1),
         "compile_s": round(compile_s, 1),

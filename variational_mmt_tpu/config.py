@@ -52,9 +52,12 @@ class ModelConfig:
     # --- TPU-specific ---
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
     use_pallas: bool = False  # fused Pallas GRU kernels for encoder scans
-    pallas_decoder: bool = True  # when use_pallas: also fuse the eligible
-    # input-feed decoder (ops/pallas/decoder.py); False isolates the
-    # encoder kernels for ablation
+    pallas_decoder: bool = False  # when use_pallas: also fuse the eligible
+    # input-feed decoder (ops/pallas/decoder.py). Default OFF: measured
+    # ~20% SLOWER than the XLA scan at flagship shape (fwd 2.4 vs 2.0 ms,
+    # grad 5.4 vs 4.5) because the VMEM-resident keys/mem_v force ~64-row
+    # batch chunks, multiplying the serial chain 4x. Kept (exactness-tested)
+    # for shapes with small S*H where the whole batch fits.
     scan_unroll: int = 1  # lax.scan unroll factor for the recurrences
     fused_ce: bool = False  # fuse the generator GEMM with the softmax-CE in
     # row chunks (ops/fused_ce.py): the (B*T, V) f32 logits tensor is never

@@ -111,7 +111,11 @@ def _dec_fwd_kernel(
     hp1 = jnp.dot(h1.astype(cdt), wh1_ref[:], preferred_element_type=f32) + bh1_ref[0]
     h1n = _gru_fwd_math(x1, hp1, h1)
 
-    # general attention over the resident pre-projected memory
+    # general attention over the resident pre-projected memory. NOTE:
+    # batched dot_general does not lower in Mosaic here (no lhs
+    # non-contracting dim -> parse error; adding a singleton dim -> an
+    # unsupported shape cast), so the contractions are explicit
+    # broadcast-multiply-reduces on the VPU.
     scores = (h1n[:, None, :].astype(cdt) * k_ref[:]).sum(-1, dtype=f32)
     scores = scores + mb_ref[:]
     scores = scores - scores.max(axis=-1, keepdims=True)
@@ -123,10 +127,12 @@ def _dec_fwd_kernel(
     h0_scr[:] = h0n
     h1_scr[:] = h1n
     f_scr[:] = attn
-    attn_ref[0] = attn
-    h0s_ref[0] = h0n
-    h1s_ref[0] = h1n
-    pr_ref[0] = probs
+    # activation streams saved in the compute dtype (bf16 halves the
+    # HBM write traffic; the jax reference path saves in dt as well)
+    attn_ref[0] = attn.astype(attn_ref.dtype)
+    h0s_ref[0] = h0n.astype(h0s_ref.dtype)
+    h1s_ref[0] = h1n.astype(h1s_ref.dtype)
+    pr_ref[0] = probs.astype(pr_ref.dtype)
 
 
 def _fwd_rows(H: int, S: int, itemsize: int) -> int:
@@ -186,10 +192,10 @@ def decoder_fwd_pallas(
         out_specs=[step3((1, B, H)), step3((1, B, H)), step3((1, B, H)),
                    step3((1, B, S))],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, S), f32),
+            jax.ShapeDtypeStruct((T, B, H), keys.dtype),
+            jax.ShapeDtypeStruct((T, B, H), keys.dtype),
+            jax.ShapeDtypeStruct((T, B, H), keys.dtype),
+            jax.ShapeDtypeStruct((T, B, S), keys.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), f32)] * 3,
         interpret=interpret,
@@ -231,30 +237,30 @@ def _dec_bwd_kernel(
         df_scr[:] = jnp.zeros_like(df_scr)
 
     cdt = wf_ref.dtype
-    attn = attn_ref[0]
+    attn = attn_ref[0].astype(f32)
     da = da_ref[0] + df_scr[:]
     pre = (1.0 - attn * attn) * da
     dq = jnp.dot(pre.astype(cdt), wcq_ref[:].T, preferred_element_type=f32)
     dprobs = (pre[:, None, :].astype(cdt) * mv_ref[:]).sum(-1, dtype=f32) + dpr_ref[0]
-    prf = pr_ref[0]
+    prf = pr_ref[0].astype(f32)
     dscores = prf * (dprobs - (dprobs * prf).sum(-1, keepdims=True))
     dh1n = dq + (dscores[:, :, None].astype(cdt) * k_ref[:]).sum(1, dtype=f32) + dh1_scr[:]
 
-    h0n = h0s_ref[0]
+    h0n = h0s_ref[0].astype(f32)
     dm = dm_ref[0].astype(f32)
     mid = dm * h0n
     x1 = jnp.dot(mid.astype(cdt), wm_ref[:], preferred_element_type=f32) + bm_ref[0]
-    h1prev = jnp.where(first_t, h01_ref[:], h1p_ref[0])
+    h1prev = jnp.where(first_t, h01_ref[:], h1p_ref[0].astype(f32))
     hp1 = jnp.dot(h1prev.astype(cdt), wh1_ref[:], preferred_element_type=f32) + bh1_ref[0]
     dx1, dhp1, dh1prev = _gru_bwd_math(dh1n, x1, hp1, h1prev)
     dh1prev = dh1prev + jnp.dot(dhp1.astype(cdt), wh1_ref[:].T, preferred_element_type=f32)
 
     dh0n = dm * jnp.dot(dx1.astype(cdt), wm_ref[:].T, preferred_element_type=f32) + dh0_scr[:]
-    fprev = jnp.where(first_t, jnp.zeros_like(attn), fp_ref[0])
+    fprev = jnp.where(first_t, jnp.zeros_like(attn), fp_ref[0].astype(f32))
     x0 = ep_ref[0].astype(f32) + jnp.dot(
         fprev.astype(cdt), wf_ref[:], preferred_element_type=f32
     )
-    h0prev = jnp.where(first_t, h00_ref[:], h0p_ref[0])
+    h0prev = jnp.where(first_t, h00_ref[:], h0p_ref[0].astype(f32))
     hp0 = jnp.dot(h0prev.astype(cdt), wh0_ref[:], preferred_element_type=f32) + bh0_ref[0]
     dx0, dhp0, dh0prev = _gru_bwd_math(dh0n, x0, hp0, h0prev)
     dh0prev = dh0prev + jnp.dot(dhp0.astype(cdt), wh0_ref[:].T, preferred_element_type=f32)
@@ -276,8 +282,11 @@ def _dec_bwd_kernel(
 
 
 def _bwd_rows(H: int, S: int, itemsize: int) -> int:
+    # streams: ~11 input blocks (mostly bf16) + 4x (B,3H) f32 local-grad
+    # outputs, double-buffered; measured: 40 rows at H=500/S=32/bf16
+    # overflows the 16 MB VMEM by 0.5 MB, 32 fits
     budget = 5 * 1024 * 1024
-    per_row = 2 * S * H * itemsize + 100 * H
+    per_row = 2 * S * H * itemsize + 150 * H
     rows = budget // max(per_row, 1)
     return max(8, min(256, (rows // 8) * 8))
 
