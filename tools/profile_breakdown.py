@@ -41,12 +41,14 @@ def main():
     variants = [
         ("full vmmt_c", dict()),
         ("full + pallas GRU encoders", dict(use_pallas=True, pallas_decoder=False)),
-        ("full + pallas enc+dec", dict(use_pallas=True)),
-        ("full + pallas enc+dec + fused_ce", dict(use_pallas=True, fused_ce=True)),
+        ("full + pallas enc+dec", dict(use_pallas=True, pallas_decoder=True)),
+        ("full + pallas enc+dec + fused_ce", dict(use_pallas=True, pallas_decoder=True, fused_ce=True)),
         ("full + fused_ce only", dict(fused_ce=True)),
         ("full + pallas enc + unroll4", dict(use_pallas=True, pallas_decoder=False,
                                              scan_unroll=4)),
         ("full + pallas enc+dec + fused_ce + unroll4",
+         dict(use_pallas=True, pallas_decoder=True, fused_ce=True, scan_unroll=4)),
+        ("full + pallas enc + fused_ce + unroll4 (DEFAULTS)",
          dict(use_pallas=True, fused_ce=True, scan_unroll=4)),
         ("full + unroll4", dict(scan_unroll=4)),
         ("no input feed", dict(input_feed=False)),
