@@ -1,0 +1,160 @@
+"""Online serving: dynamic batcher + HTTP front end."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig, TrainConfig
+from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+from variational_mmt_tpu.decode.translator import Translator
+from variational_mmt_tpu.models.model import build_model
+from variational_mmt_tpu.serve import ServeConfig, ServingServer, TranslationService
+from variational_mmt_tpu.train.trainer import create_train_state
+
+
+def small_service(model_type="vmmt_c", max_wait_ms=50.0, batch_size=4, warmup=False):
+    cfg = Config(
+        model=ModelConfig(
+            model_type=model_type, src_vocab_size=24, tgt_vocab_size=24, emb_dim=16,
+            hidden_dim=32, enc_layers=1, dec_layers=2, latent_dim=4, img_feat_dim=8,
+            dropout=0.0, compute_dtype="float32",
+        ),
+        train=TrainConfig(seed=7),
+        decode=DecodeConfig(beam_size=4, max_length=12, batch_size=batch_size),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(20)])
+    svc = TranslationService(
+        model, state.params, vocab, vocab, cfg.decode, buckets=[8],
+        scfg=ServeConfig(max_wait_ms=max_wait_ms, warmup=warmup),
+    )
+    return cfg, model, state, vocab, svc
+
+
+def test_service_matches_offline():
+    """Online answers are identical to the offline translate path."""
+    cfg, model, state, vocab, svc = small_service()
+    try:
+        texts = ["w1 w2 w3", "w4 w5", "w6 w7 w8 w9"]
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((3, 8)).astype(np.float32)
+        online = svc.translate_text(texts, imgs)
+
+        tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+        offline = tr.translate_tokens([t.split() for t in texts], imgs)
+        assert [nb[0][1] for nb in online] == [nb[0][1] for nb in offline]
+        assert [nb[0][0] for nb in online] == pytest.approx(
+            [nb[0][0] for nb in offline]
+        )
+    finally:
+        svc.stop()
+
+
+def test_dynamic_batching_coalesces():
+    """Concurrent requests inside the wait window share device calls."""
+    _, _, _, _, svc = small_service(max_wait_ms=200.0, batch_size=4)
+    try:
+        imgs = np.zeros((8,), np.float32)
+        futs = [svc.submit_text(f"w{1 + i % 5} w2", imgs) for i in range(8)]
+        for f in futs:
+            f.result(timeout=120)
+        assert svc.stats["requests"] == 8
+        # 8 requests, batch cap 4 -> at most 2 full batches + slack for the
+        # race between submission and the first collect
+        assert svc.stats["batches"] <= 4
+        assert svc.stats["batched_requests"] >= 4
+    finally:
+        svc.stop()
+
+
+def test_missing_img_zero_filled():
+    """A latent model serves text-only requests via the zero feature vector."""
+    _, model, state, vocab, svc = small_service()
+    try:
+        out = svc.translate_text(["w1 w2"])
+        assert len(out) == 1 and isinstance(out[0][0][1], str)
+    finally:
+        svc.stop()
+
+
+def test_img_shape_validated():
+    _, _, _, _, svc = small_service()
+    try:
+        with pytest.raises(ValueError):
+            svc.submit_text("w1", np.zeros((5,), np.float32))
+    finally:
+        svc.stop()
+
+
+def test_http_roundtrip():
+    _, _, state, _, svc = small_service()
+    server = ServingServer(svc, port=0, info={"model_type": "vmmt_c", "step": 0})
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["model_type"] == "vmmt_c"
+
+        body = json.dumps({"texts": ["w1 w2 w3", "w4"]}).encode()
+        req = urllib.request.Request(base + "/translate", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]) == 2
+        for nbest in out["results"]:
+            assert {"score", "text"} <= set(nbest[0])
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(
+            base + "/translate", data=b'{"texts": "nope"}', method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 2
+    finally:
+        server.stop()
+
+
+def test_http_concurrent_clients_batch_together():
+    """Two HTTP clients in flight at once end up in one device batch."""
+    _, _, _, _, svc = small_service(max_wait_ms=300.0)
+    server = ServingServer(svc, port=0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    results = {}
+
+    def client(i):
+        body = json.dumps({"texts": [f"w{i + 1} w2"]}).encode()
+        req = urllib.request.Request(base + "/translate", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results[i] = json.loads(r.read())
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        assert svc.stats["batched_requests"] >= 2
+    finally:
+        server.stop()
+
+
+def test_serve_cli_args_parse():
+    import argparse
+
+    from variational_mmt_tpu.cli.serve import add_args
+
+    p = argparse.ArgumentParser()
+    add_args(p)
+    opt = p.parse_args(["-model", "x", "-port", "0", "-max_wait_ms", "2.5"])
+    assert opt.port == 0 and opt.max_wait_ms == 2.5

@@ -1,0 +1,86 @@
+"""``serve`` CLI — online translation server over a trained checkpoint.
+
+Production counterpart of the ``translate`` CLI (which the reference stack
+stops at, SURVEY.md §3.3): loads a checkpoint, warms every (bucket x batch)
+decode shape, then serves HTTP requests with dynamic batching so the TPU
+always runs full static-shape batches.
+
+    python -m variational_mmt_tpu.cli.serve -model ckpts/ -port 8080
+    curl -s localhost:8080/translate -d '{"texts": ["a man rides a horse ."]}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from variational_mmt_tpu.config import DecodeConfig
+
+
+def add_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-model", required=True, help="checkpoint dir (or specific step dir)")
+    p.add_argument("-host", default="127.0.0.1")
+    p.add_argument("-port", type=int, default=8080)
+    p.add_argument("-beam_size", type=int, default=4)
+    p.add_argument("-n_best", type=int, default=1)
+    p.add_argument("-max_length", type=int, default=100)
+    p.add_argument("-min_length", type=int, default=0)
+    p.add_argument("-alpha", type=float, default=0.6)
+    p.add_argument("-coverage_beta", type=float, default=0.0)
+    p.add_argument("-batch_size", type=int, default=32,
+                   help="device batch = dynamic-batch cap")
+    p.add_argument("-max_wait_ms", type=float, default=5.0,
+                   help="batching window after the first queued request")
+    p.add_argument("-bpe_codes", default="", help="BPE codes applied to request text")
+    p.add_argument("-no_lower", action="store_true")
+    p.add_argument("-no_warmup", action="store_true")
+
+
+def main(argv=None) -> None:
+    from variational_mmt_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    p = argparse.ArgumentParser("vmmt-tpu serve")
+    add_args(p)
+    opt = p.parse_args(argv)
+
+    from variational_mmt_tpu.data.bpe import BPE
+    from variational_mmt_tpu.serve import ServeConfig, ServingServer, TranslationService
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    path = opt.model
+    if not os.path.exists(os.path.join(path, "state.msgpack")):
+        path = latest_checkpoint(path) or path
+    state, cfg, model, sv, tv = load_checkpoint(path)
+    print(f"loaded {path} (step {int(state.step)}, {cfg.model.model_type})")
+
+    dcfg = DecodeConfig(
+        beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
+        min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
+        coverage_beta=opt.coverage_beta,
+    )
+    scfg = ServeConfig(
+        max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup, lower=not opt.no_lower
+    )
+    bpe = BPE.load(opt.bpe_codes) if opt.bpe_codes else None
+    print("compiling decode shapes..." if scfg.warmup else "warmup skipped")
+    service = TranslationService(
+        model, state.params, sv, tv, dcfg,
+        buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
+    )
+    server = ServingServer(
+        service, opt.host, opt.port,
+        info={"model_type": cfg.model.model_type, "step": int(state.step),
+              "beam_size": opt.beam_size},
+    )
+    print(f"serving on http://{opt.host}:{server.port}  (POST /translate)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Online serving: dynamic batching over the compiled decode path.
+
+Beyond the reference's batch-file CLI (SURVEY.md §3.3) — the deployment
+surface a production user needs: ``TranslationService`` (queue + worker
+dynamic batcher, static device shapes) and ``ServingServer`` (stdlib HTTP
+front end).
+"""
+
+from variational_mmt_tpu.serve.http_server import ServingServer
+from variational_mmt_tpu.serve.service import ServeConfig, TranslationService
+
+__all__ = ["ServeConfig", "ServingServer", "TranslationService"]

@@ -1,0 +1,223 @@
+"""Online translation service with dynamic batching.
+
+The reference stack (SURVEY.md §3.3) is batch-file-in / batch-file-out; a
+production deployment needs an *online* path: individual requests arriving
+at arbitrary times, coalesced into full device batches so the TPU always
+sees the static (batch, bucket) shapes it compiled for.
+
+TPU-native shape of the problem:
+
+- XLA programs are compiled per shape, so the batcher NEVER varies the
+  batch dimension: every group is padded to ``DecodeConfig.batch_size``
+  rows with ``example_mask`` semantics (data/dataset.py:206 does the
+  padding; one compile per source bucket, all warmed at startup).
+- Dynamic batching happens on the host: a single worker thread drains a
+  queue, waiting at most ``max_wait_ms`` after the first request to let a
+  batch fill (the classic latency/throughput knob), then runs the whole
+  group through one device call.
+- The device never idles on tokenization: tokenize/BPE run on the caller's
+  thread at submit time, the worker only pads + dispatches.
+
+The service wraps :class:`~variational_mmt_tpu.decode.translator.Translator`
+— results are bit-identical to offline ``translate`` CLI output for the
+same DecodeConfig.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from variational_mmt_tpu.config import DecodeConfig
+from variational_mmt_tpu.data.bpe import BPE
+from variational_mmt_tpu.data.tokenizer import tokenize
+from variational_mmt_tpu.data.vocab import Vocab
+from variational_mmt_tpu.decode.translator import Translator
+from variational_mmt_tpu.models.model import VMMTModel
+
+
+@dataclass
+class ServeConfig:
+    """Online-serving knobs (on top of DecodeConfig's search knobs)."""
+
+    max_wait_ms: float = 5.0  # batching window after the first queued request
+    warmup: bool = True  # compile every (bucket x batch) shape at startup
+    lower: bool = True  # lowercase incoming text (reference preprocessing)
+    queue_capacity: int = 4096  # back-pressure: submit blocks when full
+    conv_regions: int = 49  # rows per conv feature map (ResNet 7x7 grid)
+
+
+@dataclass
+class _Request:
+    tokens: List[str]
+    img: Optional[np.ndarray]
+    future: Future = field(default_factory=Future)
+
+
+class TranslationService:
+    """Queue + worker-thread dynamic batcher over a :class:`Translator`.
+
+    Thread-safe: any number of producer threads may call :meth:`submit` /
+    :meth:`translate_text`; one worker owns the device.
+    """
+
+    def __init__(
+        self,
+        model: VMMTModel,
+        params,
+        src_vocab: Vocab,
+        tgt_vocab: Vocab,
+        dcfg: Optional[DecodeConfig] = None,
+        buckets: Sequence[int] = (16, 24, 32, 48, 64),
+        scfg: Optional[ServeConfig] = None,
+        bpe: Optional[BPE] = None,
+    ):
+        self.dcfg = dcfg or DecodeConfig()
+        self.scfg = scfg or ServeConfig()
+        self.bpe = bpe
+        self.model = model
+        self._img_dim = (
+            model.cfg.img_feat_dim
+            if (model.is_latent or model.cfg.use_img_predict) and model.cfg.img_feat_dim > 0
+            else 0
+        )
+        self.translator = Translator(
+            model, params, src_vocab, tgt_vocab, self.dcfg, buckets=buckets
+        )
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=self.scfg.queue_capacity
+        )
+        self.stats: Dict[str, float] = {
+            "requests": 0,
+            "batches": 0,
+            "batched_requests": 0,  # requests that shared a device call
+            "busy_s": 0.0,
+        }
+        self._stats_lock = threading.Lock()
+        self._stopped = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True, name="vmmt-serve")
+        self._worker.start()
+        if self.scfg.warmup:
+            self.warmup()
+
+    # ------------------------------------------------------------------
+    # producer API
+    # ------------------------------------------------------------------
+    def submit_tokens(
+        self, tokens: List[str], img: Optional[np.ndarray] = None
+    ) -> Future:
+        """Enqueue one pre-tokenized sentence; resolves to the n-best list
+        [(score, text), ...] (same payload as Translator.translate_tokens)."""
+        if self._stopped.is_set():
+            raise RuntimeError("service stopped")
+        if self._img_dim and img is None:
+            # latent models condition the prior on v; an online request
+            # without an image degrades to the zero-feature vector
+            img = np.zeros(self._feat_shape(), np.float32)
+        if img is not None:
+            img = np.asarray(img, np.float32)
+            want = self._feat_shape()
+            if want and img.shape != want:
+                raise ValueError(f"img features must have shape {want}, got {img.shape}")
+        req = _Request(tokens=tokens, img=img)
+        self._q.put(req)
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        return req.future
+
+    def submit_text(self, text: str, img: Optional[np.ndarray] = None) -> Future:
+        toks = tokenize(text, lower=self.scfg.lower)
+        if self.bpe is not None:
+            toks = self.bpe.segment(toks)
+        return self.submit_tokens(toks, img)
+
+    def translate_text(
+        self, texts: Sequence[str], imgs: Optional[np.ndarray] = None, timeout: float = 120.0
+    ) -> List[List]:
+        """Synchronous convenience: submit all, wait for all."""
+        futs = [
+            self.submit_text(t, None if imgs is None else imgs[i])
+            for i, t in enumerate(texts)
+        ]
+        return [f.result(timeout=timeout) for f in futs]
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile every bucket's decode program before serving traffic (one
+        sentence per bucket length; the batcher pads each group to the full
+        static batch, so one shape per bucket covers everything)."""
+        unk = self.translator.src_vocab.encode(["warmup"])[0]
+        for b in self.translator.buckets:
+            ids = [[unk] * max(1, b - 1)]
+            feats = (
+                np.zeros((1,) + self._feat_shape(), np.float32) if self._img_dim else None
+            )
+            self.translator.translate_ids(ids, feats)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stopped.set()
+        self._q.put(None)
+        self._worker.join(timeout=timeout)
+
+    # ------------------------------------------------------------------
+    # worker
+    # ------------------------------------------------------------------
+    def _feat_shape(self):
+        if not self._img_dim:
+            return ()
+        if self.model.cfg.img_feat_type == "conv":
+            return (self.scfg.conv_regions, self._img_dim)
+        return (self._img_dim,)
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for the first request, then drain up to batch_size within
+        the max_wait_ms window."""
+        first = self._q.get()
+        if first is None:
+            return None
+        group = [first]
+        deadline = time.monotonic() + self.scfg.max_wait_ms / 1000.0
+        while len(group) < self.dcfg.batch_size:
+            remain = deadline - time.monotonic()
+            try:
+                nxt = self._q.get(timeout=max(0.0, remain)) if remain > 0 else self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:  # stop sentinel: re-post for the outer loop
+                self._q.put(None)
+                break
+            group.append(nxt)
+        return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._collect()
+            if group is None:
+                return
+            t0 = time.monotonic()
+            try:
+                imgs = None
+                if self._img_dim:
+                    imgs = np.stack(
+                        [r.img for r in group]
+                    )  # submit guaranteed presence+shape
+                out = self.translator.translate_tokens([r.tokens for r in group], imgs)
+                for r, nbest in zip(group, out):
+                    r.future.set_result(nbest)
+            except Exception as e:  # propagate to every caller in the group
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                if len(group) > 1:
+                    self.stats["batched_requests"] += len(group)
+                self.stats["busy_s"] += time.monotonic() - t0
