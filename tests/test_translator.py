@@ -131,3 +131,37 @@ def test_iw_rejects_nonlatent():
     cfg, model, state, vocab = small_setup("nmt")
     with pytest.raises(ValueError):
         make_iw_elbo_fn(model, 3)
+
+
+def test_dp_decode_matches_single_device():
+    """Data-parallel beam decode over the 8-device mesh returns exactly the
+    single-device result (tokens and scores)."""
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.batch_size = 8  # divisible by the mesh
+    src = [[4 + (i * 3 + j) % 19 for j in range(2 + i % 5)] for i in range(11)]
+    feats = np.random.default_rng(3).standard_normal((11, 8)).astype(np.float32)
+
+    single = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    dp = Translator(
+        model, state.params, vocab, vocab, cfg.decode, buckets=[8],
+        mesh=make_mesh(),
+    )
+    out_s = single.translate_ids(src, feats)
+    out_d = dp.translate_ids(src, feats)
+    for a, b in zip(out_s, out_d):
+        assert [ids for _, ids in a] == [ids for _, ids in b]
+        np.testing.assert_allclose(
+            [s for s, _ in a], [s for s, _ in b], rtol=2e-5, atol=2e-5
+        )
+
+
+def test_dp_decode_rejects_indivisible_batch():
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.batch_size = 6
+    with pytest.raises(ValueError):
+        Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8],
+                   mesh=make_mesh())

@@ -89,8 +89,15 @@ def main(argv=None) -> None:
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
     )
+    mesh = None
+    if len(jax.devices()) > 1 and opt.batch_size % len(jax.devices()) == 0:
+        from variational_mmt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel decode over {mesh.size} devices")
     translator = Translator(model, state.params, sv, tv, dcfg,
-                            buckets=cfg.data.buckets or [16, 24, 32, 48, 64])
+                            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+                            mesh=mesh)
     import time
 
     t0 = time.time()

@@ -85,7 +85,14 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
 
 class Translator:
     """Host-side orchestration: text -> bucketed batches -> device beam ->
-    n-best text in original order (the reference's TranslationBuilder role)."""
+    n-best text in original order (the reference's TranslationBuilder role).
+
+    ``mesh``: optional 1-D device mesh — decode runs data-parallel: the
+    batch is sharded on its leading axis, params are replicated, and GSPMD
+    partitions the whole encode+beam program (the only cross-chip traffic
+    is the all-reduce behind the beam loop's ``jnp.all(finished)`` early
+    exit). The reference has no distributed decode at all (SURVEY.md §2.3);
+    this is how beam-4 scales to a v5e-8."""
 
     def __init__(
         self,
@@ -95,13 +102,28 @@ class Translator:
         tgt_vocab: Vocab,
         dcfg: Optional[DecodeConfig] = None,
         buckets: Sequence[int] = (16, 24, 32, 48, 64),
+        mesh=None,
     ):
         self.model = model
-        self.params = params
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.dcfg = dcfg or DecodeConfig()
         self.buckets = list(buckets)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from variational_mmt_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            if self.dcfg.batch_size % self.mesh.size:
+                raise ValueError(
+                    f"decode batch_size {self.dcfg.batch_size} must divide by "
+                    f"mesh size {self.mesh.size}"
+                )
+            self._batch_sh = batch_sharding(self.mesh)
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+        self.params = params
         self._fn = jax.jit(make_translate_fn(model, self.dcfg))
 
     def translate_ids(
@@ -118,7 +140,12 @@ class Translator:
         results: dict = {}
         for batch in it.epoch(0):
             img = jnp.asarray(batch.img) if batch.img is not None else None
-            out = self._fn(self.params, jnp.asarray(batch.src), img)
+            src = jnp.asarray(batch.src)
+            if self.mesh is not None:
+                src = jax.device_put(src, self._batch_sh)
+                if img is not None:
+                    img = jax.device_put(img, self._batch_sh)
+            out = self._fn(self.params, src, img)
             attn = np.asarray(out[2]) if len(out) == 3 else None
             tokens = np.asarray(out[0])
             scores = np.asarray(out[1])

@@ -77,6 +77,7 @@ class TranslationService:
         buckets: Sequence[int] = (16, 24, 32, 48, 64),
         scfg: Optional[ServeConfig] = None,
         bpe: Optional[BPE] = None,
+        mesh=None,
     ):
         self.dcfg = dcfg or DecodeConfig()
         self.scfg = scfg or ServeConfig()
@@ -88,7 +89,8 @@ class TranslationService:
             else 0
         )
         self.translator = Translator(
-            model, params, src_vocab, tgt_vocab, self.dcfg, buckets=buckets
+            model, params, src_vocab, tgt_vocab, self.dcfg, buckets=buckets,
+            mesh=mesh,
         )
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(
             maxsize=self.scfg.queue_capacity
