@@ -213,3 +213,17 @@ def test_cli_preprocess_no_bpe_and_bucket_suggestion(corpus, tmp_path, capsys):
     assert "suggested -buckets" in out
     assert os.path.exists(f"{tmp_path}/nb.train.npz")
     assert not os.path.exists(f"{tmp_path}/nb.bpe.codes")
+
+
+def test_cli_preprocess_zero_merges_means_no_bpe(corpus, tmp_path):
+    """-bpe_merges 0 must behave like -no_bpe (0 merges would char-split)."""
+    d = str(corpus)
+    cli_pre.main([
+        "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+        "-save_data", f"{tmp_path}/zm", "-bpe_merges", "0", "-pretokenized",
+    ])
+    assert not os.path.exists(f"{tmp_path}/zm.bpe.codes")
+    z = np.load(f"{tmp_path}/zm.train.npz", allow_pickle=True)
+    nb = json.load(open(f"{tmp_path}/zm.vocab.src.json"))
+    # word-level vocab, not characters: the corpus has ~40 word types
+    assert len(nb["tokens"] if isinstance(nb, dict) and "tokens" in nb else nb) > 15

@@ -71,6 +71,10 @@ def main(argv=None) -> None:
     train_tgt = read_corpus(opt.train_tgt, opt.pretokenized, lower)
     assert len(train_src) == len(train_tgt), "src/tgt line counts differ"
 
+    if opt.bpe_merges <= 0:
+        # learning 0 merges would char-split every word — never what a
+        # user asking for "no merges" means
+        opt.no_bpe = True
     if not opt.no_bpe:
         print(f"learning {opt.bpe_merges} BPE merges (joint)")
         merges = learn_bpe(train_src + train_tgt, opt.bpe_merges)
