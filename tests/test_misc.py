@@ -232,3 +232,26 @@ def test_metrics_logger_tensorboard_integration(tmp_path):
     log.close()
     events = read_events(glob.glob(str(tmp_path / "tb") + "/events.*")[0])
     assert events[1][0] == 5 and events[1][1]["train/loss"] == 2.0
+
+
+def test_config_presets_load_and_validate():
+    """Shipped paper-family presets parse into a valid Config."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from variational_mmt_tpu.config import Config
+
+    pat = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "variational_mmt_tpu", "configs", "*.json",
+    )
+    paths = sorted(glob.glob(pat))
+    assert len(paths) == 3
+    types = set()
+    for p in paths:
+        cfg = Config.from_dict(_json.load(open(p)))
+        cfg.validate()
+        types.add(cfg.model.model_type)
+        assert cfg.model.hidden_dim == 500 and cfg.decode.beam_size == 4
+    assert types == {"nmt", "vmmt_f", "vmmt_c"}
