@@ -165,3 +165,27 @@ def test_dp_decode_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8],
                    mesh=make_mesh())
+
+
+def test_dp_iw_eval_matches_single_device():
+    """Mesh-sharded IW eval == single-device (same keys, same bound)."""
+    from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    cfg, model, state, vocab = small_setup("vmmt_c")
+    B, L = 8, 6
+    rng = np.random.default_rng(1)
+    batch = {
+        "src": np.asarray(rng.integers(4, 24, (B, L)), np.int32),
+        "tgt_in": np.asarray(rng.integers(4, 24, (B, L)), np.int32),
+        "tgt_out": np.asarray(rng.integers(4, 24, (B, L)), np.int32),
+        "example_mask": np.ones((B,), np.float32),
+        "img": np.asarray(rng.standard_normal((B, 8)), np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+    single = iw_elbo_corpus(model, state.params, [batch], 4, key)
+    dp = iw_elbo_corpus(model, state.params, [batch], 4, key, mesh=make_mesh())
+    assert single["iw_elbo_per_sent"] == pytest.approx(
+        dp["iw_elbo_per_sent"], rel=1e-5
+    )
+    assert single["iw_ppl"] == pytest.approx(dp["iw_ppl"], rel=1e-5)

@@ -148,7 +148,7 @@ def main(argv=None) -> None:
                 return jax.device_put(tree)
 
             out = iw_elbo_corpus(model, state.params, prefetch(it.epoch(0), transform=to_dev),
-                                 opt.iw_eval, jax.random.PRNGKey(opt.seed))
+                                 opt.iw_eval, jax.random.PRNGKey(opt.seed), mesh=mesh)
             print(f"IW-ELBO (K={opt.iw_eval}): joint {out['iw_elbo_per_sent']:.2f} / "
                   f"text {out['iw_text_per_sent']:.2f} per sent; "
                   f"IW-ppl {out['iw_ppl']:.2f}")

@@ -77,11 +77,25 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
     return fn
 
 
-def iw_elbo_corpus(model, params, batches, k_samples: int, rng) -> Dict[str, float]:
-    """Aggregate the IW bound over an iterator of device batches."""
+def iw_elbo_corpus(
+    model, params, batches, k_samples: int, rng, mesh=None
+) -> Dict[str, float]:
+    """Aggregate the IW bound over an iterator of device batches.
+
+    ``mesh``: optional device mesh — each batch is sharded on its leading
+    axis and GSPMD reduces the per-corpus sums across chips (the outputs
+    are scalars, so the only collective is one small all-reduce per batch)."""
     fn = jax.jit(make_iw_elbo_fn(model, k_samples))
+    sharding = None
+    if mesh is not None and mesh.size > 1:
+        from variational_mmt_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        sharding = batch_sharding(mesh)
+        params = jax.device_put(params, replicated_sharding(mesh))
     tot, tot_text, n_sent, n_tok = 0.0, 0.0, 0.0, 0.0
     for i, batch in enumerate(batches):
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
         out = fn(params, batch, jax.random.fold_in(rng, i))
         tot += float(out["iw_elbo_sum"])
         tot_text += float(out["iw_text_sum"])
