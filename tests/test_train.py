@@ -343,3 +343,38 @@ def test_steps_per_call_multi_bucket():
     stats = tr.train()
     assert int(tr.final_state.step) >= 8
     assert np.isfinite(tr.history[-1]["ppl"])
+
+
+def test_skip_nonfinite_guards_params():
+    """A batch producing non-finite grads must leave params and opt state
+    untouched (and be counted); a clean batch must still train."""
+    cfg = tiny_cfg(skip_nonfinite=True)
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+
+    bad = make_batch()
+    bad["img"] = bad["img"].at[0, 0].set(jnp.inf)  # img loss -> inf -> nan grads
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, m = step(state, bad)
+    assert float(m["skipped_sum"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert int(state.step) == 1  # the step counter still advances
+
+    state, m = step(state, make_batch())
+    assert float(m["skipped_sum"]) == 0.0
+    moved = any(
+        float(np.abs(np.asarray(a) - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p0))
+    )
+    assert moved
+
+
+def test_skip_nonfinite_off_by_default():
+    cfg = tiny_cfg()
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+    _, m = step(state, make_batch())
+    assert float(m["skipped_sum"]) == 0.0

@@ -63,6 +63,7 @@ def build_cfg(model_type, seed, steps, platform, args):
             z_cond="init+input",
             compute_dtype="bfloat16" if on_tpu else "float32",
             use_pallas=on_tpu,
+            fused_ce=on_tpu,  # gate runs exercise the production fused path
         ),
         train=TrainConfig(
             seed=seed,

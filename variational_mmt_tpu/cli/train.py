@@ -62,6 +62,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="micro-batches per optimizer step (activation-memory scaling)")
     p.add_argument("-steps_per_call", type=int, default=1,
                    help="optimizer steps per jit dispatch (amortizes dispatch/RPC latency)")
+    p.add_argument("-skip_nonfinite", type=int, default=0,
+                   help="skip optimizer updates with NaN/Inf gradients (bf16 hygiene)")
     p.add_argument("-max_steps", type=int, default=20000)
     p.add_argument("-epochs", type=int, default=0)
     p.add_argument("-optim", default="adam", choices=["adam", "sgd", "adadelta"])
@@ -121,6 +123,7 @@ FLAG2KEY = {
     "batch_size": ("train", "batch_size"),
     "grad_accum": ("train", "grad_accum"),
     "steps_per_call": ("train", "steps_per_call"),
+    "skip_nonfinite": ("train", "skip_nonfinite"),
     "max_steps": ("train", "max_steps"),
     "epochs": ("train", "epochs"),
     "optim": ("train", "optimizer"),

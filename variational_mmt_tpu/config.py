@@ -100,6 +100,10 @@ class TrainConfig:
     kl_anneal_start: int = 0
     kl_free_bits: float = 0.0  # per-dim free bits (posterior-collapse guard)
 
+    skip_nonfinite: bool = False  # skip optimizer updates whose global grad
+    # norm is NaN/Inf (bf16 production hygiene: one bad batch must not
+    # poison the params); skipped count reported in metrics
+
     # --- scaling ---
     grad_accum: int = 1  # micro-batches per optimizer step (effective batch
     # = batch_size; each micro sees batch_size // grad_accum examples)

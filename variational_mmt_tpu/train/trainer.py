@@ -123,12 +123,34 @@ def make_train_step(
             metrics = jax.tree.map(lambda m: m.sum(axis=0), metrics_all)
             for k_ in ("beta", "loss"):
                 metrics[k_] = metrics[k_] / accum
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(
-            lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
-            state.params, updates,
-        )
-        metrics["grad_norm"] = optax_global_norm(grads)
+        gnorm = optax_global_norm(grads)
+        if cfg.train.skip_nonfinite:
+            # one bad batch (bf16 overflow, data glitch) must not poison the
+            # params: skip the whole update when the global norm is not
+            # finite. lax.cond keeps this jit-safe; both branches are cheap
+            # relative to the backward pass.
+            def _apply(_):
+                updates, new_opt = tx.update(grads, state.opt_state, state.params)
+                new_params = jax.tree.map(
+                    lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
+                    state.params, updates,
+                )
+                return new_params, new_opt
+
+            def _skip(_):
+                return state.params, state.opt_state
+
+            ok = jnp.isfinite(gnorm)
+            new_params, new_opt = jax.lax.cond(ok, _apply, _skip, None)
+            metrics["skipped_sum"] = (~ok).astype(jnp.float32)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
+                state.params, updates,
+            )
+            metrics["skipped_sum"] = jnp.float32(0.0)
+        metrics["grad_norm"] = gnorm
         new_state = state.replace(params=new_params, opt_state=new_opt, step=state.step + 1)
         return new_state, metrics
 
@@ -353,11 +375,14 @@ class Trainer:
                                     use_table=self._train_table is not None,
                                     stack=self._spc)
         pending = []  # device-side metric dicts; synced only at report time
+        skipped_total = 0  # non-finite updates skipped (skip_nonfinite)
 
         def flush():
             # one host sync per report interval, not per step (keeps the
             # dispatch pipeline full — the TPU analogue of async CUDA launch)
+            nonlocal skipped_total
             for m in pending:
+                skipped_total += int(float(m.get("skipped_sum", 0.0)))
                 stats.update(
                     loss=float(m["ce_sum"]),
                     n_words=int(m["n_tokens"]),
@@ -394,11 +419,14 @@ class Trainer:
             if crossed(prev, step, cfg.report_every):
                 flush()
                 stats.output(step, max_steps, beta=float(metrics["beta"]), lr=float(state.lr))
+                if skipped_total:
+                    print(f"  ({skipped_total} non-finite update(s) skipped so far)")
                 if self.metrics_logger is not None:
                     self.metrics_logger.log(
                         step,
                         {**stats.scalars(), "beta": float(metrics["beta"]),
-                         "lr": float(state.lr), "grad_norm": float(metrics["grad_norm"])},
+                         "lr": float(state.lr), "grad_norm": float(metrics["grad_norm"]),
+                         "skipped_updates": skipped_total},
                         prefix="train",
                     )
             if self.valid_iter is not None and crossed(prev, step, cfg.valid_every):
