@@ -169,7 +169,8 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "max_grad_norm": "3.5", "learning_rate_decay": "0.7",
         "start_decay_at": "77", "label_smoothing": "0.05",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
-        "kl_free_bits": "0.25", "seed": "42", "report_every": "9",
+        "kl_free_bits": "0.25", "skip_nonfinite": "1", "seed": "42",
+        "report_every": "9",
         "valid_every": "100", "checkpoint_every": "100",
         "keep_checkpoints": "2", "num_shards": "1",
     }

@@ -209,6 +209,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             batch_size=opt.batch_size,
             grad_accum=opt.grad_accum,
             steps_per_call=opt.steps_per_call,
+            skip_nonfinite=bool(opt.skip_nonfinite),
             max_steps=opt.max_steps,
             epochs=opt.epochs,
             optimizer=opt.optim,
