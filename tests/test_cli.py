@@ -61,12 +61,21 @@ def test_cli_chain(corpus, capsys):
         "-img_feats", f"{d}/test.feats.npy", "-bpe_codes", f"{d}/demo.bpe.codes",
         "-pretokenized", "-output", f"{d}/pred.txt", "-beam_size", "2",
         "-batch_size", "8", "-max_length", "12", "-iw_eval", "2",
+        "-verbose", "-dump_attn", f"{d}/attn.npz",
     ])
     with open(f"{d}/pred.txt") as f:
         preds = f.read().splitlines()
     assert len(preds) == 10
     out = capsys.readouterr().out
     assert "BLEU" in out and "IW-ELBO" in out
+    # upstream-style verbose + scoring report (SURVEY §2.1 #15)
+    assert "PRED SCORE" in out and "GOLD AVG SCORE" in out and "GOLD PPL" in out
+    attn = np.load(f"{d}/attn.npz")
+    assert len(attn.files) == 10
+    for i, hyp in enumerate(preds):
+        a = attn[f"attn_{i}"]
+        assert a.ndim == 2 and a.shape[0] >= 1
+        np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-4)
 
 
 def test_cli_resume(corpus):
@@ -169,7 +178,8 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "max_grad_norm": "3.5", "learning_rate_decay": "0.7",
         "start_decay_at": "77", "label_smoothing": "0.05",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
-        "kl_free_bits": "0.25", "skip_nonfinite": "1", "seed": "42",
+        "kl_free_bits": "0.25", "skip_nonfinite": "1",
+        "fix_word_vecs_enc": "1", "fix_word_vecs_dec": "1", "seed": "42",
         "report_every": "9",
         "valid_every": "100", "checkpoint_every": "100",
         "keep_checkpoints": "2", "num_shards": "1",

@@ -189,3 +189,39 @@ def test_dp_iw_eval_matches_single_device():
         dp["iw_elbo_per_sent"], rel=1e-5
     )
     assert single["iw_ppl"] == pytest.approx(dp["iw_ppl"], rel=1e-5)
+
+
+def test_score_corpus_per_sentence_and_attn():
+    """Force-decode scorer (decode/score.py): per-sentence log p(y|x,z-mean)
+    is batch-layout invariant, attention rows are a distribution over real
+    source positions, and shapes trim to the true lengths."""
+    from variational_mmt_tpu.decode.score import report_score, score_corpus
+
+    cfg, model, state, vocab = small_setup()
+    feats = np.random.default_rng(3).standard_normal((3, 8)).astype(np.float32)
+    src = [[5, 6, 7], [8, 9], [10, 11, 12, 13]]
+    tgt = [[6, 7], [9, 10, 11], [12]]
+    lp, nt, attns = score_corpus(model, state.params, src, tgt, feats,
+                                 buckets=[8], batch_size=2, return_attn=True)
+    assert lp.shape == (3,) and np.all(lp < 0)
+    np.testing.assert_array_equal(nt, [3, 4, 2])  # len(tgt)+1 EOS steps
+    # batch-layout invariance: B=1 must give the same numbers
+    lp1, nt1, _ = score_corpus(model, state.params, src, tgt, feats,
+                               buckets=[8], batch_size=1)
+    np.testing.assert_allclose(lp, lp1, rtol=1e-5)
+    for i, a in enumerate(attns):
+        assert a.shape == (len(tgt[i]) + 1, len(src[i]))
+        np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-5)
+    line = report_score("GOLD", lp, nt)
+    assert "GOLD AVG SCORE" in line and "GOLD PPL" in line
+
+
+def test_score_corpus_overlong_sequences_get_catchall_bucket():
+    from variational_mmt_tpu.decode.score import score_corpus
+
+    cfg, model, state, vocab = small_setup("nmt")
+    src = [[5] * 20]  # longer than the largest bucket (8)
+    tgt = [[6] * 15]
+    lp, nt, _ = score_corpus(model, state.params, src, tgt, None,
+                             buckets=[8], batch_size=2)
+    assert nt[0] == 16 and np.isfinite(lp[0])

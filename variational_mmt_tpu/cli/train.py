@@ -49,6 +49,15 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-img_loss", default="logprob", choices=["logprob", "mse", "cosine"])
     p.add_argument("-img_loss_weight", type=float, default=1.0)
     p.add_argument("-z_cond", default="init", choices=["init", "init+input"])
+    p.add_argument("-pre_word_vecs_enc", default="",
+                   help="vocab-aligned .npy embedding table for the encoder "
+                        "(tools/embeddings_to_npy.py)")
+    p.add_argument("-pre_word_vecs_dec", default="",
+                   help="vocab-aligned .npy embedding table for the decoder")
+    p.add_argument("-fix_word_vecs_enc", type=int, default=0,
+                   help="freeze the encoder embedding table")
+    p.add_argument("-fix_word_vecs_dec", type=int, default=0,
+                   help="freeze the decoder embedding table")
     p.add_argument("-compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("-use_pallas", type=int, default=0,
                    help="fused Pallas GRU kernels for the encoder scans")
@@ -124,6 +133,8 @@ FLAG2KEY = {
     "grad_accum": ("train", "grad_accum"),
     "steps_per_call": ("train", "steps_per_call"),
     "skip_nonfinite": ("train", "skip_nonfinite"),
+    "fix_word_vecs_enc": ("train", "fix_word_vecs_enc"),
+    "fix_word_vecs_dec": ("train", "fix_word_vecs_dec"),
     "max_steps": ("train", "max_steps"),
     "epochs": ("train", "epochs"),
     "optim": ("train", "optimizer"),
@@ -147,6 +158,7 @@ FLAG2KEY = {
 # flags that configure the run but have no Config field
 RUNTIME_FLAGS = {
     "save_model", "train_img_feats", "valid_img_feats", "train_from",
+    "pre_word_vecs_enc", "pre_word_vecs_dec",
     "config", "metrics_log", "tensorboard_dir", "profile_dir", "valid_bleu",
     "valid_iw",
 }
@@ -210,6 +222,8 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             grad_accum=opt.grad_accum,
             steps_per_call=opt.steps_per_call,
             skip_nonfinite=bool(opt.skip_nonfinite),
+            fix_word_vecs_enc=bool(opt.fix_word_vecs_enc),
+            fix_word_vecs_dec=bool(opt.fix_word_vecs_dec),
             max_steps=opt.max_steps,
             epochs=opt.epochs,
             optimizer=opt.optim,
@@ -337,6 +351,19 @@ def main(argv=None) -> None:
                 path = latest_checkpoint(path) or path
             state, _, _, _, _ = load_checkpoint(path)
             print(f"resuming from {path} at step {int(state.step)}")
+            trainer.train_from(state)
+        elif opt.pre_word_vecs_enc or opt.pre_word_vecs_dec:
+            from variational_mmt_tpu.data.embeddings import apply_pretrained
+            from variational_mmt_tpu.train.trainer import create_train_state
+
+            state = create_train_state(cfg, model)
+            state = state.replace(params=apply_pretrained(
+                state.params,
+                enc=np.load(opt.pre_word_vecs_enc) if opt.pre_word_vecs_enc else None,
+                dec=np.load(opt.pre_word_vecs_dec) if opt.pre_word_vecs_dec else None,
+            ))
+            print("loaded pretrained word vectors "
+                  f"(enc={bool(opt.pre_word_vecs_enc)}, dec={bool(opt.pre_word_vecs_dec)})")
             trainer.train_from(state)
         else:
             trainer.train()

@@ -45,6 +45,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-batch_size", type=int, default=32)
     p.add_argument("-replace_unk", action="store_true",
                    help="replace <unk> outputs with the max-attention source token")
+    p.add_argument("-verbose", action="store_true",
+                   help="per-sentence SENT/PRED/PRED SCORE (+ GOLD with -tgt) report")
+    p.add_argument("-dump_attn", default="",
+                   help=".npz path: attention matrices of each 1-best hypothesis "
+                        "(force-decoded; exact for the deterministic beam)")
     p.add_argument("-iw_eval", type=int, default=0, help="K>0: report K-sample IW-ELBO (needs -tgt)")
     p.add_argument("-report_bleu", action="store_true")
     p.add_argument("-report_meteor", action="store_true")
@@ -101,16 +106,39 @@ def main(argv=None) -> None:
     import time
 
     t0 = time.time()
-    results = translator.translate_tokens(src_tok, feats)
+    results = translator.translate_tokens(src_tok, feats, keep_ids=bool(opt.dump_attn))
     dt = time.time() - t0
     print(f"translated {len(results)} sentences in {dt:.1f}s "
           f"({len(results) / max(dt, 1e-9):.1f} sent/s, beam {opt.beam_size})")
 
     with open(opt.output, "w", encoding="utf-8") as f:
         for nbest in results:
-            for score, text in nbest[: opt.n_best]:
-                f.write(text + "\n")
+            for entry in nbest[: opt.n_best]:
+                f.write(entry[1] + "\n")
     print(f"wrote {opt.output}")
+
+    src_ids = [sv.encode(t) for t in src_tok]
+    if opt.dump_attn:
+        # force-decode each 1-best hypothesis to recover its full attention
+        # matrices (identical to what the deterministic beam computed; the
+        # on-device search itself only tracks argmax positions)
+        from variational_mmt_tpu.decode.score import score_corpus
+
+        pred_ids = [list(nbest[0][2]) for nbest in results]  # raw BPE-level ids
+        _, _, attns = score_corpus(
+            model, state.params, src_ids, pred_ids, feats,
+            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+            batch_size=opt.batch_size, return_attn=True,
+        )
+        np.savez(opt.dump_attn, **{f"attn_{i}": a for i, a in enumerate(attns)})
+        print(f"wrote attention matrices for {len(attns)} sentences -> {opt.dump_attn}")
+
+    if opt.verbose:
+        for i, nbest in enumerate(results):
+            print(f"\nSENT {i + 1}: {' '.join(src_tok[i])}")
+            for k, entry in enumerate(nbest[: opt.n_best]):
+                print(f"PRED {i + 1}.{k + 1}: {entry[1]}")
+                print(f"PRED SCORE: {entry[0]:.4f}")
 
     if opt.tgt:
         with open(opt.tgt, encoding="utf-8") as f:
@@ -122,6 +150,24 @@ def main(argv=None) -> None:
         if opt.report_bleu or True:
             bleu = corpus_bleu(hyps, [[r] for r in refs])
             print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
+
+        # GOLD score: force-decode the reference under the decode-time model
+        # (z = prior mean), the upstream Translator's gold-scoring behavior
+        from variational_mmt_tpu.decode.score import report_score, score_corpus
+
+        gold_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
+        gold_lp, gold_nt, _ = score_corpus(
+            model, state.params, src_ids, gold_ids, feats,
+            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+            batch_size=opt.batch_size,
+        )
+        pred_lp = np.asarray([nbest[0][0] for nbest in results])
+        pred_nt = np.asarray([len(h) + 1 for h in hyps])  # + EOS
+        print(report_score("PRED", pred_lp, pred_nt))
+        print(report_score("GOLD", gold_lp, gold_nt))
+        if opt.verbose:
+            for i, r in enumerate(refs):
+                print(f"GOLD {i + 1}: {' '.join(r)}  (score {gold_lp[i]:.4f})")
         if opt.report_meteor:
             from variational_mmt_tpu.evals.meteor import load_table
 

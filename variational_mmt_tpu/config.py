@@ -100,6 +100,11 @@ class TrainConfig:
     kl_anneal_start: int = 0
     kl_free_bits: float = 0.0  # per-dim free bits (posterior-collapse guard)
 
+    # freeze pretrained embedding tables (reference -fix_word_vecs_enc/dec):
+    # a static grad mask in the jitted step, not a requires_grad flag
+    fix_word_vecs_enc: bool = False
+    fix_word_vecs_dec: bool = False
+
     skip_nonfinite: bool = False  # skip optimizer updates whose global grad
     # norm is NaN/Inf (bf16 production hygiene: one bad batch must not
     # poison the params); skipped count reported in metrics

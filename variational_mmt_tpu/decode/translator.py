@@ -168,7 +168,11 @@ class Translator:
         src_tokens: List[List[str]],
         img_feats: Optional[np.ndarray] = None,
         debpe: bool = True,
+        keep_ids: bool = False,
     ) -> List[List[Tuple[float, str]]]:
+        """``keep_ids``: entries become (score, text, raw_token_ids) — the
+        undecodable BPE-level ids, needed e.g. to force-decode a hypothesis
+        for attention dumps."""
         src_ids = [self.src_vocab.encode(t) for t in src_tokens]
         out = []
         for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats)):
@@ -185,7 +189,8 @@ class Translator:
                     ]
                 if debpe:
                     toks = remove_bpe(toks)
-                sent.append((score, " ".join(toks)))
+                text = " ".join(toks)
+                sent.append((score, text, ids) if keep_ids else (score, text))
             out.append(sent)
         return out
 

@@ -123,6 +123,16 @@ def make_train_step(
             metrics = jax.tree.map(lambda m: m.sum(axis=0), metrics_all)
             for k_ in ("beta", "loss"):
                 metrics[k_] = metrics[k_] / accum
+        # frozen pretrained embeddings (reference -fix_word_vecs_enc/dec):
+        # zeroing grads (vs masking the optimizer) keeps opt_state structure
+        # independent of the flags, so checkpoints resume across settings
+        frozen = ([("src_embed",)] if cfg.train.fix_word_vecs_enc else []) + (
+            [("tgt_embed",)] if cfg.train.fix_word_vecs_dec else []
+        )
+        if frozen:
+            grads = dict(grads)
+            for (name,) in frozen:
+                grads[name] = jax.tree.map(jnp.zeros_like, grads[name])
         gnorm = optax_global_norm(grads)
         if cfg.train.skip_nonfinite:
             # one bad batch (bf16 overflow, data glitch) must not poison the
