@@ -165,7 +165,8 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
 
     overrides = {
         "data": f"{d}/demo", "buckets": "16", "model_type": "vmmt_c",
-        "word_vec_size": "16", "rnn_size": "32", "enc_layers": "1",
+        "word_vec_size": "32", "rnn_size": "32", "enc_layers": "1",
+        "share_decoder_embeddings": "1",
         "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
         "input_feed": "1", "global_attention": "dot", "z_latent_dim": "4",
         "img_feat_dim": "16", "img_feat_type": "pool5", "img_pool": "mean",

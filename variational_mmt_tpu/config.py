@@ -48,6 +48,9 @@ class ModelConfig:
     img_loss_weight: float = 1.0  # gamma
     z_cond: str = "init"  # init | init+input : how z conditions the decoder
     min_sigma: float = 1e-3  # numerical floor on predicted std-devs
+    share_decoder_embeddings: bool = False  # tie the generator kernel to the
+    # target embedding table (reference -share_decoder_embeddings); requires
+    # emb_dim == hidden_dim
 
     # --- TPU-specific ---
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
@@ -75,6 +78,11 @@ class ModelConfig:
         assert self.z_cond in ("init", "init+input"), self.z_cond
         assert self.img_feat_type in ("pool5", "conv"), self.img_feat_type
         assert self.img_pool in ("mean", "attn"), self.img_pool
+        if self.share_decoder_embeddings:
+            assert self.emb_dim == self.hidden_dim, (
+                "share_decoder_embeddings requires emb_dim == hidden_dim "
+                f"(got {self.emb_dim} vs {self.hidden_dim})"
+            )
 
 
 @dataclass

@@ -69,7 +69,14 @@ class VMMTModel(nn.Module):
         # generator GEMM in compute dtype (bf16 on MXU is ~several-fold
         # faster than an f32 3-pass matmul); logits upcast to f32 for the
         # softmax/CE which stay in f32
-        self.generator = nn.Dense(c.tgt_vocab_size, dtype=dt, name="generator")
+        if c.share_decoder_embeddings:
+            # tied generator (reference -share_decoder_embeddings): kernel is
+            # the tgt embedding table transposed; only a bias is allocated
+            self.gen_bias = self.param(
+                "gen_bias", nn.initializers.zeros, (c.tgt_vocab_size,)
+            )
+        else:
+            self.generator = nn.Dense(c.tgt_vocab_size, dtype=dt, name="generator")
         bridge_layers = []
         for l in range(c.dec_layers):
             bridge_layers.append(nn.Dense(c.hidden_dim, dtype=dt, name=f"bridge{l}"))
@@ -158,6 +165,13 @@ class VMMTModel(nn.Module):
             init_hs.append(jnp.tanh(self.bridge_layers[l](f)))
         return init_hs
 
+    def _gen(self, h: jax.Array) -> jax.Array:
+        """Generator logits in f32 (tied or free kernel)."""
+        if self.cfg.share_decoder_embeddings:
+            w = self.tgt_embed.embedding.astype(self.dt)  # (V, E)
+            return (h @ w.T).astype(jnp.float32) + self.gen_bias
+        return self.generator(h).astype(jnp.float32)
+
     def z_extra_proj(self, z: Optional[jax.Array]):
         if z is not None and self.cfg.z_cond == "init+input":
             return self.z_input_proj(z.astype(self.dt))
@@ -175,9 +189,9 @@ class VMMTModel(nn.Module):
             # (ops/fused_ce.py); still materialize the generator params at
             # init time so the checkpoint layout is identical either way
             if self.is_initializing():
-                self.generator(outs[:, :1])
+                self._gen(outs[:, :1])
             return outs, aligns
-        logits = self.generator(outs).astype(jnp.float32)
+        logits = self._gen(outs)
         return logits, aligns
 
     def decode_step(self, carry, tok: jax.Array, memory, src_mask, z, keys=None):
@@ -189,7 +203,7 @@ class VMMTModel(nn.Module):
             carry, emb, memory, src_mask,
             extra_input_proj=self.z_extra_proj(z), keys=keys,
         )
-        logits = self.generator(attn_h).astype(jnp.float32)
+        logits = self._gen(attn_h)
         return carry, logits, align
 
     def project_memory(self, memory):
@@ -267,6 +281,15 @@ class VMMTModel(nn.Module):
 def build_model(cfg: ModelConfig) -> VMMTModel:
     cfg.validate()
     return VMMTModel(cfg)
+
+
+def generator_params(params, cfg: ModelConfig):
+    """The {kernel (H,V), bias (V,)} the fused-CE loss consumes, resolving
+    the tied-generator layout (share_decoder_embeddings)."""
+    if cfg.share_decoder_embeddings:
+        return {"kernel": params["tgt_embed"]["embedding"].T,
+                "bias": params["gen_bias"]}
+    return params["generator"]
 
 
 def init_params(model: VMMTModel, rng: jax.Array, batch_size: int = 2, seq_len: int = 8):

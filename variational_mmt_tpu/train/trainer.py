@@ -25,7 +25,7 @@ from flax import struct
 from variational_mmt_tpu.config import Config
 from variational_mmt_tpu.data.dataset import BucketIterator
 from variational_mmt_tpu.data.prefetch import prefetch
-from variational_mmt_tpu.models.model import VMMTModel, init_params
+from variational_mmt_tpu.models.model import VMMTModel, generator_params, init_params
 from variational_mmt_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from variational_mmt_tpu.train.loss import compute_loss
 from variational_mmt_tpu.train.optim import PlateauScheduler, make_optimizer
@@ -93,7 +93,9 @@ def make_train_step(
             return compute_loss(
                 out, micro["tgt_out"], micro["example_mask"], img,
                 cfg.model, cfg.train, state.step,
-                generator_params=params.get("generator") if cfg.model.fused_ce else None,
+                generator_params=(
+                    generator_params(params, cfg.model) if cfg.model.fused_ce else None
+                ),
             )
 
         if accum == 1:
@@ -224,7 +226,7 @@ def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional
             out, batch["tgt_out"], batch["example_mask"], img,
             cfg.model, cfg.train, state.step,
             generator_params=(
-                state.params.get("generator") if cfg.model.fused_ce else None
+                generator_params(state.params, cfg.model) if cfg.model.fused_ce else None
             ),
         )
         return metrics
