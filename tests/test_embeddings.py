@@ -108,3 +108,61 @@ def test_train_cli_pretrained_and_frozen(tmp_path):
     assert not np.allclose(got_dec, dec, atol=1e-6)  # loaded, then trained
     # ...but it STARTED from the pretrained table (moved, not re-initialized)
     assert np.abs(got_dec - dec).max() < 0.1
+
+
+def test_read_text_embeddings_one_dim_and_header_dim(tmp_path):
+    # 2-field first line that is a valid 1-d vector must not be dropped
+    f1 = tmp_path / "onedim.txt"
+    f1.write_text("hello 0.5\nworld 1.5\n")
+    vecs = read_text_embeddings(str(f1))
+    assert set(vecs) == {"hello", "world"} and len(vecs["hello"]) == 1
+    # a word2vec header's declared dim gates subsequent lines
+    f2 = tmp_path / "hdr.txt"
+    f2.write_text("2 3\nhello 1 2 3\nbroken 1 2\nworld 4 5 6\n")
+    vecs = read_text_embeddings(str(f2))
+    assert set(vecs) == {"hello", "world"}
+
+
+def test_frozen_embeddings_survive_nonzero_optimizer_moments():
+    """Resuming with -fix_word_vecs_enc from a checkpoint whose adam moments
+    are non-zero must NOT keep moving the table (zeroed grads alone would:
+    the moment estimates emit non-zero updates for ~1/(1-b1) steps)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
+    from variational_mmt_tpu.models.model import build_model
+    from variational_mmt_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(model_type="nmt", src_vocab_size=20, tgt_vocab_size=20,
+                          emb_dim=8, hidden_dim=8, enc_layers=1, dec_layers=1,
+                          dropout=0.0, compute_dtype="float32"),
+        train=TrainConfig(seed=0, batch_size=4, learning_rate=0.05),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    rng = np.random.default_rng(0)
+    batch = {
+        "src": jnp.asarray(rng.integers(4, 20, (4, 6)), jnp.int32),
+        "tgt_in": jnp.asarray(rng.integers(4, 20, (4, 6)), jnp.int32),
+        "tgt_out": jnp.asarray(rng.integers(4, 20, (4, 6)), jnp.int32),
+        "example_mask": jnp.ones((4,), jnp.float32),
+    }
+    step = jax.jit(make_train_step(cfg, model))
+    for _ in range(3):  # accumulate non-zero adam moments
+        state, _ = step(state, batch)
+
+    frozen_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fix_word_vecs_enc=True)
+    )
+    fstep = jax.jit(make_train_step(frozen_cfg, model))
+    emb = np.asarray(state.params["src_embed"]["embedding"]).copy()
+    other = np.asarray(jax.tree.leaves(state.params["encoder"])[0]).copy()
+    for _ in range(3):
+        state, _ = fstep(state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["src_embed"]["embedding"]), emb)
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.params["encoder"])[0]), other)

@@ -78,6 +78,7 @@ def main():
     ]
     imgs = rng.standard_normal((args.requests, 2048)).astype(np.float32)
     lat = []
+    errors = []
     lock = threading.Lock()
 
     def direct_client(lo, hi):
@@ -100,7 +101,16 @@ def main():
             with lock:
                 lat.append(time.monotonic() - t0)
 
-    client = http_client if args.http else direct_client
+    inner = http_client if args.http else direct_client
+
+    def client(lo, hi):
+        # a silently-dead thread would make the throughput/percentile math
+        # lie (requests counted but never completed); record and fail loudly
+        try:
+            inner(lo, hi)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(repr(e))
     chunk = (args.requests + args.clients - 1) // args.clients
     threads = [
         threading.Thread(target=client, args=(c * chunk, min((c + 1) * chunk, args.requests)))
@@ -118,10 +128,14 @@ def main():
         server.stop()
     else:
         svc.stop()
+    if errors or len(lat) != args.requests:
+        print(json.dumps({"error": f"only {len(lat)}/{args.requests} requests "
+                                   f"completed; first failures: {errors[:3]}"}))
+        sys.exit(1)
     lat_a = np.array(lat)
     print(json.dumps({
         "metric": "serve_sent_per_sec",
-        "value": round(args.requests / wall, 1),
+        "value": round(len(lat) / wall, 1),
         "unit": "sent/s",
         "platform": jax.default_backend(),
         "clients": args.clients,

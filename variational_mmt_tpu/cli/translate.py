@@ -106,7 +106,8 @@ def main(argv=None) -> None:
     import time
 
     t0 = time.time()
-    results = translator.translate_tokens(src_tok, feats, keep_ids=bool(opt.dump_attn))
+    want_scores = opt.verbose or opt.dump_attn
+    results = translator.translate_tokens(src_tok, feats, keep_ids=want_scores)
     dt = time.time() - t0
     print(f"translated {len(results)} sentences in {dt:.1f}s "
           f"({len(results) / max(dt, 1e-9):.1f} sent/s, beam {opt.beam_size})")
@@ -117,28 +118,39 @@ def main(argv=None) -> None:
                 f.write(entry[1] + "\n")
     print(f"wrote {opt.output}")
 
-    src_ids = [sv.encode(t) for t in src_tok]
-    if opt.dump_attn:
-        # force-decode each 1-best hypothesis to recover its full attention
-        # matrices (identical to what the deterministic beam computed; the
-        # on-device search itself only tracks argmax positions)
+    bucket_list = cfg.data.buckets or [16, 24, 32, 48, 64]
+    src_ids = [sv.encode(t) for t in src_tok] if (want_scores or opt.tgt) else None
+    pred_lp = pred_nt = None
+    if want_scores:
+        # force-decode each 1-best hypothesis (raw BPE-level ids): TRUE
+        # log p(y|x, z=prior-mean) — the penalized beam scores are NOT
+        # log-probs (alpha/coverage-normalized; greedy path returns zeros) —
+        # plus the full attention matrices for -dump_attn (identical to what
+        # the deterministic beam computed; the on-device search itself only
+        # tracks argmax positions)
         from variational_mmt_tpu.decode.score import score_corpus
 
-        pred_ids = [list(nbest[0][2]) for nbest in results]  # raw BPE-level ids
-        _, _, attns = score_corpus(
+        pred_ids = [list(nbest[0][2]) for nbest in results]
+        pred_lp, pred_nt, attns = score_corpus(
             model, state.params, src_ids, pred_ids, feats,
-            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
-            batch_size=opt.batch_size, return_attn=True,
+            buckets=bucket_list, batch_size=opt.batch_size,
+            return_attn=bool(opt.dump_attn),
         )
-        np.savez(opt.dump_attn, **{f"attn_{i}": a for i, a in enumerate(attns)})
-        print(f"wrote attention matrices for {len(attns)} sentences -> {opt.dump_attn}")
+        if opt.dump_attn:
+            np.savez(opt.dump_attn, **{f"attn_{i}": a for i, a in enumerate(attns)})
+            print(f"wrote attention matrices for {len(attns)} sentences -> {opt.dump_attn}")
 
     if opt.verbose:
         for i, nbest in enumerate(results):
             print(f"\nSENT {i + 1}: {' '.join(src_tok[i])}")
             for k, entry in enumerate(nbest[: opt.n_best]):
                 print(f"PRED {i + 1}.{k + 1}: {entry[1]}")
-                print(f"PRED SCORE: {entry[0]:.4f}")
+                if k == 0:
+                    # true force-decoded log p(y|x); the beam's own score is
+                    # length/coverage-penalized and not a log-prob
+                    print(f"PRED SCORE: {pred_lp[i]:.4f}")
+                else:
+                    print(f"BEAM SCORE: {entry[0]:.4f}")
 
     if opt.tgt:
         with open(opt.tgt, encoding="utf-8") as f:
@@ -147,25 +159,25 @@ def main(argv=None) -> None:
             else:
                 refs = [tokenize(l, lower=lower) for l in f]
         hyps = [nbest[0][1].split() for nbest in results]
+        gold_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
         if opt.report_bleu or True:
             bleu = corpus_bleu(hyps, [[r] for r in refs])
             print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
 
-        # GOLD score: force-decode the reference under the decode-time model
-        # (z = prior mean), the upstream Translator's gold-scoring behavior
-        from variational_mmt_tpu.decode.score import report_score, score_corpus
-
-        gold_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
-        gold_lp, gold_nt, _ = score_corpus(
-            model, state.params, src_ids, gold_ids, feats,
-            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
-            batch_size=opt.batch_size,
-        )
-        pred_lp = np.asarray([nbest[0][0] for nbest in results])
-        pred_nt = np.asarray([len(h) + 1 for h in hyps])  # + EOS
-        print(report_score("PRED", pred_lp, pred_nt))
-        print(report_score("GOLD", gold_lp, gold_nt))
         if opt.verbose:
+            # GOLD score: force-decode the reference under the decode-time
+            # model (z = prior mean), the upstream Translator's gold-scoring
+            # behavior. Gated on -verbose: it costs a teacher-forced pass
+            # over the corpus + per-bucket compiles, which a BLEU-only sweep
+            # should not pay.
+            from variational_mmt_tpu.decode.score import report_score, score_corpus
+
+            gold_lp, gold_nt, _ = score_corpus(
+                model, state.params, src_ids, gold_ids, feats,
+                buckets=bucket_list, batch_size=opt.batch_size,
+            )
+            print(report_score("PRED", pred_lp, pred_nt))
+            print(report_score("GOLD", gold_lp, gold_nt))
             for i, r in enumerate(refs):
                 print(f"GOLD {i + 1}: {' '.join(r)}  (score {gold_lp[i]:.4f})")
         if opt.report_meteor:
@@ -179,9 +191,7 @@ def main(argv=None) -> None:
             print(f"METEOR({opt.meteor_preset}) = {met['meteor']:.2f}")
 
         if opt.iw_eval > 0 and model.is_latent:
-            tgt_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
-            src_ids = [sv.encode(t) for t in src_tok]
-            ds = binarize(src_ids, tgt_ids)
+            ds = binarize(src_ids, gold_ids)
             it = BucketIterator(ds, opt.batch_size, cfg.data.buckets or [16, 24, 32, 48, 64],
                                 img_feats=feats, shuffle=False)
             import jax.numpy as jnp

@@ -29,11 +29,12 @@ def read_text_embeddings(path: str) -> Dict[str, np.ndarray]:
         first = f.readline().rstrip("\n")
         parts = first.split(" ")
         if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
-            pass  # word2vec header: "<count> <dim>"
-        elif len(parts) > 2:
+            dim = int(parts[1])  # word2vec header: "<count> <dim>"
+        elif len(parts) >= 2:
             try:
-                vecs[parts[0]] = np.asarray([float(x) for x in parts[1:]], np.float32)
-                dim = len(parts) - 1
+                v = np.asarray([float(x) for x in parts[1:]], np.float32)
+                vecs[parts[0]] = v
+                dim = len(v)
             except ValueError:
                 pass
         for line in f:

@@ -102,8 +102,9 @@ def score_corpus(
 
 
 def report_score(name: str, logp: np.ndarray, ntok: np.ndarray) -> str:
-    """The reference's ``_report_score`` line: avg per-sentence score + ppl."""
+    """The reference's ``_report_score`` line: per-WORD avg score + ppl
+    (upstream divides score_total by words_total, not by sentence count)."""
     total_lp = float(logp.sum())
     total_tok = max(int(ntok.sum()), 1)
-    ppl = float(np.exp(-total_lp / total_tok))
-    return f"{name} AVG SCORE: {total_lp / max(len(logp), 1):.4f}, {name} PPL: {ppl:.4f}"
+    per_word = total_lp / total_tok
+    return f"{name} AVG SCORE: {per_word:.4f}, {name} PPL: {float(np.exp(-per_word)):.4f}"

@@ -126,15 +126,24 @@ def make_train_step(
             for k_ in ("beta", "loss"):
                 metrics[k_] = metrics[k_] / accum
         # frozen pretrained embeddings (reference -fix_word_vecs_enc/dec):
-        # zeroing grads (vs masking the optimizer) keeps opt_state structure
-        # independent of the flags, so checkpoints resume across settings
+        # zeroing grads AND final updates (vs masking the optimizer) keeps
+        # opt_state structure independent of the flags, so checkpoints resume
+        # across settings. Zeroing grads alone is not enough: moments loaded
+        # from an unfrozen-run checkpoint would still emit non-zero adam/
+        # adadelta updates for ~1/(1-b1) steps.
         frozen = ([("src_embed",)] if cfg.train.fix_word_vecs_enc else []) + (
             [("tgt_embed",)] if cfg.train.fix_word_vecs_dec else []
         )
-        if frozen:
-            grads = dict(grads)
+
+        def zero_frozen(tree):
+            if not frozen:
+                return tree
+            tree = dict(tree)
             for (name,) in frozen:
-                grads[name] = jax.tree.map(jnp.zeros_like, grads[name])
+                tree[name] = jax.tree.map(jnp.zeros_like, tree[name])
+            return tree
+
+        grads = zero_frozen(grads)
         gnorm = optax_global_norm(grads)
         if cfg.train.skip_nonfinite:
             # one bad batch (bf16 overflow, data glitch) must not poison the
@@ -145,7 +154,7 @@ def make_train_step(
                 updates, new_opt = tx.update(grads, state.opt_state, state.params)
                 new_params = jax.tree.map(
                     lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
-                    state.params, updates,
+                    state.params, zero_frozen(updates),
                 )
                 return new_params, new_opt
 
@@ -159,7 +168,7 @@ def make_train_step(
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
                 lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
-                state.params, updates,
+                state.params, zero_frozen(updates),
             )
             metrics["skipped_sum"] = jnp.float32(0.0)
         metrics["grad_norm"] = gnorm
