@@ -254,3 +254,50 @@ def test_beam_coverage_prefers_covering_hypothesis():
     top = np.asarray(tokens)[:, 0, :2]
     # the all-5 hypothesis (uniform attention -> best coverage) must rank first
     np.testing.assert_array_equal(top, np.full((4, 2), 5))
+
+
+def test_beam_trace_reconstructs_hypotheses():
+    """-dump_beam tree: following raw (parent, token) entries backwards from
+    any final slot must reproduce exactly the hypothesis the beam returned
+    for that slot, and the traced scores must match the final raw scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from variational_mmt_tpu.data.vocab import EOS, PAD
+    from variational_mmt_tpu.ops.beam import beam_search, length_penalty
+
+    B, K, L, V = 3, 4, 9, 12
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.standard_normal((V, V)).astype(np.float32))
+
+    def step_fn(carry, toks):
+        # deterministic toy LM: logits depend on last token + a step counter
+        t = carry
+        logp = jax.nn.log_softmax(table[toks] + 0.1 * t, axis=-1)
+        return t + 1, logp
+
+    out = beam_search(step_fn, jnp.zeros((B,), jnp.float32), B, K, L,
+                      alpha=0.0, return_trace=True)
+    tokens, scores, trace = np.asarray(out[0]), np.asarray(out[1]), out[2]
+    parents = np.asarray(trace["parents"])
+    tr_toks = np.asarray(trace["tokens"])
+    tr_sc = np.asarray(trace["scores"])
+    order = np.asarray(trace["order"])
+    n = int(trace["n_steps"])
+
+    for b in range(B):
+        for rank in range(K):
+            slot = order[b, rank]
+            # walk the tree backwards from the final slot
+            rebuilt = []
+            s = slot
+            for t in range(n - 1, -1, -1):
+                rebuilt.append(tr_toks[b, s, t])
+                s = parents[b, s, t]
+            rebuilt = rebuilt[::-1] + [PAD] * (L - n)
+            np.testing.assert_array_equal(np.asarray(rebuilt), tokens[b, rank])
+            # final traced score (raw) must equal the returned score after
+            # undoing the length penalty (alpha=0 -> penalty 1, equal)
+            np.testing.assert_allclose(tr_sc[b, slot, n - 1], scores[b, rank],
+                                       rtol=1e-5)

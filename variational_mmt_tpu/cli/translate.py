@@ -47,6 +47,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="replace <unk> outputs with the max-attention source token")
     p.add_argument("-verbose", action="store_true",
                    help="per-sentence SENT/PRED/PRED SCORE (+ GOLD with -tgt) report")
+    p.add_argument("-dump_beam", default="",
+                   help="JSON path: raw beam search tree per sentence "
+                        "(per-step parent/token/score for every beam slot)")
     p.add_argument("-dump_attn", default="",
                    help=".npz path: attention matrices of each 1-best hypothesis "
                         "(force-decoded; exact for the deterministic beam)")
@@ -93,6 +96,7 @@ def main(argv=None) -> None:
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
+        dump_beam=bool(opt.dump_beam),
     )
     mesh = None
     if len(jax.devices()) > 1 and opt.batch_size % len(jax.devices()) == 0:
@@ -117,6 +121,15 @@ def main(argv=None) -> None:
             for entry in nbest[: opt.n_best]:
                 f.write(entry[1] + "\n")
     print(f"wrote {opt.output}")
+
+    if opt.dump_beam:
+        import json
+
+        with open(opt.dump_beam, "w", encoding="utf-8") as f:
+            json.dump({str(i): translator.beam_traces[i]
+                       for i in sorted(translator.beam_traces)}, f)
+        print(f"wrote beam search trees for {len(translator.beam_traces)} "
+              f"sentences -> {opt.dump_beam}")
 
     bucket_list = cfg.data.buckets or [16, 24, 32, 48, 64]
     src_ids = [sv.encode(t) for t in src_tok] if (want_scores or opt.tgt) else None

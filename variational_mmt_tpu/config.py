@@ -172,6 +172,7 @@ class DecodeConfig:
     coverage_beta: float = 0.0  # GNMT coverage-penalty weight (0 = off)
     batch_size: int = 32
     replace_unk: bool = False
+    dump_beam: bool = False  # record the raw beam search tree (-dump_beam)
     iw_samples: int = 10  # K for importance-weighted ELBO eval
 
 

@@ -44,7 +44,7 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
 
         keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)
 
-        if K == 1 and not track_attn:
+        if K == 1 and not track_attn and not dcfg.dump_beam:
             def step1(carry, toks):
                 carry, logits, _ = model.apply(
                     {"params": params}, carry, toks, memory, src_mask, z, keys,
@@ -78,6 +78,7 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
             step, carry0, B, K, dcfg.max_length, dcfg.min_length,
             dcfg.alpha, dcfg.length_penalty, return_attn=dcfg.replace_unk,
             coverage_beta=dcfg.coverage_beta, src_mask=src_mask,
+            return_trace=dcfg.dump_beam,
         )
 
     return fn
@@ -125,6 +126,9 @@ class Translator:
             params = jax.device_put(params, replicated_sharding(self.mesh))
         self.params = params
         self._fn = jax.jit(make_translate_fn(model, self.dcfg))
+        # raw search trees by corpus index, populated when dcfg.dump_beam
+        # (the reference's -dump_beam); see ops/beam.py return_trace
+        self.beam_traces: dict = {}
 
     def translate_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
@@ -146,13 +150,25 @@ class Translator:
                 if img is not None:
                     img = jax.device_put(img, self._batch_sh)
             out = self._fn(self.params, src, img)
-            attn = np.asarray(out[2]) if len(out) == 3 else None
             tokens = np.asarray(out[0])
             scores = np.asarray(out[1])
+            # variable arity: [tokens, scores, attn?, trace?] — the trace
+            # dict is always last when dump_beam is on
+            trace = out[-1] if self.dcfg.dump_beam else None
+            has_attn = len(out) == (4 if self.dcfg.dump_beam else 3)
+            attn = np.asarray(out[2]) if has_attn else None
             for row in range(batch.batch_size):
                 if batch.example_mask[row] == 0:
                     continue
                 i = int(batch.indices[row])
+                if trace is not None:
+                    n = int(trace["n_steps"])
+                    self.beam_traces[i] = {
+                        "parents": np.asarray(trace["parents"][row, :, :n]).tolist(),
+                        "tokens": np.asarray(trace["tokens"][row, :, :n]).tolist(),
+                        "scores": np.asarray(trace["scores"][row, :, :n]).tolist(),
+                        "order": np.asarray(trace["order"][row]).tolist(),
+                    }
                 nbest = []
                 for k in range(n_best):
                     ids = _strip(tokens[row, k])

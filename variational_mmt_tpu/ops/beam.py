@@ -47,6 +47,9 @@ class BeamState(NamedTuple):
     attn_src: jax.Array  # (B, K, L) argmax source position per emitted token
     coverage: jax.Array  # (B, K, S) summed attention mass per source position
     # ((B, K, 1) zeros when the coverage penalty is off)
+    trace_pt: jax.Array  # (B, K, L, 2) raw per-step (parent, token) — the
+    # search tree for -dump_beam ((B, K, 1, 2) zeros when tracing is off)
+    trace_sc: jax.Array  # (B, K, L) raw per-step cumulative scores
 
 
 def length_penalty(lengths: jax.Array, alpha: float, kind: str = "gnmt") -> jax.Array:
@@ -85,6 +88,7 @@ def beam_search(
     return_attn: bool = False,
     coverage_beta: float = 0.0,
     src_mask: Any = None,
+    return_trace: bool = False,
 ):
     """Returns (tokens (B, K, max_length) sorted best-first, penalized scores
     (B, K)) — plus attention-argmax source positions (B, K, max_length) when
@@ -98,7 +102,14 @@ def beam_search(
     reference's Penalties.py coverage_wu): the finalized score adds
     beta * sum_s log(min(coverage_s, 1)) over real source positions
     (``src_mask`` (B, S), required when beta != 0), rewarding hypotheses
-    whose attention covers the whole source."""
+    whose attention covers the whole source.
+
+    ``return_trace`` (the reference's -dump_beam): additionally returns the
+    RAW search tree — per step t and new-beam slot k, the parent beam slot,
+    chosen token, and cumulative raw score, all recorded BEFORE any
+    reordering — plus the final best-first slot order, as a dict
+    {parents, tokens, scores (B, K, L), order (B, K)}. Following parents
+    backwards from any final slot reconstructs that hypothesis exactly."""
     B, K, L = batch_size, beam_size, max_length
     use_cov = coverage_beta != 0.0
     if use_cov and src_mask is None:
@@ -117,6 +128,8 @@ def beam_search(
         last_tok=jnp.full((B, K), bos_id, jnp.int32),
         attn_src=jnp.zeros((B, K, L), jnp.int32),
         coverage=jnp.zeros((B, K, S), jnp.float32),
+        trace_pt=jnp.zeros((B, K, L if return_trace else 1, 2), jnp.int32),
+        trace_sc=jnp.zeros((B, K, L if return_trace else 1), jnp.float32),
     )
 
     def cond(s: BeamState):
@@ -179,6 +192,15 @@ def beam_search(
             )
             # finished beams stop accumulating (their PAD steps attend nowhere)
             coverage = coverage + step_attn * (~was_finished)[..., None]
+        trace_pt, trace_sc = s.trace_pt, s.trace_sc
+        if return_trace:
+            # RAW tree entries for this step (slot-indexed, never reordered)
+            trace_pt = jax.lax.dynamic_update_slice_in_dim(
+                trace_pt, jnp.stack([parents, toks], axis=-1)[:, :, None, :], s.t, axis=2
+            )
+            trace_sc = jax.lax.dynamic_update_slice_in_dim(
+                trace_sc, new_scores[..., None], s.t, axis=2
+            )
         return BeamState(
             t=s.t + 1,
             tokens=tokens,
@@ -189,6 +211,8 @@ def beam_search(
             last_tok=toks,
             attn_src=attn_src,
             coverage=coverage,
+            trace_pt=trace_pt,
+            trace_sc=trace_sc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -203,10 +227,18 @@ def beam_search(
     order = jnp.argsort(-scored, axis=1)
     tokens = jnp.take_along_axis(final.tokens, order[..., None], axis=1)
     scored = jnp.take_along_axis(scored, order, axis=1)
+    outs = [tokens, scored]
     if return_attn:
-        attn = jnp.take_along_axis(final.attn_src, order[..., None], axis=1)
-        return tokens, scored, attn
-    return tokens, scored
+        outs.append(jnp.take_along_axis(final.attn_src, order[..., None], axis=1))
+    if return_trace:
+        outs.append({
+            "parents": final.trace_pt[..., 0],
+            "tokens": final.trace_pt[..., 1],
+            "scores": final.trace_sc,
+            "order": order,
+            "n_steps": final.t,
+        })
+    return tuple(outs)
 
 
 def greedy_search(
