@@ -165,6 +165,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
 
     overrides = {
         "data": f"{d}/demo", "buckets": "16", "model_type": "vmmt_c",
+        "rnn_type": "lstm",
         "word_vec_size": "32", "rnn_size": "32", "enc_layers": "1",
         "share_decoder_embeddings": "1",
         "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
@@ -178,6 +179,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "epochs": "0", "optim": "sgd", "learning_rate": "0.123",
         "max_grad_norm": "3.5", "learning_rate_decay": "0.7",
         "start_decay_at": "77", "label_smoothing": "0.05",
+        "param_init": "0.08",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
         "kl_free_bits": "0.25", "skip_nonfinite": "1",
         "fix_word_vecs_enc": "1", "fix_word_vecs_dec": "1", "seed": "42",

@@ -378,3 +378,40 @@ def test_skip_nonfinite_off_by_default():
     step = make_train_step(cfg, model)
     _, m = step(state, make_batch())
     assert float(m["skipped_sum"]) == 0.0
+
+
+def test_param_init_uniform_reinit():
+    """-param_init r: every param tensor re-initialized uniform(-r, r); the
+    model still learns from that init (reference init parity)."""
+    cfg = tiny_cfg(param_init=0.1)
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    leaves = jax.tree.leaves(state.params)
+    for x in leaves:
+        a = np.asarray(x)
+        assert a.min() >= -0.1 and a.max() <= 0.1
+    # not degenerate: distinct leaves get distinct draws, wide spread
+    big = max(leaves, key=lambda x: x.size)
+    assert np.asarray(big).std() > 0.03
+    step = make_train_step(cfg, model)
+    batch = make_batch()
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["ce_sum"]) / float(m["n_tokens"]))
+    assert losses[-1] < losses[0]
+
+
+def test_adagrad_optimizer_learns():
+    cfg = tiny_cfg(optimizer="adagrad")
+    cfg.train.learning_rate = 0.1
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+    batch = make_batch()
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["ce_sum"]) / float(m["n_tokens"]))
+    assert losses[-1] < losses[0] * 0.6
+    assert np.isfinite(losses).all()

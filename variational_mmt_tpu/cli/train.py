@@ -32,6 +32,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-train_from", default="", help="checkpoint dir/path to resume")
     # model
     p.add_argument("-model_type", default="vmmt_f", choices=["nmt", "vmmt_f", "vmmt_c"])
+    p.add_argument("-rnn_type", default="gru", choices=["gru", "lstm"],
+                   help="recurrent cell (the paper's models are GRU; LSTM is "
+                        "the upstream baseline option)")
     p.add_argument("-word_vec_size", type=int, default=500)
     p.add_argument("-rnn_size", type=int, default=500)
     p.add_argument("-enc_layers", type=int, default=2)
@@ -78,8 +81,12 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="skip optimizer updates with NaN/Inf gradients (bf16 hygiene)")
     p.add_argument("-max_steps", type=int, default=20000)
     p.add_argument("-epochs", type=int, default=0)
-    p.add_argument("-optim", default="adam", choices=["adam", "sgd", "adadelta"])
+    p.add_argument("-optim", default="adam",
+                   choices=["adam", "sgd", "adadelta", "adagrad"])
     p.add_argument("-learning_rate", type=float, default=4e-4)
+    p.add_argument("-param_init", type=float, default=0.0,
+                   help=">0: uniform(-r,r) re-init of all params (reference "
+                        "default 0.1; 0 keeps per-layer framework init)")
     p.add_argument("-max_grad_norm", type=float, default=5.0)
     p.add_argument("-learning_rate_decay", type=float, default=0.5)
     p.add_argument("-start_decay_at", type=int, default=0)
@@ -113,6 +120,7 @@ FLAG2KEY = {
     "data": ("data", "save_data"),
     "buckets": ("data", "buckets"),
     "model_type": ("model", "model_type"),
+    "rnn_type": ("model", "rnn_type"),
     "word_vec_size": ("model", "emb_dim"),
     "rnn_size": ("model", "hidden_dim"),
     "enc_layers": ("model", "enc_layers"),
@@ -143,6 +151,7 @@ FLAG2KEY = {
     "epochs": ("train", "epochs"),
     "optim": ("train", "optimizer"),
     "learning_rate": ("train", "learning_rate"),
+    "param_init": ("train", "param_init"),
     "max_grad_norm": ("train", "max_grad_norm"),
     "learning_rate_decay": ("train", "lr_decay"),
     "start_decay_at": ("train", "start_decay_at"),
@@ -198,6 +207,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
     return Config(
         model=ModelConfig(
             model_type=opt.model_type,
+            rnn_type=opt.rnn_type,
             src_vocab_size=src_vocab_size,
             tgt_vocab_size=tgt_vocab_size,
             emb_dim=opt.word_vec_size,
@@ -233,6 +243,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             epochs=opt.epochs,
             optimizer=opt.optim,
             learning_rate=opt.learning_rate,
+            param_init=opt.param_init,
             max_grad_norm=opt.max_grad_norm,
             lr_decay=opt.learning_rate_decay,
             start_decay_at=opt.start_decay_at,
@@ -262,10 +273,13 @@ def main(argv=None) -> None:
 
     raw_argv = list(argv) if argv is not None else _sys.argv[1:]
     passed = passed_flags(raw_argv)
-    if opt.optim == "adadelta" and "learning_rate" not in passed:
-        # reference parity: Optim runs adadelta at lr 1.0 (the shared 4e-4
-        # default would cripple it)
-        opt.learning_rate = 1.0
+    if "learning_rate" not in passed:
+        # reference parity: Optim runs adadelta at lr 1.0 and adagrad at
+        # ~0.1 (the shared adam default 4e-4 would cripple both)
+        if opt.optim == "adadelta":
+            opt.learning_rate = 1.0
+        elif opt.optim == "adagrad":
+            opt.learning_rate = 0.1
 
     sv = Vocab.load(opt.data + ".vocab.src.json")
     tv = Vocab.load(opt.data + ".vocab.tgt.json")

@@ -26,6 +26,9 @@ class ModelConfig:
     """
 
     model_type: str = "vmmt_f"  # one of: nmt | vmmt_f | vmmt_c
+    rnn_type: str = "gru"  # gru | lstm (reference -rnn_type; the paper's
+    # models are GRU — LSTM is the upstream baseline option. Pallas fused
+    # kernels are GRU-only: LSTM recurrences run as XLA scans.)
     src_vocab_size: int = 10000
     tgt_vocab_size: int = 10000
     emb_dim: int = 500
@@ -73,6 +76,7 @@ class ModelConfig:
 
     def validate(self) -> None:
         assert self.model_type in ("nmt", "vmmt_f", "vmmt_c"), self.model_type
+        assert self.rnn_type in ("gru", "lstm"), self.rnn_type
         assert self.attn_type in ("general", "dot", "mlp"), self.attn_type
         assert self.img_loss in ("logprob", "mse", "cosine"), self.img_loss
         assert self.z_cond in ("init", "init+input"), self.z_cond
@@ -93,8 +97,11 @@ class TrainConfig:
     batch_size: int = 64  # sentences per global batch
     max_steps: int = 20000
     epochs: int = 0  # if > 0, overrides max_steps via steps_per_epoch
-    optimizer: str = "adam"  # adam | sgd | adadelta
+    optimizer: str = "adam"  # adam | sgd | adadelta | adagrad
     learning_rate: float = 4e-4
+    param_init: float = 0.0  # >0: re-init ALL params uniform(-r, r) after
+    # construction (the reference's -param_init; 0 keeps the framework's
+    # per-layer default init, which is usually better)
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     max_grad_norm: float = 5.0

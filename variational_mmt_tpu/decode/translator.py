@@ -39,7 +39,7 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
         if model.is_latent:
             z = model.apply({"params": params}, summary, img, method=VMMTModel.prior_latent)
         init_hs = model.apply({"params": params}, finals, z, method=VMMTModel.init_decoder_state)
-        carry0 = (tuple(init_hs), jnp.zeros_like(init_hs[-1]))
+        carry0 = model.apply({"params": params}, init_hs, method=VMMTModel.init_decode_carry)
         track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
 
         keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from variational_mmt_tpu.models.attention import GlobalAttention
-from variational_mmt_tpu.models.gru import gru_gates
+from variational_mmt_tpu.models.gru import gru_gates, lstm_gates, n_gates
 
 Dtype = Any
 
@@ -51,30 +51,40 @@ class DecoderStep(nn.Module):
     attn_type: str = "general"
     input_feed: bool = True
     dtype: Dtype = jnp.float32
+    cell_type: str = "gru"  # gru | lstm (lstm state packed as [h | c])
 
     def setup(self):
         H = self.hidden
+        G = n_gates(self.cell_type)
         self.hh_kernels = [
-            self.param(f"hh_kernel{l}", nn.initializers.lecun_normal(), (H, 3 * H), jnp.float32)
+            self.param(f"hh_kernel{l}", nn.initializers.lecun_normal(), (H, G * H), jnp.float32)
             for l in range(self.layers)
         ]
         self.hh_biases = [
-            self.param(f"hh_bias{l}", nn.initializers.zeros_init(), (3 * H,), jnp.float32)
+            self.param(f"hh_bias{l}", nn.initializers.zeros_init(), (G * H,), jnp.float32)
             for l in range(self.layers)
         ]
         if self.input_feed:
-            self.ih_feed = nn.Dense(3 * self.hidden, use_bias=False, dtype=self.dtype)
+            self.ih_feed = nn.Dense(G * self.hidden, use_bias=False, dtype=self.dtype)
         self.ih_mid = [
-            nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype, name=f"ih_mid{l}")
+            nn.Dense(G * self.hidden, use_bias=True, dtype=self.dtype, name=f"ih_mid{l}")
             for l in range(self.layers - 1)
         ]
         self.attn = GlobalAttention(self.hidden, self.attn_type, self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
-    def cell(self, l: int, h: jax.Array, x_proj: jax.Array) -> jax.Array:
+    def cell(self, l: int, s: jax.Array, x_proj: jax.Array) -> jax.Array:
+        """s: per-layer state — (B,H) for GRU, (B,2H) [h|c] for LSTM."""
         wh = self.hh_kernels[l].astype(self.dtype)
         bh = self.hh_biases[l].astype(self.dtype)
-        return gru_gates(x_proj, h @ wh + bh, h)
+        if self.cell_type == "lstm":
+            h, c = jnp.split(s, 2, axis=-1)
+            h_new, c_new = lstm_gates(x_proj, h @ wh + bh, c)
+            return jnp.concatenate([h_new, c_new], axis=-1)
+        return gru_gates(x_proj, s @ wh + bh, s)
+
+    def _h(self, s: jax.Array) -> jax.Array:
+        return s[..., : self.hidden] if self.cell_type == "lstm" else s
 
     def __call__(
         self,
@@ -91,11 +101,11 @@ class DecoderStep(nn.Module):
             x_proj = x_proj + self.ih_feed(feed)
         new_hs: List[jax.Array] = []
         for l in range(self.layers):
-            h_new = self.cell(l, hs[l], x_proj)
-            new_hs.append(h_new)
+            s_new = self.cell(l, hs[l], x_proj)
+            new_hs.append(s_new)
             if l + 1 < self.layers:
-                x_proj = self.ih_mid[l](self.drop(h_new, deterministic=deterministic))
-        attn_h, align = self.attn(new_hs[-1], memory, src_mask, keys=keys)
+                x_proj = self.ih_mid[l](self.drop(self._h(s_new), deterministic=deterministic))
+        attn_h, align = self.attn(self._h(new_hs[-1]), memory, src_mask, keys=keys)
         return (tuple(new_hs), attn_h), (attn_h, align)
 
 
@@ -110,16 +120,21 @@ class GRUDecoder(nn.Module):
     use_pallas: bool = False
     pallas_decoder: bool = True  # gate the fused decoder kernel separately
     fused: bool = False  # custom-VJP scan (models/fused_decoder.py) when eligible
+    cell_type: str = "gru"
 
     def setup(self):
-        self.ih_emb = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype)
+        self.ih_emb = nn.Dense(n_gates(self.cell_type) * self.hidden,
+                               use_bias=True, dtype=self.dtype)
         self.step = DecoderStep(
-            self.hidden, self.layers, self.dropout, self.attn_type, self.input_feed, self.dtype
+            self.hidden, self.layers, self.dropout, self.attn_type,
+            self.input_feed, self.dtype, self.cell_type
         )
         self.out_drop = nn.Dropout(self.dropout)
 
     def init_carry(self, init_hs: List[jax.Array]) -> DecoderCarry:
-        feed = jnp.zeros_like(init_hs[-1])
+        # feed is the previous attentional hidden: always (B, H), also for
+        # LSTM states packed as (B, 2H)
+        feed = jnp.zeros_like(init_hs[-1][..., : self.hidden])
         return (tuple(init_hs), feed)
 
     def __call__(
@@ -147,12 +162,25 @@ class GRUDecoder(nn.Module):
                 wh = self.step.hh_kernels[l].astype(self.dtype)
                 bh = self.step.hh_biases[l].astype(self.dtype)
                 h0 = init_hs[l]
-                if self.use_pallas:
+                if self.use_pallas and self.cell_type == "gru":
                     from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
 
                     interpret = jax.default_backend() != "tpu"
                     outs_l, _ = gru_layer_scan_ad(x_proj, ones, h0, wh, bh, False, interpret)
                     outs_l = outs_l.astype(self.dtype)
+                elif self.cell_type == "lstm":
+                    H = self.hidden
+
+                    def lbody(hc, xp_t):
+                        h, c = jnp.split(hc, 2, axis=-1)
+                        h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
+                        hc = jnp.concatenate([h_new, c_new], axis=-1)
+                        return hc, h_new
+
+                    _, outs_l = jax.lax.scan(
+                        lbody, h0, x_proj.swapaxes(0, 1), unroll=self.unroll
+                    )
+                    outs_l = outs_l.swapaxes(0, 1)
                 else:
                     def body(h, xp_t):
                         h = gru_gates(xp_t, h @ wh + bh, h)
@@ -182,6 +210,7 @@ class GRUDecoder(nn.Module):
         eligible = (
             self.layers == 2
             and self.attn_type == "general"
+            and self.cell_type == "gru"
             and not self.is_initializing()
         )
         use_pallas_dec = self.use_pallas and self.pallas_decoder and eligible

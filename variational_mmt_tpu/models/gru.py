@@ -30,6 +30,29 @@ from flax import linen as nn
 Dtype = Any
 
 
+def lstm_gates(
+    x_proj: jax.Array, h_proj: jax.Array, c: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """LSTM cell from precomputed projections (reference ``-rnn_type LSTM``).
+
+    x_proj, h_proj: (..., 4H) laid out as [i | f | g | o]; c: (..., H).
+    Forget-gate bias +1 (standard initialization trick). Returns (h', c').
+    """
+    xi, xf, xg, xo = jnp.split(x_proj, 4, axis=-1)
+    hi, hf, hg, ho = jnp.split(h_proj, 4, axis=-1)
+    i = jax.nn.sigmoid(xi + hi)
+    f = jax.nn.sigmoid(xf + hf + 1.0)
+    g = jnp.tanh(xg + hg)
+    o = jax.nn.sigmoid(xo + ho)
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
+def n_gates(cell_type: str) -> int:
+    """Projection multiple: GRU packs 3 gate blocks, LSTM 4."""
+    return 4 if cell_type == "lstm" else 3
+
+
 def gru_gates(x_proj: jax.Array, h_proj: jax.Array, h: jax.Array) -> jax.Array:
     """Combine precomputed input/hidden projections into the new hidden state.
 
@@ -58,30 +81,37 @@ class GRUCell(nn.Module):
 
 
 class UniGRU(nn.Module):
-    """One direction, one layer. Returns (outputs (B,T,H), final (B,H)).
+    """One direction, one layer. Returns (outputs (B,T,H), final state).
+
+    ``cell_type``: "gru" (final = h (B,H)) or "lstm" (final = [h | c]
+    (B, 2H) — packing the LSTM state into ONE array keeps every consumer
+    (bridges, beam-state gathers, checkpoints) shape-generic).
 
     Two execution paths over the same parameters: a plain ``lax.scan``
     (XLA), or — with ``use_pallas`` — the fused Pallas sequence kernel
     (ops/pallas/gru.py, forward + custom-VJP backward) that keeps Wh/bh
-    resident in VMEM for the whole sequence (1.5-1.6x faster on v5e)."""
+    resident in VMEM for the whole sequence (1.5-1.6x faster on v5e).
+    The Pallas path is GRU-only; LSTM always takes the XLA scan."""
 
     hidden: int
     reverse: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     unroll: int = 1
+    cell_type: str = "gru"
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
         B, T, _ = x.shape
         H = self.hidden
+        G = n_gates(self.cell_type)
         # hoisted input projection: one GEMM for all timesteps
-        x_proj = nn.Dense(3 * H, dtype=self.dtype, name="ih")(x)
-        wh = self.param("hh_kernel", nn.initializers.lecun_normal(), (H, 3 * H), jnp.float32)
-        bh = self.param("hh_bias", nn.initializers.zeros_init(), (3 * H,), jnp.float32)
+        x_proj = nn.Dense(G * H, dtype=self.dtype, name="ih")(x)
+        wh = self.param("hh_kernel", nn.initializers.lecun_normal(), (H, G * H), jnp.float32)
+        bh = self.param("hh_bias", nn.initializers.zeros_init(), (G * H,), jnp.float32)
         h0 = jnp.zeros((B, H), self.dtype)
 
-        if self.use_pallas:
+        if self.use_pallas and self.cell_type == "gru":
             from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
 
             interpret = jax.default_backend() != "tpu"
@@ -93,6 +123,23 @@ class UniGRU(nn.Module):
         wh = wh.astype(self.dtype)
         bh = bh.astype(self.dtype)
         m = mask.astype(self.dtype)
+
+        if self.cell_type == "lstm":
+            hc0 = jnp.concatenate([h0, h0], axis=-1)
+
+            def lstep(hc, xs):
+                xp_t, m_t = xs
+                h, c = jnp.split(hc, 2, axis=-1)
+                h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
+                hc_new = jnp.concatenate([h_new, c_new], axis=-1)
+                hc = jnp.where(m_t[:, None] > 0, hc_new, hc)
+                return hc, hc[..., :H]
+
+            final, outs = jax.lax.scan(
+                lstep, hc0, (x_proj.swapaxes(0, 1), m.swapaxes(0, 1)),
+                reverse=self.reverse, unroll=self.unroll,
+            )
+            return outs.swapaxes(0, 1), final
 
         def step(h, xs):
             xp_t, m_t = xs
@@ -119,12 +166,14 @@ class BiGRUEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     unroll: int = 1
+    cell_type: str = "gru"
 
     @nn.compact
     def __call__(
         self, emb: jax.Array, mask: jax.Array, deterministic: bool = True
     ) -> Tuple[jax.Array, List[jax.Array]]:
-        """emb: (B,T,E), mask: (B,T) -> (memory (B,T,H), finals [per layer (B,H)])."""
+        """emb: (B,T,E), mask: (B,T) -> (memory (B,T,H), finals [per layer:
+        (B,H) for GRU, (B,2H) = [h | c] for LSTM])."""
         assert self.hidden % 2 == 0
         half = self.hidden // 2
         x = emb
@@ -132,10 +181,19 @@ class BiGRUEncoder(nn.Module):
         for layer in range(self.layers):
             if layer > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            fwd_out, fwd_fin = UniGRU(half, False, self.dtype, self.use_pallas, self.unroll, name=f"fwd{layer}")(x, mask)
-            bwd_out, bwd_fin = UniGRU(half, True, self.dtype, self.use_pallas, self.unroll, name=f"bwd{layer}")(x, mask)
+            fwd_out, fwd_fin = UniGRU(half, False, self.dtype, self.use_pallas,
+                                      self.unroll, self.cell_type, name=f"fwd{layer}")(x, mask)
+            bwd_out, bwd_fin = UniGRU(half, True, self.dtype, self.use_pallas,
+                                      self.unroll, self.cell_type, name=f"bwd{layer}")(x, mask)
             x = jnp.concatenate([fwd_out, bwd_out], axis=-1)
-            finals.append(jnp.concatenate([fwd_fin, bwd_fin], axis=-1))
+            if self.cell_type == "lstm":
+                # repack per-direction [h|c] halves into [h_f h_b | c_f c_b]
+                # so final[:, :H] is the hidden and final[:, H:] the cell
+                fh, fc = jnp.split(fwd_fin, 2, axis=-1)
+                bh_, bc = jnp.split(bwd_fin, 2, axis=-1)
+                finals.append(jnp.concatenate([fh, bh_, fc, bc], axis=-1))
+            else:
+                finals.append(jnp.concatenate([fwd_fin, bwd_fin], axis=-1))
         return x, finals
 
 

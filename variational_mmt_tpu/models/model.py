@@ -59,12 +59,12 @@ class VMMTModel(nn.Module):
         self.tgt_embed = nn.Embed(c.tgt_vocab_size, c.emb_dim, dtype=dt, name="tgt_embed")
         self.encoder = BiGRUEncoder(
             c.hidden_dim, c.enc_layers, c.dropout, dt, c.use_pallas, c.scan_unroll,
-            name="encoder"
+            c.rnn_type, name="encoder"
         )
         self.decoder = GRUDecoder(
             c.hidden_dim, c.dec_layers, c.dropout, c.attn_type, c.input_feed, dt,
             c.scan_unroll, c.use_pallas, c.pallas_decoder, c.fused_decoder,
-            name="decoder"
+            c.rnn_type, name="decoder"
         )
         # generator GEMM in compute dtype (bf16 on MXU is ~several-fold
         # faster than an f32 3-pass matmul); logits upcast to f32 for the
@@ -86,7 +86,7 @@ class VMMTModel(nn.Module):
             use_img = c.img_feat_dim > 0
             self.tgt_encoder = BiGRUEncoder(
                 c.hidden_dim, 1, c.dropout, dt, c.use_pallas, c.scan_unroll,
-                name="tgt_encoder"
+                c.rnn_type, name="tgt_encoder"
             )
             self.infnet = InferenceNetwork(
                 c.latent_dim, c.hidden_dim, c.min_sigma, use_img, dt, name="infnet"
@@ -102,7 +102,12 @@ class VMMTModel(nn.Module):
                     min(256, c.hidden_dim), dt, name="region_pool"
                 )
             if c.z_cond == "init+input":
-                self.z_input_proj = nn.Dense(3 * c.hidden_dim, use_bias=False, dtype=dt, name="z_input_proj")
+                from variational_mmt_tpu.models.gru import n_gates
+
+                self.z_input_proj = nn.Dense(
+                    n_gates(c.rnn_type) * c.hidden_dim, use_bias=False, dtype=dt,
+                    name="z_input_proj"
+                )
 
     # ------------------------------------------------------------------
     # components (each is also an `apply(..., method=...)` entry point for
@@ -156,13 +161,18 @@ class VMMTModel(nn.Module):
         return mu_p
 
     def init_decoder_state(self, finals: List[jax.Array], z: Optional[jax.Array]):
-        """Bridge: enc finals (+ z) -> per-layer decoder init states."""
+        """Bridge: enc finals (+ z) -> per-layer decoder init states.
+        For LSTM, the bridge initializes the hidden half; the cell half
+        starts at zero (decoder state packed as [h | c])."""
         init_hs = []
         for l in range(self.cfg.dec_layers):
             f = finals[min(l, len(finals) - 1)]
             if z is not None:
                 f = jnp.concatenate([f, z.astype(f.dtype)], axis=-1)
-            init_hs.append(jnp.tanh(self.bridge_layers[l](f)))
+            h = jnp.tanh(self.bridge_layers[l](f))
+            if self.cfg.rnn_type == "lstm":
+                h = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)
+            init_hs.append(h)
         return init_hs
 
     def _gen(self, h: jax.Array) -> jax.Array:

@@ -25,6 +25,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         parts.append(optax.scale_by_adam(b1=cfg.adam_beta1, b2=cfg.adam_beta2))
     elif cfg.optimizer == "adadelta":
         parts.append(optax.scale_by_adadelta())
+    elif cfg.optimizer == "adagrad":
+        parts.append(optax.scale_by_rss())
     elif cfg.optimizer == "sgd":
         pass  # raw (clipped) gradient
     else:

@@ -47,6 +47,16 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] = None) -> TrainState:
     rng = base_key(cfg.train.seed) if rng is None else rng
     params = init_params(model, rng)
+    if cfg.train.param_init > 0:
+        # reference -param_init: uniform(-r, r) over EVERY parameter tensor
+        # (upstream applies uniform_ to the whole model indiscriminately)
+        r = cfg.train.param_init
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.fold_in(rng, 7), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            jax.random.uniform(k, x.shape, jnp.float32, -r, r).astype(x.dtype)
+            for k, x in zip(keys, leaves)
+        ])
     tx = make_optimizer(cfg.train)
     return TrainState(
         params=params,
