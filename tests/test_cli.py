@@ -167,7 +167,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "data": f"{d}/demo", "buckets": "16", "model_type": "vmmt_c",
         "rnn_type": "lstm",
         "word_vec_size": "32", "rnn_size": "32", "enc_layers": "1",
-        "share_decoder_embeddings": "1",
+        "share_decoder_embeddings": "1", "share_embeddings": "0",
         "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
         "input_feed": "1", "global_attention": "dot", "z_latent_dim": "4",
         "img_feat_dim": "16", "img_feat_type": "pool5", "img_pool": "mean",

@@ -110,3 +110,53 @@ def test_tied_model_trains():
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.7 * losses[0]
     assert not np.allclose(np.asarray(state.params["tgt_embed"]["embedding"]), emb0)
+
+
+def test_share_embeddings_single_table():
+    """-share_embeddings: one table serves both sides — no src_embed in the
+    param tree, src and tgt lookups hit the same rows, grads from BOTH sides
+    flow into it, and it composes with share_decoder_embeddings."""
+    cfg = _cfg(tied=True)
+    cfg.model.share_embeddings = True
+    cfg.model.src_vocab_size = cfg.model.tgt_vocab_size = 24
+    model = build_model(cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert "src_embed" not in params and "tgt_embed" in params
+
+    state = create_train_state(cfg, model)
+    step = jax.jit(make_train_step(cfg, model))
+    batch = _batch(cfg)
+    emb0 = np.asarray(state.params["tgt_embed"]["embedding"]).copy()
+    losses = []
+    for _ in range(25):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert not np.allclose(np.asarray(state.params["tgt_embed"]["embedding"]), emb0)
+
+
+def test_share_embeddings_requires_matching_vocab():
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="share_embeddings"):
+        build_model(ModelConfig(src_vocab_size=10, tgt_vocab_size=12,
+                                share_embeddings=True))
+
+
+def test_share_embeddings_frozen_freezes_shared_table():
+    import dataclasses
+
+    cfg = _cfg(tied=False)
+    cfg.model.share_embeddings = True
+    cfg.model.src_vocab_size = cfg.model.tgt_vocab_size = 24
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fix_word_vecs_enc=True)
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = jax.jit(make_train_step(cfg, model))
+    batch = _batch(cfg)
+    emb0 = np.asarray(state.params["tgt_embed"]["embedding"]).copy()
+    for _ in range(5):
+        state, _ = step(state, batch)
+    np.testing.assert_array_equal(np.asarray(state.params["tgt_embed"]["embedding"]), emb0)

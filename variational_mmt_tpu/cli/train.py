@@ -52,6 +52,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-img_loss", default="logprob", choices=["logprob", "mse", "cosine"])
     p.add_argument("-img_loss_weight", type=float, default=1.0)
     p.add_argument("-z_cond", default="init", choices=["init", "init+input"])
+    p.add_argument("-share_embeddings", type=int, default=0,
+                   help="one embedding table for source and target "
+                        "(requires preprocess -share_vocab)")
     p.add_argument("-share_decoder_embeddings", type=int, default=0,
                    help="tie generator weights to the target embedding table "
                         "(requires -word_vec_size == -rnn_size)")
@@ -138,6 +141,7 @@ FLAG2KEY = {
     "img_loss_weight": ("model", "img_loss_weight"),
     "z_cond": ("model", "z_cond"),
     "share_decoder_embeddings": ("model", "share_decoder_embeddings"),
+    "share_embeddings": ("model", "share_embeddings"),
     "compute_dtype": ("model", "compute_dtype"),
     "use_pallas": ("model", "use_pallas"),
     "fused_ce": ("model", "fused_ce"),
@@ -227,6 +231,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             img_loss_weight=opt.img_loss_weight,
             z_cond=opt.z_cond,
             share_decoder_embeddings=bool(opt.share_decoder_embeddings),
+            share_embeddings=bool(opt.share_embeddings),
             compute_dtype=opt.compute_dtype,
             use_pallas=bool(opt.use_pallas),
             fused_ce=bool(opt.fused_ce),

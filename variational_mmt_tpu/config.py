@@ -54,6 +54,9 @@ class ModelConfig:
     share_decoder_embeddings: bool = False  # tie the generator kernel to the
     # target embedding table (reference -share_decoder_embeddings); requires
     # emb_dim == hidden_dim
+    share_embeddings: bool = False  # ONE embedding table for source and
+    # target (reference -share_embeddings); requires a shared vocab
+    # (preprocess -share_vocab) so src/tgt vocab sizes match
 
     # --- TPU-specific ---
     compute_dtype: str = "bfloat16"  # activations/matmuls on MXU (params stay f32)
@@ -86,6 +89,11 @@ class ModelConfig:
             assert self.emb_dim == self.hidden_dim, (
                 "share_decoder_embeddings requires emb_dim == hidden_dim "
                 f"(got {self.emb_dim} vs {self.hidden_dim})"
+            )
+        if self.share_embeddings:
+            assert self.src_vocab_size == self.tgt_vocab_size, (
+                "share_embeddings requires a shared vocab (preprocess "
+                f"-share_vocab): src {self.src_vocab_size} != tgt {self.tgt_vocab_size}"
             )
 
 

@@ -90,6 +90,11 @@ def apply_pretrained(params, enc: Optional[np.ndarray] = None,
     for name, table in (("src_embed", enc), ("tgt_embed", dec)):
         if table is None:
             continue
+        if name not in params:
+            raise ValueError(
+                f"model has no '{name}' table (share_embeddings ties both "
+                "sides to 'tgt_embed' — load via -pre_word_vecs_dec)"
+            )
         cur = params[name]["embedding"]
         if tuple(table.shape) != tuple(cur.shape):
             raise ValueError(

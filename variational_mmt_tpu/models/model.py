@@ -55,8 +55,14 @@ class VMMTModel(nn.Module):
         c = self.cfg
         dt = _dtype(c.compute_dtype)
         self.dt = dt
-        self.src_embed = nn.Embed(c.src_vocab_size, c.emb_dim, dtype=dt, name="src_embed")
+        # share_embeddings (reference -share_embeddings): ONE table serves
+        # both sides — src lookups go through tgt_embed and no src table is
+        # ever allocated (requires a shared vocab; validated in config)
         self.tgt_embed = nn.Embed(c.tgt_vocab_size, c.emb_dim, dtype=dt, name="tgt_embed")
+        if c.share_embeddings:
+            self.src_embed = self.tgt_embed
+        else:
+            self.src_embed = nn.Embed(c.src_vocab_size, c.emb_dim, dtype=dt, name="src_embed")
         self.encoder = BiGRUEncoder(
             c.hidden_dim, c.enc_layers, c.dropout, dt, c.use_pallas, c.scan_unroll,
             c.rnn_type, name="encoder"

@@ -141,9 +141,14 @@ def make_train_step(
         # across settings. Zeroing grads alone is not enough: moments loaded
         # from an unfrozen-run checkpoint would still emit non-zero adam/
         # adadelta updates for ~1/(1-b1) steps.
-        frozen = ([("src_embed",)] if cfg.train.fix_word_vecs_enc else []) + (
-            [("tgt_embed",)] if cfg.train.fix_word_vecs_dec else []
-        )
+        if cfg.model.share_embeddings:
+            # one shared table: freezing either side freezes it
+            frozen = ([("tgt_embed",)] if (cfg.train.fix_word_vecs_enc
+                                           or cfg.train.fix_word_vecs_dec) else [])
+        else:
+            frozen = ([("src_embed",)] if cfg.train.fix_word_vecs_enc else []) + (
+                [("tgt_embed",)] if cfg.train.fix_word_vecs_dec else []
+            )
 
         def zero_frozen(tree):
             if not frozen:
