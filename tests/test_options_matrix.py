@@ -75,3 +75,28 @@ def test_asymmetric_layers(layers):
         hidden_dim=16, enc_layers=enc, dec_layers=dec, dropout=0.0,
         compute_dtype="float32", img_feat_dim=0, use_img_predict=False,
     ))
+
+
+@pytest.mark.parametrize(
+    "rnn_type,input_feed,model_type",
+    [("lstm", True, "nmt"), ("lstm", False, "nmt"),
+     ("lstm", True, "vmmt_c"), ("lstm", False, "vmmt_f")],
+)
+def test_lstm_matrix(rnn_type, input_feed, model_type):
+    run_forward(ModelConfig(
+        model_type=model_type, rnn_type=rnn_type, src_vocab_size=20,
+        tgt_vocab_size=20, emb_dim=8, hidden_dim=16, enc_layers=2, dec_layers=2,
+        dropout=0.0, latent_dim=4, input_feed=input_feed,
+        img_feat_dim=(8 if model_type != "nmt" else 0),
+        use_img_predict=(model_type != "nmt"), compute_dtype="float32",
+    ))
+
+
+@pytest.mark.parametrize("share_emb,tied_gen", [(True, False), (True, True)])
+def test_shared_embedding_matrix(share_emb, tied_gen):
+    run_forward(ModelConfig(
+        model_type="nmt", src_vocab_size=20, tgt_vocab_size=20, emb_dim=16,
+        hidden_dim=16, enc_layers=1, dec_layers=1, dropout=0.0,
+        share_embeddings=share_emb, share_decoder_embeddings=tied_gen,
+        compute_dtype="float32", img_feat_dim=0, use_img_predict=False,
+    ))
