@@ -225,3 +225,30 @@ def test_score_corpus_overlong_sequences_get_catchall_bucket():
     lp, nt, _ = score_corpus(model, state.params, src, tgt, None,
                              buckets=[8], batch_size=2)
     assert nt[0] == 16 and np.isfinite(lp[0])
+
+
+def test_empty_source_line():
+    """An empty source line must not crash and must produce an output row
+    (real corpora contain blank lines; the reference tolerates them)."""
+    cfg, model, state, vocab = small_setup()
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    feats = np.zeros((3, 8), np.float32)
+    out = tr.translate_tokens([["w1", "w2"], [], ["w3"]], feats)
+    assert len(out) == 3
+    assert all(isinstance(nbest[0][1], str) for nbest in out)
+
+
+def test_vmmt_c_decode_without_features_clear_error(tmp_path):
+    """Decoding a conditional-prior checkpoint without -img_feats must raise
+    the explicit SystemExit, not a flax shape error deep in the prior."""
+    import pytest as _pytest
+
+    from variational_mmt_tpu.cli import translate as cli_translate
+
+    cfg, model, state, vocab = small_setup("vmmt_c")
+    path = save_checkpoint(str(tmp_path / "ck"), state, cfg, vocab, vocab)
+    src = tmp_path / "s.txt"
+    src.write_text("w1 w2\n")
+    with _pytest.raises(SystemExit, match="img_feats"):
+        cli_translate.main(["-model", str(tmp_path / "ck"), "-src", str(src),
+                            "-pretokenized", "-output", str(tmp_path / "o.txt")])

@@ -91,6 +91,14 @@ def main(argv=None) -> None:
     feats = load_features(opt.img_feats) if opt.img_feats else None
     if feats is not None:
         assert len(feats) == len(src_tok), "feature rows must align to src lines"
+    if feats is None and cfg.model.model_type == "vmmt_c" and cfg.model.img_feat_dim > 0:
+        # the conditional prior p(z|x,v) needs v at decode time; without this
+        # guard the failure is a cryptic flax shape error inside the prior
+        raise SystemExit(
+            "this checkpoint's conditional prior was trained on image features "
+            f"(img_feat_dim={cfg.model.img_feat_dim}): pass -img_feats aligned "
+            "to the source file (vmmt_f decodes without features; vmmt_c cannot)"
+        )
 
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
