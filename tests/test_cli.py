@@ -241,3 +241,37 @@ def test_cli_preprocess_zero_merges_means_no_bpe(corpus, tmp_path):
     nb = json.load(open(f"{tmp_path}/zm.vocab.src.json"))
     # word-level vocab, not characters: the corpus has ~40 word types
     assert len(nb["tokens"] if isinstance(nb, dict) and "tokens" in nb else nb) > 15
+
+
+def test_share_embeddings_requires_shared_vocab(corpus, tmp_path):
+    """Same SIZES are not enough: -share_embeddings with separately-built
+    vocabs must exit with the explicit message, not silently misembed."""
+    d = str(corpus)
+    with pytest.raises(SystemExit, match="share_vocab"):
+        cli_train.main([
+            "-data", f"{d}/demo", "-save_model", f"{tmp_path}/cksv",
+            "-model_type", "nmt", "-share_embeddings", "1",
+            "-word_vec_size", "16", "-rnn_size", "16", "-batch_size", "8",
+            "-max_steps", "1", "-buckets", "16", "-compute_dtype", "float32",
+        ])
+
+
+def test_optimizer_family_lr_default_survives_config(corpus, tmp_path):
+    """-config written for adam + -optim adagrad on the CLI: the adagrad
+    family default lr (0.1) must win over the file's adam-oriented 4e-4."""
+    from variational_mmt_tpu.config import Config
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    d = str(corpus)
+    cfg_path = f"{tmp_path}/adam_base.json"
+    open(cfg_path, "w").write(Config().to_json())  # optimizer=adam, lr=4e-4
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/cklr",
+        "-config", cfg_path, "-model_type", "nmt", "-optim", "adagrad",
+        "-word_vec_size", "16", "-rnn_size", "16", "-batch_size", "8",
+        "-max_steps", "1", "-buckets", "16", "-compute_dtype", "float32",
+        "-checkpoint_every", "100", "-valid_every", "100",
+    ])
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cklr"))
+    assert cfg.train.optimizer == "adagrad"
+    assert abs(cfg.train.learning_rate - 0.1) < 1e-9

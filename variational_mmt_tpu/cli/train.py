@@ -280,7 +280,9 @@ def main(argv=None) -> None:
     passed = passed_flags(raw_argv)
     if "learning_rate" not in passed:
         # reference parity: Optim runs adadelta at lr 1.0 and adagrad at
-        # ~0.1 (the shared adam default 4e-4 would cripple both)
+        # ~0.1 (the shared adam default 4e-4 would cripple both). Re-applied
+        # after any -config merge below: a preset written for a DIFFERENT
+        # optimizer must not pin its lr onto this family.
         if opt.optim == "adadelta":
             opt.learning_rate = 1.0
         elif opt.optim == "adagrad":
@@ -288,6 +290,14 @@ def main(argv=None) -> None:
 
     sv = Vocab.load(opt.data + ".vocab.src.json")
     tv = Vocab.load(opt.data + ".vocab.tgt.json")
+    if opt.share_embeddings and sv.itos != tv.itos:
+        # equal SIZES are not enough (both commonly hit the vocab-size cap):
+        # sharing one table across different id->token maps silently embeds
+        # source tokens as unrelated target words
+        raise SystemExit(
+            "-share_embeddings requires identical source/target vocabs: "
+            "re-run preprocess with -share_vocab"
+        )
     train_ds = BinarizedDataset.load(opt.data + ".train.npz")
     valid_ds = None
     if os.path.exists(opt.data + ".valid.npz"):
@@ -315,6 +325,12 @@ def main(argv=None) -> None:
         file_cfg["model"]["src_vocab_size"] = len(sv)
         file_cfg["model"]["tgt_vocab_size"] = len(tv)
         cfg = Config.from_dict(file_cfg)
+        if ("learning_rate" not in passed
+                and cfg.train.optimizer in ("adadelta", "adagrad")
+                and base.train.optimizer != cfg.train.optimizer):
+            # the file's lr was written for a different optimizer family:
+            # the family default applies, not the file's value
+            cfg.train.learning_rate = 1.0 if cfg.train.optimizer == "adadelta" else 0.1
     buckets = cfg.data.buckets
 
     # iterators carry only indices; the feature tables live device-resident

@@ -135,6 +135,10 @@ class Translator:
     ) -> List[List[Tuple[float, List[int]]]]:
         """Returns, per input sentence, the n-best list [(score, token_ids)].
         With ``replace_unk``, entries are (score, token_ids, attn_positions)."""
+        if self.dcfg.dump_beam:
+            # corpus indices key this dict: stale entries from a previous
+            # corpus must not leak into this call's dump
+            self.beam_traces = {}
         ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
         it = BucketIterator(
             ds, batch_size=self.dcfg.batch_size, buckets=self.buckets,
@@ -154,7 +158,11 @@ class Translator:
             scores = np.asarray(out[1])
             # variable arity: [tokens, scores, attn?, trace?] — the trace
             # dict is always last when dump_beam is on
-            trace = out[-1] if self.dcfg.dump_beam else None
+            trace = None
+            if self.dcfg.dump_beam:
+                # ONE device->host transfer per array, then slice on host
+                # (per-row device slicing would add ~3 dispatches/sentence)
+                trace = {k: np.asarray(v) for k, v in out[-1].items()}
             has_attn = len(out) == (4 if self.dcfg.dump_beam else 3)
             attn = np.asarray(out[2]) if has_attn else None
             for row in range(batch.batch_size):
@@ -164,10 +172,10 @@ class Translator:
                 if trace is not None:
                     n = int(trace["n_steps"])
                     self.beam_traces[i] = {
-                        "parents": np.asarray(trace["parents"][row, :, :n]).tolist(),
-                        "tokens": np.asarray(trace["tokens"][row, :, :n]).tolist(),
-                        "scores": np.asarray(trace["scores"][row, :, :n]).tolist(),
-                        "order": np.asarray(trace["order"][row]).tolist(),
+                        "parents": trace["parents"][row, :, :n].tolist(),
+                        "tokens": trace["tokens"][row, :, :n].tolist(),
+                        "scores": trace["scores"][row, :, :n].tolist(),
+                        "order": trace["order"][row].tolist(),
                     }
                 nbest = []
                 for k in range(n_best):

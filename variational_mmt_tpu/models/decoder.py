@@ -169,8 +169,6 @@ class GRUDecoder(nn.Module):
                     outs_l, _ = gru_layer_scan_ad(x_proj, ones, h0, wh, bh, False, interpret)
                     outs_l = outs_l.astype(self.dtype)
                 elif self.cell_type == "lstm":
-                    H = self.hidden
-
                     def lbody(hc, xp_t):
                         h, c = jnp.split(hc, 2, axis=-1)
                         h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)

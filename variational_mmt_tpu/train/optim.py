@@ -26,7 +26,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     elif cfg.optimizer == "adadelta":
         parts.append(optax.scale_by_adadelta())
     elif cfg.optimizer == "adagrad":
-        parts.append(optax.scale_by_rss())
+        # accumulator starts at 0 like the reference's torch Adagrad (optax
+        # defaults to 0.1, which damps early updates)
+        parts.append(optax.scale_by_rss(initial_accumulator_value=0.0))
     elif cfg.optimizer == "sgd":
         pass  # raw (clipped) gradient
     else:

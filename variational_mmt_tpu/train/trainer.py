@@ -52,7 +52,10 @@ def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] =
         # (upstream applies uniform_ to the whole model indiscriminately)
         r = cfg.train.param_init
         leaves, treedef = jax.tree.flatten(params)
-        keys = jax.random.split(jax.random.fold_in(rng, 7), len(leaves))
+        # fold a sentinel far outside the step-counter range: fold_in(rng,
+        # small_n) is exactly step_key(rng, n), and reusing a step's stream
+        # here would correlate init values with that step's dropout noise
+        keys = jax.random.split(jax.random.fold_in(rng, 2**31 - 13), len(leaves))
         params = jax.tree.unflatten(treedef, [
             jax.random.uniform(k, x.shape, jnp.float32, -r, r).astype(x.dtype)
             for k, x in zip(keys, leaves)
