@@ -31,6 +31,9 @@ def main():
     p.add_argument("-max_length", type=int, default=32)
     p.add_argument("-src_len", type=int, default=18)
     p.add_argument("-http", action="store_true")
+    p.add_argument("-wire", default="msgpack", choices=["msgpack", "json"],
+                   help="HTTP body format (msgpack = binary imgs + keep-alive; "
+                        "json matches the naive-client worst case)")
     args = p.parse_args()
 
     from variational_mmt_tpu.utils.platform import honor_env_platform
@@ -89,17 +92,36 @@ def main():
                 lat.append(time.monotonic() - t0)
 
     def http_client(lo, hi):
-        import urllib.request
+        # one keep-alive connection per client thread (urllib reconnects
+        # per request, which alone costs ~2x at this request size)
+        import http.client
 
-        base = f"http://127.0.0.1:{server.port}"
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=600)
+        if args.wire == "msgpack":
+            import msgpack
+
+            def encode(i):
+                return msgpack.packb({
+                    "texts": [texts[i]],
+                    "imgs": {"shape": [1, imgs.shape[1]], "data": imgs[i].tobytes()},
+                }), {"Content-Type": "application/x-msgpack"}
+        else:
+            def encode(i):
+                return (json.dumps({"texts": [texts[i]],
+                                    "imgs": [imgs[i].tolist()]}).encode(),
+                        {"Content-Type": "application/json"})
+
         for i in range(lo, hi):
-            body = json.dumps({"texts": [texts[i]], "imgs": [imgs[i].tolist()]}).encode()
-            req = urllib.request.Request(base + "/translate", data=body, method="POST")
+            body, headers = encode(i)
             t0 = time.monotonic()
-            with urllib.request.urlopen(req, timeout=600) as r:
-                r.read()
+            conn.request("POST", "/translate", body=body, headers=headers)
+            resp = conn.getresponse()
+            resp.read()
+            if resp.status != 200:
+                raise RuntimeError(f"HTTP {resp.status}")
             with lock:
                 lat.append(time.monotonic() - t0)
+        conn.close()
 
     inner = http_client if args.http else direct_client
 
@@ -139,7 +161,7 @@ def main():
         "unit": "sent/s",
         "platform": jax.default_backend(),
         "clients": args.clients,
-        "transport": "http" if args.http else "direct",
+        "transport": (f"http-{args.wire}" if args.http else "direct"),
         "latency_ms_p50": round(1000 * float(np.percentile(lat_a, 50)), 1),
         "latency_ms_p99": round(1000 * float(np.percentile(lat_a, 99)), 1),
         "device_batches": stats["batches"],

@@ -16,6 +16,12 @@ Endpoints:
        "timeout": 60}                           # optional, seconds
 
   -> ``{"results": [[{"score": s, "text": t}, ...n-best...], ...]}``
+
+- ``POST /translate`` with ``Content-Type: application/x-msgpack``: the
+  same map, but ``imgs`` is ``{"shape": [n, d], "data": <raw float32
+  little-endian bytes>}`` and the response is msgpack too. JSON-encoding
+  2048 floats per request dominates the HTTP path's cost (measured ~7x
+  throughput loss vs the direct queue); the binary format removes it.
 """
 
 from __future__ import annotations
@@ -45,6 +51,16 @@ def make_handler(service: TranslationService, info: dict):
             self.end_headers()
             self.wfile.write(body)
 
+        def _msgpack(self, code: int, payload: dict) -> None:
+            import msgpack
+
+            body = msgpack.packb(payload)
+            self.send_response(code)
+            self.send_header("Content-Type", "application/x-msgpack")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, **info})
@@ -55,30 +71,44 @@ def make_handler(service: TranslationService, info: dict):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            binary = "msgpack" in (self.headers.get("Content-Type") or "")
+            reply = self._msgpack if binary else self._json
             if self.path != "/translate":
-                self._json(404, {"error": "not found"})
+                reply(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n)
+                if binary:
+                    import msgpack
+
+                    req = msgpack.unpackb(raw or b"\x80")
+                else:
+                    req = json.loads(raw or b"{}")
                 texts = req["texts"]
                 if not isinstance(texts, list) or not all(isinstance(t, str) for t in texts):
                     raise ValueError("'texts' must be a list of strings")
                 imgs = req.get("imgs")
                 if imgs is not None:
-                    imgs = np.asarray(imgs, np.float32)
+                    if binary:
+                        # {"shape": [n, d...], "data": raw f32 LE bytes}
+                        imgs = np.frombuffer(imgs["data"], dtype="<f4").reshape(
+                            imgs["shape"]
+                        )
+                    else:
+                        imgs = np.asarray(imgs, np.float32)
                     if len(imgs) != len(texts):
                         raise ValueError("'imgs' must align to 'texts'")
                 timeout = float(req.get("timeout", 60.0))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
-                self._json(400, {"error": str(e)})
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                reply(400, {"error": str(e)})
                 return
             try:
                 out = service.translate_text(texts, imgs, timeout=timeout)
             except Exception as e:  # noqa: BLE001 — surface to the client
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            self._json(200, {
+            reply(200, {
                 "results": [
                     [{"score": s, "text": t} for s, t in nbest] for nbest in out
                 ]
