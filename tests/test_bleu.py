@@ -181,3 +181,24 @@ def test_meteor_15_preset_weighted_golden():
     pen = 0.6 * (0.5 ** 0.2)
     want = (1 - pen) * 0.7
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_meteor_corpus_micro_aggregation():
+    """meteor-1.5 computes the SYSTEM score from corpus-aggregated
+    statistics, not the mean of sentence scores. Hand math ('original'
+    preset, delta=.5 so every token weighs .5):
+      sent A: hyp==ref==[the cat] -> m=2 ch=1, P=R=1, F=1,
+              pen=.5*(1/2)^3=.0625, score .9375
+      sent B: hyp=[dog] ref=[cat] -> m=0, zero stats
+      aggregate: wm=1.0, w_hyp=w_ref=1.5 -> P=R=2/3, F=2/3,
+                 frag=1/2, pen=.0625 -> score .625
+    """
+    from variational_mmt_tpu.evals.meteor import meteor_score
+
+    out = meteor_score(
+        [["the", "cat"], ["dog"]],
+        [[["the", "cat"]], [["cat"]]],
+        preset="original",
+    )
+    assert abs(out["meteor"] - 62.5) < 1e-6
+    assert abs(out["meteor_macro"] - 46.875) < 1e-6

@@ -141,37 +141,51 @@ class MeteorScorer:
         return list(beams[0][5])
 
     # -- scoring -------------------------------------------------------
-    def sentence(self, hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
-        best = 0.0
+    def _score_from_stats(self, st: Dict[str, float]) -> float:
+        """score = (1 - gamma*(ch/m)^beta) * P*R/(alpha*P + (1-alpha)*R)."""
+        if st["m"] == 0 or st["w_hyp"] == 0 or st["w_ref"] == 0:
+            return 0.0
+        p = st["wm_hyp"] / st["w_hyp"]
+        r = st["wm_ref"] / st["w_ref"]
+        if p == 0 or r == 0:
+            return 0.0
+        f_mean = p * r / (self.alpha * p + (1 - self.alpha) * r)
+        frag = st["chunks"] / st["m"]
+        return f_mean * (1.0 - self.gamma * (frag ** self.beta))
+
+    def _best_stats(
+        self, hyp: Sequence[str], refs: Sequence[Sequence[str]]
+    ) -> Dict[str, float]:
+        """Alignment statistics against the best-scoring reference (meteor
+        scores each segment against every ref and keeps the best)."""
+        zero = dict(wm_hyp=0.0, wm_ref=0.0, w_hyp=0.0, w_ref=0.0, chunks=0, m=0)
+        best, best_score = zero, -1.0
         hyp = [h.lower() for h in hyp]
+        d = self.delta
+
+        def weight_of(tok: str) -> float:
+            return d if tok not in self.fwords else (1.0 - d)
+
         for ref in refs:
             ref = [r.lower() for r in ref]
             if not hyp or not ref:
                 continue
             matches = self._align(hyp, ref)
-            m = len(matches)
-            if m == 0:
-                continue
-            d = self.delta
-
-            def weight_of(tok: str) -> float:
-                return d if tok not in self.fwords else (1.0 - d)
-
-            w_hyp = sum(weight_of(t) for t in hyp)
-            w_ref = sum(weight_of(t) for t in ref)
-            wm_hyp = sum(self.weights[mod] * weight_of(hyp[i]) for i, _, mod in matches)
-            wm_ref = sum(self.weights[mod] * weight_of(ref[j]) for _, j, mod in matches)
-            if w_hyp == 0 or w_ref == 0:
-                continue
-            p = wm_hyp / w_hyp
-            r = wm_ref / w_ref
-            if p == 0 or r == 0:
-                continue
-            f_mean = p * r / (self.alpha * p + (1 - self.alpha) * r)
-            frag = self._chunks(matches) / m
-            penalty = self.gamma * (frag ** self.beta)
-            best = max(best, f_mean * (1.0 - penalty))
+            st = dict(
+                wm_hyp=sum(self.weights[mod] * weight_of(hyp[i]) for i, _, mod in matches),
+                wm_ref=sum(self.weights[mod] * weight_of(ref[j]) for _, j, mod in matches),
+                w_hyp=sum(weight_of(t) for t in hyp),
+                w_ref=sum(weight_of(t) for t in ref),
+                chunks=self._chunks(matches),
+                m=len(matches),
+            )
+            s = self._score_from_stats(st)
+            if s > best_score:
+                best, best_score = st, s
         return best
+
+    def sentence(self, hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
+        return max(0.0, self._score_from_stats(self._best_stats(hyp, refs)))
 
     @staticmethod
     def _chunks(matches: List[Tuple[int, int, int]]) -> int:
@@ -189,8 +203,21 @@ class MeteorScorer:
         hypotheses: Sequence[Sequence[str]],
         references: Sequence[Sequence[Sequence[str]]],
     ) -> Dict[str, float]:
-        scores = [self.sentence(h, r) for h, r in zip(hypotheses, references)]
-        return {"meteor": 100.0 * (sum(scores) / max(1, len(scores)))}
+        """System score from AGGREGATED statistics (micro-average), exactly
+        as meteor-1.5 computes it — the mean of sentence scores (also
+        returned, as ``meteor_macro``) is a different, non-comparable
+        number."""
+        agg = dict(wm_hyp=0.0, wm_ref=0.0, w_hyp=0.0, w_ref=0.0, chunks=0, m=0)
+        sent_scores = []
+        for h, r in zip(hypotheses, references):
+            st = self._best_stats(h, r)
+            sent_scores.append(max(0.0, self._score_from_stats(st)))
+            for k in agg:
+                agg[k] += st[k]
+        return {
+            "meteor": 100.0 * max(0.0, self._score_from_stats(agg)),
+            "meteor_macro": 100.0 * (sum(sent_scores) / max(1, len(sent_scores))),
+        }
 
 
 # -- module-level API (back-compat with round-1 callers) ----------------
