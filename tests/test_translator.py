@@ -252,3 +252,21 @@ def test_vmmt_c_decode_without_features_clear_error(tmp_path):
     with _pytest.raises(SystemExit, match="img_feats"):
         cli_translate.main(["-model", str(tmp_path / "ck"), "-src", str(src),
                             "-pretokenized", "-output", str(tmp_path / "o.txt")])
+
+
+def test_replace_unk_phrase_table():
+    """-phrase_table: replace_unk consults the src->tgt map before copying
+    the source token verbatim (reference Translator behavior)."""
+    cfg, model, state, vocab = small_setup("nmt")
+    cfg.decode.replace_unk = True
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    # force an UNK-heavy output: the tiny untrained model emits arbitrary
+    # ids; instead exercise the substitution path directly
+    src_tokens = [["alpha", "beta"]]
+    out_plain = tr.translate_tokens(src_tokens)
+    tr.phrase_table = {"alpha": "ALPHA_T", "beta": "BETA_T"}
+    out_pt = tr.translate_tokens(src_tokens)
+    # every <unk> that copied "alpha"/"beta" now maps through the table
+    for nb_plain, nb_pt in zip(out_plain, out_pt):
+        for (s1, t1), (s2, t2) in zip(nb_plain, nb_pt):
+            assert t2 == t1.replace("alpha", "ALPHA_T").replace("beta", "BETA_T")

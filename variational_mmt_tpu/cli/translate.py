@@ -45,6 +45,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-batch_size", type=int, default=32)
     p.add_argument("-replace_unk", action="store_true",
                    help="replace <unk> outputs with the max-attention source token")
+    p.add_argument("-phrase_table", default="",
+                   help="src<TAB>tgt map consulted by -replace_unk before "
+                        "copying the source token verbatim")
     p.add_argument("-verbose", action="store_true",
                    help="per-sentence SENT/PRED/PRED SCORE (+ GOLD with -tgt) report")
     p.add_argument("-dump_beam", default="",
@@ -115,6 +118,13 @@ def main(argv=None) -> None:
     translator = Translator(model, state.params, sv, tv, dcfg,
                             buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
                             mesh=mesh)
+    if opt.phrase_table:
+        with open(opt.phrase_table, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").replace("\t", " ").split()
+                if len(parts) >= 2:
+                    translator.phrase_table[parts[0]] = parts[1]
+        print(f"loaded {len(translator.phrase_table)} phrase-table entries")
     import time
 
     t0 = time.time()

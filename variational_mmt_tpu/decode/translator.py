@@ -125,6 +125,9 @@ class Translator:
             self._batch_sh = batch_sharding(self.mesh)
             params = jax.device_put(params, replicated_sharding(self.mesh))
         self.params = params
+        # optional src->tgt map consulted by replace_unk before copying the
+        # source token verbatim (reference -phrase_table)
+        self.phrase_table: dict = {}
         self._fn = jax.jit(make_translate_fn(model, self.dcfg))
         # raw search trees by corpus index, populated when dcfg.dump_beam
         # (the reference's -dump_beam); see ops/beam.py return_trace
@@ -198,16 +201,20 @@ class Translator:
         undecodable BPE-level ids, needed e.g. to force-decode a hypothesis
         for attention dumps."""
         src_ids = [self.src_vocab.encode(t) for t in src_tokens]
+        pt = self.phrase_table
         out = []
         for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats)):
             sent = []
             for entry in nbest:
                 score, ids = entry[0], entry[1]
                 toks = self.tgt_vocab.decode(ids, strip_special=False)
-                if len(entry) == 3:  # replace_unk: copy max-attention src token
+                if len(entry) == 3:
+                    # replace_unk: the max-attention source token, looked up
+                    # in the phrase table first when one is loaded (the
+                    # reference Translator's -phrase_table behavior)
                     src_toks = src_tokens[sent_i]
                     toks = [
-                        src_toks[min(entry[2][j], len(src_toks) - 1)]
+                        pt.get(s := src_toks[min(entry[2][j], len(src_toks) - 1)], s)
                         if t == UNK_TOK and src_toks else t
                         for j, t in enumerate(toks)
                     ]
