@@ -255,3 +255,25 @@ def test_config_presets_load_and_validate():
         types.add(cfg.model.model_type)
         assert cfg.model.hidden_dim == 500 and cfg.decode.beam_size == 4
     assert types == {"nmt", "vmmt_f", "vmmt_c"}
+
+
+def test_enable_compile_cache(monkeypatch, tmp_path):
+    """Every CLI gets a persistent per-user XLA compile cache; env overrides
+    and the =0 kill switch must work."""
+    import jax
+
+    from variational_mmt_tpu.utils import platform as plat
+
+    monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "cache"))
+    plat.enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+    import os as _os
+    assert _os.path.isdir(tmp_path / "cache")
+
+    monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "other"))
+    plat.enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+    # =0 disables (leaves the previous setting untouched)
+    monkeypatch.setenv("VMMT_COMPILE_CACHE", "0")
+    plat.enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
