@@ -158,3 +158,51 @@ def test_serve_cli_args_parse():
     add_args(p)
     opt = p.parse_args(["-model", "x", "-port", "0", "-max_wait_ms", "2.5"])
     assert opt.port == 0 and opt.max_wait_ms == 2.5
+
+
+def test_http_msgpack_binary_wire_matches_json():
+    """The binary msgpack endpoint (raw float32 image bytes, msgpack
+    response) returns exactly what the JSON endpoint returns."""
+    import http.client
+
+    import msgpack
+
+    _, _, _, _, svc = small_service()
+    server = ServingServer(svc, port=0)
+    server.start()
+    try:
+        texts = ["w1 w2 w3", "w4"]
+        imgs = np.random.default_rng(3).standard_normal((2, 8)).astype(np.float32)
+
+        body_j = json.dumps({"texts": texts, "imgs": imgs.tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/translate", data=body_j, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out_json = json.loads(r.read())
+
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        body_m = msgpack.packb({
+            "texts": texts,
+            "imgs": {"shape": list(imgs.shape), "data": imgs.tobytes()},
+        })
+        conn.request("POST", "/translate", body=body_m,
+                     headers={"Content-Type": "application/x-msgpack"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out_mp = msgpack.unpackb(resp.read())
+        conn.close()
+
+        assert [n[0]["text"] for n in out_mp["results"]] == \
+               [n[0]["text"] for n in out_json["results"]]
+
+        # malformed binary body -> msgpack 400, not a crash
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("POST", "/translate", body=b"\x81\xa5texts\xa4nope",
+                     headers={"Content-Type": "application/x-msgpack"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"error" in resp.read()
+        conn.close()
+    finally:
+        server.stop()
