@@ -202,3 +202,17 @@ def test_meteor_corpus_micro_aggregation():
     )
     assert abs(out["meteor"] - 62.5) < 1e-6
     assert abs(out["meteor_macro"] - 46.875) < 1e-6
+
+
+def test_meteor_empty_hypothesis_counts_reference():
+    """An empty hypothesis must still count its reference in the recall
+    denominator — skipping it would inflate the micro-averaged score."""
+    from variational_mmt_tpu.evals.meteor import meteor_score
+
+    with_empty = meteor_score(
+        [["the", "cat"], []],
+        [[["the", "cat"]], [["the", "cat"]]],
+        preset="original",
+    )
+    without = meteor_score([["the", "cat"]], [[["the", "cat"]]], preset="original")
+    assert with_empty["meteor"] < without["meteor"] - 10  # recall halves

@@ -275,3 +275,15 @@ def test_optimizer_family_lr_default_survives_config(corpus, tmp_path):
     _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cklr"))
     assert cfg.train.optimizer == "adagrad"
     assert abs(cfg.train.learning_rate - 0.1) < 1e-9
+
+
+def test_phrase_table_requires_replace_unk(corpus, tmp_path):
+    d = str(corpus)
+    pt = tmp_path / "pt.txt"
+    pt.write_text("a\tb\n")
+    with pytest.raises(SystemExit, match="replace_unk"):
+        cli_translate.main([
+            "-model", f"{d}/ckpts", "-src", f"{d}/test.src",
+            "-img_feats", f"{d}/test.feats.npy", "-pretokenized",
+            "-output", f"{tmp_path}/o.txt", "-phrase_table", str(pt),
+        ])

@@ -258,22 +258,32 @@ def test_config_presets_load_and_validate():
 
 
 def test_enable_compile_cache(monkeypatch, tmp_path):
-    """Every CLI gets a persistent per-user XLA compile cache; env overrides
-    and the =0 kill switch must work."""
+    """Every jax-using CLI gets a persistent per-user XLA compile cache; env
+    overrides, JAX's own env var, and the =0 kill switch must all win."""
     import jax
 
     from variational_mmt_tpu.utils import platform as plat
 
-    monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "cache"))
-    plat.enable_compile_cache()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
-    import os as _os
-    assert _os.path.isdir(tmp_path / "cache")
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "cache"))
+        plat.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+        import os as _os
+        assert _os.path.isdir(tmp_path / "cache")
 
-    monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "other"))
-    plat.enable_compile_cache()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
-    # =0 disables (leaves the previous setting untouched)
-    monkeypatch.setenv("VMMT_COMPILE_CACHE", "0")
-    plat.enable_compile_cache()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+        monkeypatch.setenv("VMMT_COMPILE_CACHE", str(tmp_path / "other"))
+        plat.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+        # =0 disables (leaves the previous setting untouched)
+        monkeypatch.setenv("VMMT_COMPILE_CACHE", "0")
+        plat.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+        # without VMMT override, an already-configured cache is respected
+        monkeypatch.delenv("VMMT_COMPILE_CACHE", raising=False)
+        plat.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+    finally:
+        # jax config is process-global: later tests must not inherit a
+        # deleted tmp_path as their cache dir
+        jax.config.update("jax_compilation_cache_dir", prior)

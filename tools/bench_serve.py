@@ -36,11 +36,11 @@ def main():
                         "json matches the naive-client worst case)")
     args = p.parse_args()
 
+    import jax  # before honor_env_platform so the compile cache engages
+
     from variational_mmt_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()  # the axon plugin otherwise overrides JAX_PLATFORMS
-
-    import jax
 
     from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig, TrainConfig
     from variational_mmt_tpu.data.vocab import SPECIALS, Vocab

@@ -119,12 +119,27 @@ def main(argv=None) -> None:
                             buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
                             mesh=mesh)
     if opt.phrase_table:
+        if not opt.replace_unk:
+            raise SystemExit("-phrase_table is only consulted by -replace_unk; "
+                             "pass both (the table maps the copied source token)")
+        skipped = 0
         with open(opt.phrase_table, encoding="utf-8") as f:
             for line in f:
-                parts = line.rstrip("\n").replace("\t", " ").split()
-                if len(parts) >= 2:
-                    translator.phrase_table[parts[0]] = parts[1]
-        print(f"loaded {len(translator.phrase_table)} phrase-table entries")
+                line = line.rstrip("\n")
+                # TAB separates source from target; the target may contain
+                # spaces ("cat<TAB>le chat"). Without a TAB, first space.
+                src_w, sep, tgt_w = line.partition("\t")
+                if not sep:
+                    src_w, sep, tgt_w = line.partition(" ")
+                src_w, tgt_w = src_w.strip(), tgt_w.strip()
+                if not src_w or not tgt_w:
+                    continue
+                if " " in src_w:
+                    skipped += 1  # multi-word sources can't match one token
+                    continue
+                translator.phrase_table[src_w] = tgt_w
+        print(f"loaded {len(translator.phrase_table)} phrase-table entries"
+              + (f" ({skipped} multi-word sources skipped)" if skipped else ""))
     import time
 
     t0 = time.time()

@@ -168,9 +168,12 @@ class MeteorScorer:
 
         for ref in refs:
             ref = [r.lower() for r in ref]
-            if not hyp or not ref:
+            if not ref:
                 continue
-            matches = self._align(hyp, ref)
+            # an EMPTY hypothesis still counts its reference in the recall
+            # denominator (meteor-1.5 semantics) — skipping it would inflate
+            # the micro-averaged corpus score
+            matches = self._align(hyp, ref) if hyp else []
             st = dict(
                 wm_hyp=sum(self.weights[mod] * weight_of(hyp[i]) for i, _, mod in matches),
                 wm_ref=sum(self.weights[mod] * weight_of(ref[j]) for _, j, mod in matches),

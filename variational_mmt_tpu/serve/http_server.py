@@ -33,6 +33,11 @@ from typing import Optional
 
 import numpy as np
 
+try:
+    import msgpack
+except ImportError:  # binary wire format degrades to a clean 501
+    msgpack = None
+
 from variational_mmt_tpu.serve.service import TranslationService
 
 
@@ -52,8 +57,6 @@ def make_handler(service: TranslationService, info: dict):
             self.wfile.write(body)
 
         def _msgpack(self, code: int, payload: dict) -> None:
-            import msgpack
-
             body = msgpack.packb(payload)
             self.send_response(code)
             self.send_header("Content-Type", "application/x-msgpack")
@@ -72,16 +75,22 @@ def make_handler(service: TranslationService, info: dict):
 
         def do_POST(self):
             binary = "msgpack" in (self.headers.get("Content-Type") or "")
+            if binary and msgpack is None:
+                # must still drain the body: leftover bytes desync keep-alive
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                self._json(501, {"error": "msgpack not available on this server"})
+                return
             reply = self._msgpack if binary else self._json
             if self.path != "/translate":
+                # drain before replying (keep-alive connections would parse
+                # the unread body as the next request line otherwise)
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 reply(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
                 if binary:
-                    import msgpack
-
                     req = msgpack.unpackb(raw or b"\x80")
                 else:
                     req = json.loads(raw or b"{}")

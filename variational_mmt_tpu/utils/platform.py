@@ -35,16 +35,28 @@ def enable_compile_cache() -> None:
     Default: a per-user owner-only directory (shared-tmp hygiene, same
     policy as the native-code cache).
     """
+    import sys
+
     loc = os.environ.get("VMMT_COMPILE_CACHE", "")
     if loc == "0":
         return
+    if ("jax" not in sys.modules and not loc
+            and not os.environ.get("JAX_PLATFORMS")):
+        # jax-free CLIs (preprocess) must stay jax-free: don't pay the
+        # import (or create cache dirs) unless explicitly asked
+        return
     if not loc:
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # respect JAX's own configuration
         base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
         loc = os.path.join(base, "vmmt", "xla_cache")
     try:
-        os.makedirs(loc, mode=0o700, exist_ok=True)
         import jax
 
+        if (os.environ.get("VMMT_COMPILE_CACHE", "") == ""
+                and jax.config.jax_compilation_cache_dir):
+            return  # already configured (user code or JAX env var)
+        os.makedirs(loc, mode=0o700, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
