@@ -287,3 +287,37 @@ def test_enable_compile_cache(monkeypatch, tmp_path):
         # jax config is process-global: later tests must not inherit a
         # deleted tmp_path as their cache dir
         jax.config.update("jax_compilation_cache_dir", prior)
+
+
+def test_prng_step_keys_distinct_and_deterministic():
+    import jax
+    import numpy as np
+
+    from variational_mmt_tpu.utils.prng import base_key, step_key
+
+    k = base_key(7)
+    ks = [np.asarray(jax.random.key_data(step_key(k, i))) for i in range(50)]
+    # deterministic
+    np.testing.assert_array_equal(ks[3], np.asarray(jax.random.key_data(step_key(base_key(7), 3))))
+    # pairwise distinct
+    seen = {bytes(a.tobytes()) for a in ks}
+    assert len(seen) == 50
+
+
+def test_flops_model_counts_scale_sanely():
+    """The analytic FLOP model must scale linearly in B and quadratically-ish
+    in H, and lstm > gru at the same shape (4 vs 3 gate blocks)."""
+    from variational_mmt_tpu.config import ModelConfig
+    from variational_mmt_tpu.utils.flops import forward_flops, train_step_flops
+
+    base = dict(model_type="vmmt_c", src_vocab_size=1000, tgt_vocab_size=1000,
+                emb_dim=64, hidden_dim=64, enc_layers=2, dec_layers=2,
+                latent_dim=16, img_feat_dim=128)
+    f1 = forward_flops(ModelConfig(**base), 8, 16, 16)
+    f2 = forward_flops(ModelConfig(**base), 16, 16, 16)
+    assert abs(f2 / f1 - 2.0) < 1e-6  # exactly linear in B
+    fh = forward_flops(ModelConfig(**{**base, "hidden_dim": 128, "emb_dim": 128}), 8, 16, 16)
+    assert 2.0 < fh / f1 < 4.5  # between linear and quadratic in width
+    fl = forward_flops(ModelConfig(**{**base, "rnn_type": "lstm"}), 8, 16, 16)
+    assert fl > f1
+    assert train_step_flops(ModelConfig(**base), 8, 16, 16) == 3.0 * f1
