@@ -287,3 +287,28 @@ def test_phrase_table_requires_replace_unk(corpus, tmp_path):
             "-img_feats", f"{d}/test.feats.npy", "-pretokenized",
             "-output", f"{tmp_path}/o.txt", "-phrase_table", str(pt),
         ])
+
+
+def test_cli_sharded_preprocess_and_train(corpus, tmp_path):
+    """-shard_size writes multiple training shards; train consumes them
+    transparently (same example count, feature alignment preserved)."""
+    d = str(corpus)
+    cli_pre.main([
+        "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+        "-save_data", f"{tmp_path}/sh", "-no_bpe", "-pretokenized",
+        "-shard_size", "25",
+    ])
+    import glob
+    shards = sorted(glob.glob(f"{tmp_path}/sh.train.*.npz"))
+    assert len(shards) == 3  # 60 examples / 25
+    assert not os.path.exists(f"{tmp_path}/sh.train.npz")
+    cli_train.main([
+        "-data", f"{tmp_path}/sh", "-save_model", f"{tmp_path}/cksh",
+        "-model_type", "nmt", "-word_vec_size", "16", "-rnn_size", "16",
+        "-batch_size", "16", "-max_steps", "2", "-buckets", "16",
+        "-compute_dtype", "float32", "-checkpoint_every", "100",
+        "-valid_every", "100",
+    ])
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cksh"))
+    assert int(state.step) == 2

@@ -141,3 +141,32 @@ def test_features_conv_reshape(tmp_path):
     np.save(p, conv)
     out = load_features(p)
     assert out.shape == (4, 49, 12)
+
+
+def test_sharded_dataset_roundtrip(tmp_path):
+    """preprocess -shard_size: shards load back IDENTICAL to the single
+    file, in index order (the image-feature alignment invariant)."""
+    import numpy as np
+
+    from variational_mmt_tpu.data.dataset import BinarizedDataset, binarize
+
+    rng = np.random.default_rng(0)
+    src = [rng.integers(4, 50, rng.integers(2, 9)).tolist() for _ in range(25)]
+    tgt = [rng.integers(4, 50, rng.integers(2, 9)).tolist() for _ in range(25)]
+    ds = binarize(src, tgt)
+    ds.save(str(tmp_path / "one.npz"))
+    for si in range(3):
+        lo, hi = si * 10, min((si + 1) * 10, len(ds))
+        BinarizedDataset(ds.src[lo:hi], ds.tgt[lo:hi]).save(
+            str(tmp_path / f"many.train.{si:02d}.npz"))
+
+    a = BinarizedDataset.load(str(tmp_path / "one.npz"))
+    b = BinarizedDataset.load(str(tmp_path / "many.train.npz"))  # glob form
+    assert len(a) == len(b) == 25
+    for x, y in zip(a.src + a.tgt, b.src + b.tgt):
+        np.testing.assert_array_equal(x, y)
+    assert BinarizedDataset.exists(str(tmp_path / "many.train.npz"))
+    assert not BinarizedDataset.exists(str(tmp_path / "nope.npz"))
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        BinarizedDataset.load(str(tmp_path / "nope.npz"))

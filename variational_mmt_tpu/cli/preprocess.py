@@ -39,6 +39,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-pretokenized", action="store_true", help="input is already tokenized; whitespace-split only")
     p.add_argument("-no_lower", action="store_true")
     p.add_argument("-share_vocab", action="store_true")
+    p.add_argument("-shard_size", type=int, default=0,
+                   help="examples per training shard (0 = one file; the "
+                        "reference's multi-.pt-shard datasets)")
 
 
 def _round8(n: int) -> int:
@@ -104,8 +107,20 @@ def main(argv=None) -> None:
         max_src_len=opt.src_seq_length,
         max_tgt_len=opt.tgt_seq_length,
     )
-    ds.save(opt.save_data + ".train.npz")
-    print(f"train: {len(ds)} examples -> {opt.save_data}.train.npz")
+    if opt.shard_size > 0:
+        from variational_mmt_tpu.data.dataset import BinarizedDataset
+
+        n_shards = (len(ds) + opt.shard_size - 1) // opt.shard_size
+        for si in range(n_shards):
+            lo, hi = si * opt.shard_size, min((si + 1) * opt.shard_size, len(ds))
+            shard = BinarizedDataset(ds.src[lo:hi],
+                                     ds.tgt[lo:hi] if ds.tgt is not None else None)
+            shard.save(f"{opt.save_data}.train.{si:02d}.npz")
+        print(f"train: {len(ds)} examples -> {n_shards} shards "
+              f"({opt.save_data}.train.00.npz ...)")
+    else:
+        ds.save(opt.save_data + ".train.npz")
+        print(f"train: {len(ds)} examples -> {opt.save_data}.train.npz")
 
     # suggest bucket boundaries from the post-BPE length distribution
     # (each bucket shape costs one train-step compilation; percentile

@@ -300,7 +300,7 @@ def main(argv=None) -> None:
         )
     train_ds = BinarizedDataset.load(opt.data + ".train.npz")
     valid_ds = None
-    if os.path.exists(opt.data + ".valid.npz"):
+    if BinarizedDataset.exists(opt.data + ".valid.npz"):
         valid_ds = BinarizedDataset.load(opt.data + ".valid.npz")
 
     train_feats = load_features(opt.train_img_feats) if opt.train_img_feats else None

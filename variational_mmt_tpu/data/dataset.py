@@ -17,6 +17,7 @@ static shapes, so the TPU-native equivalent is:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -91,10 +92,40 @@ class BinarizedDataset:
 
     @classmethod
     def load(cls, path: str) -> "BinarizedDataset":
-        z = np.load(path)
-        src = _unflatten(z["src_data"], z["src_off"])
-        tgt = _unflatten(z["tgt_data"], z["tgt_off"]) if "tgt_data" in z else None
+        """Load a single ``.npz`` or, when ``path`` does not exist, the
+        sharded form ``<base>.00.npz, <base>.01.npz, ...`` written by
+        preprocess ``-shard_size`` (the reference's multi-``.pt``-shard
+        datasets). Shards concatenate in index order so example index ==
+        corpus line — the image-feature alignment invariant holds across
+        shards."""
+        paths = [path] if os.path.exists(path) else cls.shard_paths(path)
+        if not paths:
+            raise FileNotFoundError(f"no dataset at {path} (or shards {path[:-4]}.NN.npz)")
+        src: List[np.ndarray] = []
+        tgt: Optional[List[np.ndarray]] = None
+        for i, p in enumerate(paths):
+            z = np.load(p)
+            src.extend(_unflatten(z["src_data"], z["src_off"]))
+            has_tgt = "tgt_data" in z
+            if i == 0:
+                tgt = [] if has_tgt else None
+            elif has_tgt != (tgt is not None):
+                raise ValueError(f"shard {p} disagrees about having targets")
+            if has_tgt:
+                tgt.extend(_unflatten(z["tgt_data"], z["tgt_off"]))
         return cls(src, tgt)
+
+    @staticmethod
+    def shard_paths(path: str) -> List[str]:
+        """Sorted shard files for a ``<base>.npz`` path; [] if none."""
+        import glob as _glob
+
+        base = path[:-4] if path.endswith(".npz") else path
+        return sorted(_glob.glob(base + ".[0-9][0-9]*.npz"))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(path) or bool(cls.shard_paths(path))
 
 
 def _unflatten(data: np.ndarray, off: np.ndarray) -> List[np.ndarray]:
