@@ -170,3 +170,39 @@ def test_sharded_dataset_roundtrip(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         BinarizedDataset.load(str(tmp_path / "nope.npz"))
+
+
+def test_bpe_segment_removebpe_fuzz_roundtrip():
+    """Property: remove_bpe(segment(tokens)) == tokens for ANY tokens over
+    the learned alphabet (500 random sentences)."""
+    import numpy as np
+
+    from variational_mmt_tpu.data.bpe import BPE, learn_bpe, remove_bpe
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefgh")
+    corpus = [["".join(rng.choice(alphabet, rng.integers(1, 9)))
+               for _ in range(rng.integers(1, 12))] for _ in range(200)]
+    bpe = BPE(learn_bpe(corpus, 50))
+    for _ in range(500):
+        toks = ["".join(rng.choice(alphabet, rng.integers(1, 10)))
+                for _ in range(rng.integers(1, 10))]
+        assert remove_bpe(bpe.segment(toks)) == toks
+
+
+def test_tokenizer_fuzz_invariants():
+    """Properties over random printable text: no empty tokens, no internal
+    whitespace in tokens, idempotence (tokenizing the joined tokens changes
+    nothing), and detokenize never crashes."""
+    import numpy as np
+
+    from variational_mmt_tpu.data.tokenizer import detokenize, tokenize
+
+    rng = np.random.default_rng(9)
+    chars = list("abcXYZ0123 .,;:!?()[]'\"-/&%$#") + ["ä", "ß", "é", "«"]
+    for _ in range(300):
+        s = "".join(rng.choice(chars, rng.integers(0, 60)))
+        toks = tokenize(s)
+        assert all(t and " " not in t for t in toks)
+        assert tokenize(" ".join(toks)) == toks  # idempotent
+        detokenize(toks)
