@@ -10,6 +10,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+from variational_mmt_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()  # the axon plugin otherwise ignores JAX_PLATFORMS
 import jax.numpy as jnp
 import numpy as np
 
