@@ -204,3 +204,36 @@ def test_fused_ce_end_to_end_train_step_matches():
     assert float(m0["n_correct"]) == float(m1["n_correct"])
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-6)
+
+
+def test_img_attn_pool_loss_target_matches_conditioning():
+    """img_pool='attn': the p(v|z) objective must target the SAME
+    attention-pooled vector z was conditioned on, not an independent
+    mean-pool of the regions (train/loss.py consumes out['img_target'])."""
+    import jax
+
+    from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
+    from variational_mmt_tpu.models.model import VMMTModel, build_model, init_params
+
+    cfg = ModelConfig(
+        model_type="vmmt_c", src_vocab_size=20, tgt_vocab_size=20, emb_dim=8,
+        hidden_dim=16, enc_layers=1, dec_layers=1, latent_dim=4,
+        img_feat_dim=8, img_feat_type="conv", img_pool="attn", dropout=0.0,
+        compute_dtype="float32",
+    )
+    model = build_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(4, 20, (3, 6)), jnp.int32)
+    tgt_in = jnp.asarray(rng.integers(4, 20, (3, 6)), jnp.int32)
+    img = jnp.asarray(rng.standard_normal((3, 4, 8)), jnp.float32)
+    out = model.apply({"params": params}, src, tgt_in, img,
+                      deterministic=True, sample=False)
+    assert "img_target" in out and out["img_target"].shape == (3, 8)
+    # the model's own pooling, computed independently
+    _, _, _, summary = model.apply({"params": params}, src, method=VMMTModel.encode)
+    pooled = model.apply({"params": params}, img, summary, method=VMMTModel._img_in)
+    np.testing.assert_allclose(np.asarray(out["img_target"]), np.asarray(pooled),
+                               rtol=1e-5)
+    # attention pooling genuinely differs from mean pooling here
+    assert not np.allclose(np.asarray(pooled), np.asarray(img.mean(axis=1)), atol=1e-4)

@@ -270,3 +270,16 @@ def test_replace_unk_phrase_table():
     for nb_plain, nb_pt in zip(out_plain, out_pt):
         for (s1, t1), (s2, t2) in zip(nb_plain, nb_pt):
             assert t2 == t1.replace("alpha", "ALPHA_T").replace("beta", "BETA_T")
+
+
+def test_greedy_min_length_routes_through_beam():
+    """beam_size=1 with min_length must NOT take the greedy fast path (which
+    cannot mask EOS): every hypothesis gets at least min_length tokens."""
+    cfg, model, state, vocab = small_setup("nmt")
+    cfg.decode.beam_size = 1
+    cfg.decode.min_length = 5
+    cfg.decode.max_length = 8
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    out = tr.translate_ids([[5, 6, 7], [9]])
+    for nbest in out:
+        assert len(nbest[0][1]) >= 5

@@ -57,7 +57,9 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
             logw_text = ll_y + gaussian_log_prob(z, mu_p, sigma_p) - gaussian_log_prob(z, mu_q, sigma_q)
             logw_joint = logw_text
             if model.cfg.use_img_predict and img is not None:
-                v = img.mean(axis=1) if img.ndim == 3 else img
+                # the model's own pooling (mean or region-attention) — the
+                # joint bound must score p(v|z) on what z conditioned on
+                v = m_apply(VMMTModel._img_in, img, summary)
                 v_pred = m_apply(VMMTModel.predict_img, z)
                 # joint weight adds p(v|z): a bound on log p(y,v|x)
                 logw_joint = logw_joint + gaussian_log_prob(v, v_pred, jnp.float32(1.0))

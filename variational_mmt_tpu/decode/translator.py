@@ -44,7 +44,10 @@ def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
 
         keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)
 
-        if K == 1 and not track_attn and not dcfg.dump_beam:
+        # the greedy fast path cannot honor min_length (or produce real
+        # scores/attn/traces) — any of those routes through the K=1 beam
+        if (K == 1 and not track_attn and not dcfg.dump_beam
+                and dcfg.min_length == 0):
             def step1(carry, toks):
                 carry, logits, _ = model.apply(
                     {"params": params}, carry, toks, memory, src_mask, z, keys,

@@ -38,17 +38,19 @@ class GlobalAttention(nn.Module):
         )
 
     def project_memory(self, memory: jax.Array) -> jax.Array:
-        """Pre-apply the query projection to the (loop-invariant) memory:
-        scores = (q Wq) m^T == q (m Wq^T)^T, so keys = m @ Wq^T can be
-        computed ONCE per sequence instead of projecting q every decode
-        step. Only meaningful for 'general'; identity otherwise."""
-        if self.attn_type != "general":
-            return memory
-        if self.is_initializing():
-            # materialize linear_in's params (lazy Dense) during init
-            self.linear_in(memory[:, :1])
-        kernel = self.linear_in.variables["params"]["kernel"]
-        return memory @ kernel.T.astype(memory.dtype)
+        """Hoist the loop-invariant memory projection out of the decode/scan
+        step. 'general': scores = (q Wq) m^T == q (m Wq^T)^T, so keys =
+        m @ Wq^T once per sequence. 'mlp': keys = Wk m (the context half of
+        the Bahdanau score) once per sequence. Identity for 'dot'."""
+        if self.attn_type == "general":
+            if self.is_initializing():
+                # materialize linear_in's params (lazy Dense) during init
+                self.linear_in(memory[:, :1])
+            kernel = self.linear_in.variables["params"]["kernel"]
+            return memory @ kernel.T.astype(memory.dtype)
+        if self.attn_type == "mlp":
+            return self.linear_context(memory)
+        return memory
 
     def scores(self, query: jax.Array, memory: jax.Array, keys=None) -> jax.Array:
         """query (B,T,H), memory (B,S,H) -> (B,T,S)."""
@@ -57,9 +59,9 @@ class GlobalAttention(nn.Module):
                 return jnp.einsum("bth,bsh->bts", query, keys)
             q = self.linear_in(query) if self.attn_type == "general" else query
             return jnp.einsum("bth,bsh->bts", q, memory)
-        # mlp (Bahdanau): v^T tanh(Wq q + Wk m)
+        # mlp (Bahdanau): v^T tanh(Wq q + Wk m); Wk m may be pre-projected
         q = self.linear_query(query)[:, :, None, :]  # (B,T,1,H)
-        k = self.linear_context(memory)[:, None, :, :]  # (B,1,S,H)
+        k = (keys if keys is not None else self.linear_context(memory))[:, None, :, :]
         return self.v(jnp.tanh(q + k)).squeeze(-1)
 
     def __call__(

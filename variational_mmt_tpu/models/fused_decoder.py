@@ -70,27 +70,12 @@ def _fwd_scan(emb_proj, dmid, h00, h01, Wfeed, Wh0, bh0, Wmid, bmid, Wh1, bh1,
 
 def _gru_bwd_local(dh_new, x_proj, h_prev, Wh, bh):
     """Local VJP of one GRU cell application h_new = gru_gates(x, h@Wh+bh, h).
-    Returns (dx_proj, dh_proj, dh_prev_partial). All f32-ish math in the
-    caller's dtype."""
-    h_proj = h_prev @ Wh + bh
-    H = h_prev.shape[-1]
-    xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
-    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    dz = dh_new * (h_prev - n)
-    dn = dh_new * (1.0 - z)
-    dh_prev = dh_new * z
-    dn_pre = dn * (1.0 - n * n)
-    dr = dn_pre * hn
-    dhn = dn_pre * r
-    dz_pre = dz * z * (1.0 - z)
-    dr_pre = dr * r * (1.0 - r)
-    dx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-    dh_prev = dh_prev + dhp @ Wh.T
-    return dx, dhp, dh_prev
+    Returns (dx_proj, dh_proj, dh_prev FULL incl. the Wh^T backprop).
+    Gate math lives in ONE place: models/gru.py:gru_bwd_core."""
+    from variational_mmt_tpu.models.gru import gru_bwd_core
+
+    dx, dhp, dh_prev_partial = gru_bwd_core(dh_new, x_proj, h_prev @ Wh + bh, h_prev)
+    return dx, dhp, dh_prev_partial + dhp @ Wh.T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(15,))

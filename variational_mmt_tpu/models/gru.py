@@ -66,6 +66,37 @@ def gru_gates(x_proj: jax.Array, h_proj: jax.Array, h: jax.Array) -> jax.Array:
     return (1.0 - z) * n + z * h
 
 
+def gru_bwd_core(
+    dh_new: jax.Array, x_proj: jax.Array, h_proj: jax.Array, h_prev: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Hand-derived local VJP of :func:`gru_gates` (one cell application).
+
+    Returns (dx_proj, dh_proj_grad, dh_prev_partial); the ``Wh^T`` backprop
+    into ``dh_prev`` is the caller's job (it owns the weights). This is THE
+    single source of the gate backward math — the custom-VJP scan
+    (models/fused_decoder.py) and the Pallas decoder kernel
+    (ops/pallas/decoder.py) both consume it, so the cuDNN gate convention
+    stays in one place.
+    """
+    H = h_prev.shape[-1]
+    xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
+    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    dz = dh_new * (h_prev - n)
+    dn = dh_new * (1.0 - z)
+    dh_prev = dh_new * z
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn
+    dhn = dn_pre * r
+    dz_pre = dz * z * (1.0 - z)
+    dr_pre = dr * r * (1.0 - r)
+    dx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+    return dx, dhp, dh_prev
+
+
 class GRUCell(nn.Module):
     """Recurrent half of a GRU: expects the input projection precomputed."""
 

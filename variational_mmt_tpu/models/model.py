@@ -119,15 +119,9 @@ class VMMTModel(nn.Module):
     # components (each is also an `apply(..., method=...)` entry point for
     # the translator / IW evaluator)
     # ------------------------------------------------------------------
-    def encode(self, src: jax.Array):
+    def encode(self, src: jax.Array, deterministic: bool = True):
         """src (B,S) -> (memory (B,S,H), finals [L x (B,H)], src_mask (B,S),
         src_summary (B,H))."""
-        src_mask = (src != PAD).astype(jnp.float32)
-        emb = self.src_embed(src)
-        memory, finals = self.encoder(emb, src_mask, deterministic=True)
-        return memory, finals, src_mask, masked_mean(memory, src_mask)
-
-    def _encode_train(self, src: jax.Array, deterministic: bool):
         src_mask = (src != PAD).astype(jnp.float32)
         emb = self.src_embed(src)
         memory, finals = self.encoder(emb, src_mask, deterministic=deterministic)
@@ -251,19 +245,24 @@ class VMMTModel(nn.Module):
         ``tgt_in`` — which drops the final EOS, so callers that have the
         real tgt_out should pass it."""
         c = self.cfg
-        memory, finals, src_mask, src_summary = self._encode_train(src, deterministic)
+        memory, finals, src_mask, src_summary = self.encode(src, deterministic)
 
         out: Dict[str, jax.Array] = {}
         z = None
         if self.is_latent:
+            # pool conv regions ONCE (mean or text-conditioned attention per
+            # img_pool) and thread the SAME vector through q / prior / the
+            # p(v|z) target — the image objective must reconstruct exactly
+            # what z was conditioned on, not an independently mean-pooled v
+            v_in = self._img_in(img, src_summary)
             # q consumes the *gold* target y+EOS (reference: the inference
             # net reads the full gold sequence, SURVEY.md §2.4)
             if tgt_out is not None:
                 gold = tgt_out
             else:
                 gold = jnp.concatenate([tgt_in[:, 1:], jnp.zeros_like(tgt_in[:, :1])], axis=1)
-            mu_q, sigma_q = self.posterior(src_summary, gold, img, deterministic)
-            mu_p, sigma_p = self.prior_params(src_summary, img)
+            mu_q, sigma_q = self.posterior(src_summary, gold, v_in, deterministic)
+            mu_p, sigma_p = self.prior_params(src_summary, v_in)
             if sample:
                 z = reparameterize(self.make_rng("latent"), mu_q, sigma_q)
             else:
@@ -271,6 +270,8 @@ class VMMTModel(nn.Module):
             out.update(mu_q=mu_q, sigma_q=sigma_q, mu_p=mu_p, sigma_p=sigma_p, z=z)
             if c.use_img_predict:
                 out["img_pred"] = self.predict_img(z)
+                if v_in is not None:
+                    out["img_target"] = v_in
 
         if (not deterministic) and c.word_dropout > 0.0:
             keep = jax.random.bernoulli(

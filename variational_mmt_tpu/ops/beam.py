@@ -58,6 +58,11 @@ def length_penalty(lengths: jax.Array, alpha: float, kind: str = "gnmt") -> jax.
         return ((5.0 + lengths) / 6.0) ** alpha
     if kind == "average":
         return jnp.maximum(lengths, 1.0)
+    if kind != "none":
+        # a typo'd kind silently disabling the penalty would shift n-best
+        # ranking with no error
+        raise ValueError(f"unknown length_penalty kind: {kind!r} "
+                         "(expected gnmt | average | none)")
     return jnp.ones_like(lengths)
 
 

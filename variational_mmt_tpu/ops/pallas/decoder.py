@@ -49,37 +49,10 @@ except Exception:  # pragma: no cover
 f32 = jnp.float32
 
 
-def _gru_fwd_math(x_proj, h_proj, h):
-    H = h.shape[-1]
-    xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
-    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    return (1.0 - z) * n + z * h
-
-
-def _gru_bwd_math(dh_new, x_proj, h_proj, h_prev):
-    """Local cell VJP given recomputed projections. Returns
-    (dx_proj, dh_proj_grad, dh_prev_partial) — the Wh^T backprop into
-    dh_prev is the caller's job (it owns the weights)."""
-    H = h_prev.shape[-1]
-    xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
-    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    dz = dh_new * (h_prev - n)
-    dn = dh_new * (1.0 - z)
-    dh_prev = dh_new * z
-    dn_pre = dn * (1.0 - n * n)
-    dr = dn_pre * hn
-    dhn = dn_pre * r
-    dz_pre = dz * z * (1.0 - z)
-    dr_pre = dr * r * (1.0 - r)
-    dx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-    return dx, dhp, dh_prev
+# single source of the gate math (models/gru.py): the kernel bodies lower
+# these jnp ops directly
+from variational_mmt_tpu.models.gru import gru_bwd_core as _gru_bwd_math
+from variational_mmt_tpu.models.gru import gru_gates as _gru_fwd_math
 
 
 # ----------------------------------------------------------------------

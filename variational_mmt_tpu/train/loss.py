@@ -148,7 +148,11 @@ def compute_loss(
         loss = loss + beta * kl.sum() / n_sents
 
     if "img_pred" in out and img is not None:
-        il = image_loss(img, out["img_pred"], mcfg.img_loss) * example_mask
+        # prefer the model's own pooled conditioning vector (img_pool='attn'
+        # pools with text-conditioned attention; re-pooling here by mean
+        # would train p(v|z) against a DIFFERENT target than z saw)
+        target = out.get("img_target", img)
+        il = image_loss(target, out["img_pred"], mcfg.img_loss) * example_mask
         metrics["img_loss_sum"] = il.sum()
         loss = loss + mcfg.img_loss_weight * il.sum() / n_sents
 
