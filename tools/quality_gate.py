@@ -58,6 +58,8 @@ def build_cfg(model_type, seed, steps, platform, args):
             word_dropout=0.1,
             latent_dim=args.latent_dim,
             img_feat_dim=args.img_dim if model_type != "nmt" else 0,
+            img_feat_type="conv" if args.img_regions > 0 else "pool5",
+            img_pool=args.img_pool,
             use_img_predict=model_type != "nmt",
             img_loss="logprob",
             z_cond="init+input",
@@ -172,6 +174,7 @@ def run_one(model_type, seed, data, args, platform):
     if undo is not None:
         undo()
     return {"model": model_type, "seed": seed, "defect": args.defect,
+            "img_pool": args.img_pool, "img_regions": args.img_regions,
             "test_bleu": round(bleu, 2), "valid_bleu": round(vbleu, 2),
             "steps": args.steps, "train_s": round(train_s, 1),
             "decode_s": round(decode_s, 1)}
@@ -193,6 +196,11 @@ def main():
     p.add_argument("-hidden_dim", type=int, default=256)
     p.add_argument("-latent_dim", type=int, default=64)
     p.add_argument("-img_dim", type=int, default=512)
+    p.add_argument("-img_regions", type=int, default=0,
+                   help="R>0: conv-style (R, img_dim) region features with "
+                        "the sense signal in ONE region (discriminates "
+                        "img_pool attn vs mean)")
+    p.add_argument("-img_pool", default="mean", choices=["mean", "attn"])
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
     p.add_argument("-out", default="qg_results.jsonl")
@@ -214,7 +222,8 @@ def main():
 
     n = args.n_train + args.n_valid + args.n_test
     src, tgt, feats, sv, tv, senses, amb = make_ambiguous_corpus(
-        n, vocab_size=args.vocab_size, img_dim=args.img_dim, seed=args.data_seed
+        n, vocab_size=args.vocab_size, img_dim=args.img_dim, seed=args.data_seed,
+        regions=args.img_regions,
     )
     a, b = args.n_train, args.n_train + args.n_valid
     data = (src[:a], tgt[:a], feats[:a],

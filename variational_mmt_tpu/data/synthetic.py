@@ -103,10 +103,18 @@ def make_ambiguous_corpus(
     sense_strength: float = 3.0,
     img_noise: float = 0.5,
     seed: int = 0,
+    regions: int = 0,
 ):
     """Returns (src_lines, tgt_lines, feats, src_vocab, tgt_vocab, senses,
     amb_mask). ``senses``: (n,) int sense id per sentence; ``amb_mask``:
-    (n_words,) 0/1 per source word type."""
+    (n_words,) 0/1 per source word type.
+
+    ``regions > 0``: conv-style (n, R, img_dim) features — the sense signal
+    lands in ONE random region, the other R-1 carry sense-scale distractor
+    noise. Mean-pooling dilutes the signal by R and averages in the
+    distractors; text-conditioned region attention (img_pool='attn') can
+    learn to select the informative region. Built to DISCRIMINATE the two
+    pooling modes, not just exercise their shapes."""
     rng = np.random.default_rng(seed)
     n_words = vocab_size - len(SPECIALS)
     src_words = [f"s{i}" for i in range(n_words)]
@@ -117,7 +125,8 @@ def make_ambiguous_corpus(
     sense_emb = rng.standard_normal((n_senses, img_dim)).astype(np.float32)
 
     src_lines, tgt_lines = [], []
-    feats = np.zeros((n, img_dim), np.float32)
+    feats = np.zeros((n, regions, img_dim) if regions > 0 else (n, img_dim),
+                     np.float32)
     senses = rng.integers(0, n_senses, size=n)
     for i in range(n):
         L = int(rng.integers(min_len, max_len + 1))
@@ -128,11 +137,22 @@ def make_ambiguous_corpus(
         tids[noise_pos] = rng.integers(0, n_words, size=int(noise_pos.sum()))
         src_lines.append([src_words[k] for k in ids])
         tgt_lines.append([tgt_words[k] for k in tids])
-        feats[i] = (
-            word_emb[ids].mean(axis=0)
-            + sense_strength * sense_emb[int(senses[i])]
-            + img_noise * rng.standard_normal(img_dim).astype(np.float32)
-        )
+        content = word_emb[ids].mean(axis=0)
+        if regions > 0:
+            r_star = int(rng.integers(regions))
+            for r in range(regions):
+                row = content + img_noise * rng.standard_normal(img_dim).astype(np.float32)
+                if r == r_star:
+                    row = row + sense_strength * sense_emb[int(senses[i])]
+                else:
+                    row = row + sense_strength * rng.standard_normal(img_dim).astype(np.float32)
+                feats[i, r] = row
+        else:
+            feats[i] = (
+                content
+                + sense_strength * sense_emb[int(senses[i])]
+                + img_noise * rng.standard_normal(img_dim).astype(np.float32)
+            )
     src_vocab = Vocab(SPECIALS + src_words)
     tgt_vocab = Vocab(SPECIALS + tgt_words)
     return src_lines, tgt_lines, feats, src_vocab, tgt_vocab, senses, amb
