@@ -177,7 +177,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "batch_size": "16",
         "grad_accum": "1", "steps_per_call": "1", "max_steps": "1",
         "epochs": "0", "optim": "sgd", "learning_rate": "0.123",
-        "max_grad_norm": "3.5", "learning_rate_decay": "0.7",
+        "max_grad_norm": "3.5", "adam_beta1": "0.85", "adam_beta2": "0.97", "learning_rate_decay": "0.7",
         "start_decay_at": "77", "label_smoothing": "0.05",
         "param_init": "0.08",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",

@@ -87,6 +87,8 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-optim", default="adam",
                    choices=["adam", "sgd", "adadelta", "adagrad"])
     p.add_argument("-learning_rate", type=float, default=4e-4)
+    p.add_argument("-adam_beta1", type=float, default=0.9)
+    p.add_argument("-adam_beta2", type=float, default=0.999)
     p.add_argument("-param_init", type=float, default=0.0,
                    help=">0: uniform(-r,r) re-init of all params (reference "
                         "default 0.1; 0 keeps per-layer framework init)")
@@ -155,6 +157,8 @@ FLAG2KEY = {
     "epochs": ("train", "epochs"),
     "optim": ("train", "optimizer"),
     "learning_rate": ("train", "learning_rate"),
+    "adam_beta1": ("train", "adam_beta1"),
+    "adam_beta2": ("train", "adam_beta2"),
     "param_init": ("train", "param_init"),
     "max_grad_norm": ("train", "max_grad_norm"),
     "learning_rate_decay": ("train", "lr_decay"),
@@ -248,6 +252,8 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             epochs=opt.epochs,
             optimizer=opt.optim,
             learning_rate=opt.learning_rate,
+            adam_beta1=opt.adam_beta1,
+            adam_beta2=opt.adam_beta2,
             param_init=opt.param_init,
             max_grad_norm=opt.max_grad_norm,
             lr_decay=opt.learning_rate_decay,
