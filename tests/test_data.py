@@ -206,3 +206,62 @@ def test_tokenizer_fuzz_invariants():
         assert all(t and " " not in t for t in toks)
         assert tokenize(" ".join(toks)) == toks  # idempotent
         detokenize(toks)
+
+
+def test_shard_paths_numeric_order(tmp_path):
+    """'.100.npz' must follow '.99.npz' (lexicographic sorting would place
+    it between '.10' and '.11', scrambling the corpus-line invariant)."""
+    import numpy as np
+
+    from variational_mmt_tpu.data.dataset import BinarizedDataset, binarize
+
+    idx = [9, 10, 11, 100, 101]
+    for si in idx:
+        BinarizedDataset([np.asarray([si], np.int32)], [np.asarray([si], np.int32)]).save(
+            str(tmp_path / f"d.train.{si}.npz"))
+    paths = BinarizedDataset.shard_paths(str(tmp_path / "d.train.npz"))
+    got = [int(p.rsplit(".", 2)[1]) for p in paths]
+    assert got == sorted(idx)
+    ds = BinarizedDataset.load(str(tmp_path / "d.train.npz"))
+    assert [int(s[0]) for s in ds.src] == sorted(idx)
+
+
+def test_load_features_strict_split(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from variational_mmt_tpu.data.features import load_features
+
+    p = str(tmp_path / "f.npz")
+    np.savez(p, train=np.ones((3, 4), np.float32))
+    np.testing.assert_allclose(load_features(p, split="train"), 1.0)
+    with _pytest.raises(KeyError, match="valid"):
+        load_features(p, split="valid")  # must NOT silently return 'train'
+
+
+def test_prefetch_releases_producer_on_abandoned_consumer():
+    import threading
+    import time
+
+    from variational_mmt_tpu.data.prefetch import prefetch
+
+    consumed = []
+
+    def gen():
+        for i in range(1000):
+            yield i
+
+    before = {t.name for t in threading.enumerate()}
+    g = prefetch(gen(), size=2, transform=lambda x: x)
+    for i, x in enumerate(g):
+        consumed.append(x)
+        if i == 2:
+            break
+    g.close()  # abandoning the generator must release the producer thread
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        extra = {t.name for t in threading.enumerate()} - before
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"leaked threads: {extra}"

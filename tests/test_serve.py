@@ -206,3 +206,37 @@ def test_http_msgpack_binary_wire_matches_json():
         conn.close()
     finally:
         server.stop()
+
+
+def test_cancelled_future_does_not_poison_batch():
+    """A client cancelling its queued request must not corrupt the other
+    requests coalesced into the same device batch."""
+    _, _, _, _, svc = small_service(max_wait_ms=400.0)
+    try:
+        f1 = svc.submit_text("w1 w2")
+        f2 = svc.submit_text("w3 w4")
+        f3 = svc.submit_text("w5")
+        assert f2.cancel()  # queued futures are cancellable
+        r1 = f1.result(timeout=120)
+        r3 = f3.result(timeout=120)
+        assert isinstance(r1[0][1], str) and isinstance(r3[0][1], str)
+        assert f2.cancelled()
+    finally:
+        svc.stop()
+
+
+def test_stop_drains_racing_submissions():
+    """A request enqueued behind the stop sentinel must fail loudly, not
+    hang its caller forever."""
+    from concurrent.futures import Future
+
+    from variational_mmt_tpu.serve.service import _Request
+
+    _, _, _, _, svc = small_service()
+    svc.stop()  # worker gone
+    req = _Request(tokens=["w1"], img=None)
+    svc._q.put(req)  # simulates the submit-vs-stop race losing the race
+    svc.stop()  # idempotent; must drain and fail the straggler
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="service stopped"):
+        req.future.result(timeout=5)

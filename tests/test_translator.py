@@ -283,3 +283,19 @@ def test_greedy_min_length_routes_through_beam():
     out = tr.translate_ids([[5, 6, 7], [9]])
     for nbest in out:
         assert len(nbest[0][1]) >= 5
+
+
+def test_overlong_source_not_truncated_at_decode():
+    """A source longer than the largest bucket gets a catch-all bucket: the
+    decode must consume ALL tokens (equality with an explicitly big bucket
+    proves no truncation happened)."""
+    cfg, model, state, vocab = small_setup("nmt")
+    long_src = [list(range(5, 5 + 15))]  # 15 tokens, largest bucket is 8
+    tr_small = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    tr_big = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[16])
+    a = tr_small.translate_ids(long_src)
+    b = tr_big.translate_ids(long_src)
+    assert a[0][0][1] == b[0][0][1]
+    # and it genuinely differs from decoding the truncated prefix
+    c = tr_big.translate_ids([long_src[0][:8]])
+    assert a[0][0][1] != c[0][0][1] or a[0][0][0] != c[0][0][0]

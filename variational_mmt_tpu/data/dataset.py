@@ -117,11 +117,15 @@ class BinarizedDataset:
 
     @staticmethod
     def shard_paths(path: str) -> List[str]:
-        """Sorted shard files for a ``<base>.npz`` path; [] if none."""
+        """Shard files for a ``<base>.npz`` path in NUMERIC index order
+        ('.100.npz' must follow '.99.npz', not sort between '.10' and
+        '.11'); [] if none."""
         import glob as _glob
 
         base = path[:-4] if path.endswith(".npz") else path
-        return sorted(_glob.glob(base + ".[0-9][0-9]*.npz"))
+        found = [p for p in _glob.glob(base + ".*.npz")
+                 if p[len(base) + 1 : -4].isdigit()]
+        return sorted(found, key=lambda p: int(p[len(base) + 1 : -4]))
 
     @classmethod
     def exists(cls, path: str) -> bool:

@@ -29,7 +29,14 @@ def load_features(path: str, split: Optional[str] = None, mmap: bool = False) ->
 
         with h5py.File(path, "r") as f:
             keys = list(f.keys())
-            if split is not None and split in f:
+            if split is not None:
+                # an explicitly requested split must exist: silently handing
+                # back a different dataset breaks the row<->line alignment
+                # invariant with no diagnostic
+                if split not in f:
+                    raise KeyError(
+                        f"split {split!r} not in {path} (has {keys})"
+                    )
                 key = split
             elif len(keys) == 1:
                 key = keys[0]
@@ -46,7 +53,12 @@ def load_features(path: str, split: Optional[str] = None, mmap: bool = False) ->
         arr = np.load(path, mmap_mode="r" if mmap else None)
     elif ext == ".npz":
         z = np.load(path)
-        key = split if split in z else list(z.keys())[0]
+        if split is not None:
+            if split not in z:
+                raise KeyError(f"split {split!r} not in {path} (has {list(z.keys())})")
+            key = split
+        else:
+            key = list(z.keys())[0]
         arr = np.asarray(z[key], np.float32)
     else:
         raise ValueError(f"unsupported feature file: {path}")

@@ -45,22 +45,40 @@ def prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    closed = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (otherwise the thread blocks forever on a full queue,
+        # pinning device batches for the life of the process)
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker() -> None:
         try:
             for b in it:
-                q.put(xform(b))
+                if not put(xform(b)):
+                    return
         except Exception as e:  # surface worker errors on the main thread
             err.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer break/close: release the producer
+        closed.set()

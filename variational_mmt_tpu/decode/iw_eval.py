@@ -40,6 +40,10 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
         )
         mu_p, sigma_p = m_apply(VMMTModel.prior_params, summary, img)
         tok_mask = (tgt_out != PAD).astype(jnp.float32) * ex_mask[:, None]
+        # hoisted: loop-invariant region pooling must not re-run per sample
+        v_target = None
+        if model.cfg.use_img_predict and img is not None:
+            v_target = m_apply(VMMTModel._img_in, img, summary)
 
         def one_sample(key):
             z = reparameterize(key, mu_q, sigma_q)
@@ -56,13 +60,12 @@ def make_iw_elbo_fn(model: VMMTModel, k_samples: int) -> Callable:
             # text-only weight: p(y,z|x)/q(z) — a bound on log p(y|x)
             logw_text = ll_y + gaussian_log_prob(z, mu_p, sigma_p) - gaussian_log_prob(z, mu_q, sigma_q)
             logw_joint = logw_text
-            if model.cfg.use_img_predict and img is not None:
+            if v_target is not None:
                 # the model's own pooling (mean or region-attention) — the
                 # joint bound must score p(v|z) on what z conditioned on
-                v = m_apply(VMMTModel._img_in, img, summary)
                 v_pred = m_apply(VMMTModel.predict_img, z)
                 # joint weight adds p(v|z): a bound on log p(y,v|x)
-                logw_joint = logw_joint + gaussian_log_prob(v, v_pred, jnp.float32(1.0))
+                logw_joint = logw_joint + gaussian_log_prob(v_target, v_pred, jnp.float32(1.0))
             return jnp.stack([logw_joint, logw_text])  # (2, B)
 
         keys = jax.random.split(rng, k_samples)

@@ -146,8 +146,14 @@ class Translator:
             # corpus must not leak into this call's dump
             self.beam_traces = {}
         ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
+        # catch-all bucket: a source longer than the largest bucket must be
+        # encoded in full, not silently truncated at batch assembly
+        buckets = sorted(self.buckets)
+        need = max([1] + [len(s) for s in src_ids])
+        if need > buckets[-1]:
+            buckets = buckets + [need]
         it = BucketIterator(
-            ds, batch_size=self.dcfg.batch_size, buckets=self.buckets,
+            ds, batch_size=self.dcfg.batch_size, buckets=buckets,
             img_feats=img_feats, shuffle=False,
         )
         n_best = min(self.dcfg.n_best, self.dcfg.beam_size)

@@ -158,7 +158,9 @@ class TranslationService:
         static batch, so one shape per bucket covers everything)."""
         unk = self.translator.src_vocab.encode(["warmup"])[0]
         for b in self.translator.buckets:
-            ids = [[unk] * max(1, b - 1)]
+            # exactly length b: b-1 would be assigned to an adjacent smaller
+            # bucket (e.g. buckets 32,33), leaving this one uncompiled
+            ids = [[unk] * max(1, b)]
             feats = (
                 np.zeros((1,) + self._feat_shape(), np.float32) if self._img_dim else None
             )
@@ -168,6 +170,18 @@ class TranslationService:
         self._stopped.set()
         self._q.put(None)
         self._worker.join(timeout=timeout)
+        # a submit racing past the stopped-check may have enqueued BEHIND
+        # the sentinel; fail those futures instead of hanging their callers
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                try:
+                    req.future.set_exception(RuntimeError("service stopped"))
+                except Exception:  # noqa: BLE001
+                    pass
 
     # ------------------------------------------------------------------
     # worker
@@ -213,11 +227,20 @@ class TranslationService:
                     )  # submit guaranteed presence+shape
                 out = self.translator.translate_tokens([r.tokens for r in group], imgs)
                 for r, nbest in zip(group, out):
-                    r.future.set_result(nbest)
+                    # a client may have cancel()ed while queued; its
+                    # InvalidStateError must not poison the REST of the batch
+                    if not r.future.done():
+                        try:
+                            r.future.set_result(nbest)
+                        except Exception:  # noqa: BLE001 — cancelled race
+                            pass
             except Exception as e:  # propagate to every caller in the group
                 for r in group:
                     if not r.future.done():
-                        r.future.set_exception(e)
+                        try:
+                            r.future.set_exception(e)
+                        except Exception:  # noqa: BLE001
+                            pass
             with self._stats_lock:
                 self.stats["batches"] += 1
                 if len(group) > 1:
