@@ -312,3 +312,25 @@ def test_cli_sharded_preprocess_and_train(corpus, tmp_path):
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
     state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cksh"))
     assert int(state.step) == 2
+
+
+def test_config_without_features_disables_image_machinery(corpus, tmp_path):
+    """A multimodal preset + no -train_img_feats must train text-only (the
+    merge used to keep img_feat_dim=2048, crashing inside the model)."""
+    from variational_mmt_tpu.config import Config, ModelConfig
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    d = str(corpus)
+    preset = Config(model=ModelConfig(model_type="vmmt_c", img_feat_dim=2048,
+                                      use_img_predict=True))
+    cfg_path = f"{tmp_path}/mm.json"
+    open(cfg_path, "w").write(preset.to_json())
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/cknm",
+        "-config", cfg_path, "-word_vec_size", "16", "-rnn_size", "16",
+        "-batch_size", "8", "-max_steps", "1", "-buckets", "16",
+        "-compute_dtype", "float32", "-checkpoint_every", "100",
+        "-valid_every", "100",
+    ])
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cknm"))
+    assert cfg.model.img_feat_dim == 0 and not cfg.model.use_img_predict

@@ -321,3 +321,12 @@ def test_flops_model_counts_scale_sanely():
     fl = forward_flops(ModelConfig(**{**base, "rnn_type": "lstm"}), 8, 16, 16)
     assert fl > f1
     assert train_step_flops(ModelConfig(**base), 8, 16, 16) == 3.0 * f1
+
+
+def test_make_mesh_rejects_oversubscription():
+    import pytest as _pytest
+
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    with _pytest.raises(ValueError, match="data shards"):
+        make_mesh(10 ** 6)

@@ -99,3 +99,54 @@ def test_native_bpe_speed(have_native):
     t_cc = time.perf_counter() - t0
     # informational bound: native must be at least ~as fast
     assert t_cc < t_py * 1.5, (t_cc, t_py)
+
+
+def test_native_bpe_hash_leading_merge():
+    """A merge whose left symbol IS '#' (hashtag-like words) must not be
+    dropped as a comment — native and Python segmentations stay identical."""
+    from variational_mmt_tpu import native
+    from variational_mmt_tpu.data.bpe import BPE, learn_bpe
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native library unavailable")
+    corpus = [["#goal", "#goal", "#go"] for _ in range(30)]
+    merges = learn_bpe(corpus, 20)
+    assert any(a == "#" for a, _ in merges)  # the scenario is real
+    py = BPE(merges, use_native=False)
+    nat = native.NativeBPE(merges)
+    for w in ("#goal", "#gone", "#go", "plain#tag"):
+        assert nat.segment_word(w) == py.segment_word(w), w
+
+
+def test_native_bpe_concurrent_segmentation():
+    """Per-call buffers: concurrent segment_word calls (the threaded serving
+    path) must not corrupt each other."""
+    import threading
+
+    from variational_mmt_tpu import native
+    from variational_mmt_tpu.data.bpe import learn_bpe
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native library unavailable")
+    corpus = [[f"word{i}" for i in range(20)] for _ in range(20)]
+    merges = learn_bpe(corpus, 40)
+    nb = native.NativeBPE(merges)
+    expected = {w: nb.segment_word(w) for w in (f"word{i}" for i in range(20))}
+    errors = []
+
+    def worker(seed):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        for _ in range(300):
+            w = f"word{int(rng.integers(20))}"
+            if nb.segment_word(w) != expected[w]:
+                errors.append(w)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors

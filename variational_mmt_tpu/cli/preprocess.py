@@ -90,9 +90,12 @@ def main(argv=None) -> None:
 
     print("building vocabularies")
     if opt.share_vocab:
+        # the joint vocab honors the LARGER of the two budgets (ignoring an
+        # explicitly raised -tgt_vocab_size here would silently cap it)
         sv = tv = Vocab.build(
-            train_src + train_tgt, max_size=opt.src_vocab_size,
-            min_freq=opt.src_words_min_frequency,
+            train_src + train_tgt,
+            max_size=max(opt.src_vocab_size, opt.tgt_vocab_size),
+            min_freq=min(opt.src_words_min_frequency, opt.tgt_words_min_frequency),
         )
     else:
         sv = Vocab.build(train_src, max_size=opt.src_vocab_size, min_freq=opt.src_words_min_frequency)

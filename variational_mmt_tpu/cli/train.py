@@ -316,6 +316,13 @@ def main(argv=None) -> None:
             f"feature rows ({len(train_feats)}) != corpus lines ({len(train_ds)}): "
             "features must be aligned to corpus line order"
         )
+    if valid_feats is not None and valid_ds is not None:
+        # same invariant for validation: a misaligned table would feed the
+        # native gather out-of-bounds indices (unchecked memcpy)
+        assert len(valid_feats) == len(valid_ds), (
+            f"valid feature rows ({len(valid_feats)}) != valid corpus lines "
+            f"({len(valid_ds)}): features must align to corpus line order"
+        )
 
     cfg = build_config(opt, len(sv), len(tv))
     if opt.config:
@@ -330,6 +337,12 @@ def main(argv=None) -> None:
         # vocab sizes always come from the data
         file_cfg["model"]["src_vocab_size"] = len(sv)
         file_cfg["model"]["tgt_vocab_size"] = len(tv)
+        if not opt.train_img_feats:
+            # a preset written for multimodal training must not leave the
+            # model expecting features this run doesn't have (the same guard
+            # build_config applies to the no-config path)
+            file_cfg["model"]["img_feat_dim"] = 0
+            file_cfg["model"]["use_img_predict"] = False
         cfg = Config.from_dict(file_cfg)
         if ("learning_rate" not in passed
                 and cfg.train.optimizer in ("adadelta", "adagrad")

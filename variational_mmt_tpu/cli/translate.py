@@ -198,6 +198,9 @@ def main(argv=None) -> None:
                 else:
                     print(f"BEAM SCORE: {entry[0]:.4f}")
 
+    if opt.iw_eval > 0 and not opt.tgt:
+        print("note: -iw_eval skipped — the IW-ELBO needs gold targets (-tgt)")
+
     if opt.tgt:
         with open(opt.tgt, encoding="utf-8") as f:
             if opt.pretokenized:
@@ -206,9 +209,10 @@ def main(argv=None) -> None:
                 refs = [tokenize(l, lower=lower) for l in f]
         hyps = [nbest[0][1].split() for nbest in results]
         gold_ids = [tv.encode(bpe.segment(t) if bpe else t) for t in refs]
-        if opt.report_bleu or True:
-            bleu = corpus_bleu(hyps, [[r] for r in refs])
-            print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
+        # BLEU always prints with -tgt (it is the gate metric); -report_bleu
+        # is accepted for reference-CLI compatibility but adds nothing
+        bleu = corpus_bleu(hyps, [[r] for r in refs])
+        print(f"BLEU = {bleu['bleu']:.2f} (BP={bleu['bp']:.3f}, ratio={bleu['ratio']:.3f})")
 
         if opt.verbose:
             # GOLD score: force-decode the reference under the decode-time
@@ -236,9 +240,19 @@ def main(argv=None) -> None:
             )
             print(f"METEOR({opt.meteor_preset}) = {met['meteor']:.2f}")
 
+        if opt.iw_eval > 0 and not model.is_latent:
+            print("note: -iw_eval skipped — the IW-ELBO is defined for latent "
+                  f"models only (checkpoint is {cfg.model.model_type})")
         if opt.iw_eval > 0 and model.is_latent:
             ds = binarize(src_ids, gold_ids)
-            it = BucketIterator(ds, opt.batch_size, cfg.data.buckets or [16, 24, 32, 48, 64],
+            # catch-all bucket: over-long pairs must be scored in full, not
+            # silently truncated at batch assembly (same guard as decode and
+            # force-decode scoring)
+            iw_buckets = sorted(bucket_list)
+            need = max([1] + [len(s) for s in src_ids] + [len(t) + 1 for t in gold_ids])
+            if need > iw_buckets[-1]:
+                iw_buckets = iw_buckets + [need]
+            it = BucketIterator(ds, opt.batch_size, iw_buckets,
                                 img_feats=feats, shuffle=False)
             import jax.numpy as jnp
 

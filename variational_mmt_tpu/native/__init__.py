@@ -95,7 +95,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             _LIB = lib
             return _LIB
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale cached .so predating newer symbols —
+            # fall through to the next candidate / pure-Python fallback
+            # instead of crashing the importer
             continue
     return None
 
@@ -168,16 +171,18 @@ class NativeBPE:
         self._lib = lib
         txt = "\n".join(f"{a} {b}" for a, b in merges) + "\n"
         self._h = lib.bpe_create(txt.encode("utf-8"))
-        self._buf = ctypes.create_string_buffer(4096)
 
-    def segment_word(self, word: str):
-        n = self._lib.bpe_segment(self._h, word.encode("utf-8"), self._buf, len(self._buf))
+    def segment_word(self, word: str, _cap: int = 4096):
+        # per-call buffer: ctypes releases the GIL during the C call, so a
+        # shared buffer would race under the threaded serving front end
+        # (and the corrupted result would be poisoned into BPE._cache)
+        buf = ctypes.create_string_buffer(_cap)
+        n = self._lib.bpe_segment(self._h, word.encode("utf-8"), buf, len(buf))
         if n < 0:  # pathological word longer than the buffer
-            self._buf = ctypes.create_string_buffer(4 * len(self._buf))
-            return self.segment_word(word)
+            return self.segment_word(word, 4 * _cap)
         if n == 0:
             return []
-        return self._buf.value.decode("utf-8").split(" ")
+        return buf.value.decode("utf-8").split(" ")
 
     def __del__(self):
         lib = getattr(self, "_lib", None)

@@ -4,7 +4,7 @@
 // Python implementation; byte-identical results (tested).
 //
 // C ABI (ctypes): create a handle from the merges text ("a b\n" per line,
-// '#'-comments ignored), then segment UTF-8 words into a caller buffer.
+// '#version' header ignored), then segment UTF-8 words into a caller buffer.
 
 #include <cstdint>
 #include <cstring>
@@ -53,7 +53,10 @@ void* bpe_create(const char* merges_txt) {
     size_t len = eol ? static_cast<size_t>(eol - p) : strlen(p);
     std::string line(p, len);
     p += len + (eol ? 1 : 0);
-    if (line.empty() || line[0] == '#') continue;
+    // only a literal '#version' header is a comment: a merge whose left
+    // symbol IS '#' (hashtag-like words) must not be dropped, or this
+    // diverges from the Python ranks dict it mirrors byte-identically
+    if (line.empty() || line.rfind("#version", 0) == 0) continue;
     size_t sp = line.find(' ');
     if (sp == std::string::npos) continue;
     std::string key = line.substr(0, sp);

@@ -26,6 +26,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: int = 0, axis: str = "data", devices: Optional[Sequence] = None) -> Mesh:
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices:
+        if num_devices > len(devs):
+            # silently clamping would run on fewer shards than the user's
+            # batch/throughput math assumes
+            raise ValueError(
+                f"requested {num_devices} data shards but only "
+                f"{len(devs)} devices are available"
+            )
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
 
