@@ -25,11 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: repeat bench runs on this host skip the ~3min
-# first-compile of the train step + pallas kernels
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# persistent compile cache (per-user, VMMT_COMPILE_CACHE override) so repeat
+# bench runs skip the ~3min first-compile; also honors JAX_PLATFORMS
+from variational_mmt_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
 
 
 def main() -> None:

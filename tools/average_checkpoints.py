@@ -41,9 +41,12 @@ def main():
     if not paths:
         raise SystemExit("no checkpoints given")
 
-    state, cfg, model, sv, tv = load_checkpoint(paths[0])
+    # NEWEST checkpoint is the base: the averaged state keeps its step/lr/
+    # optimizer moments (resuming from the oldest's stale metadata would
+    # silently rewind the schedule)
+    state, cfg, model, sv, tv = load_checkpoint(paths[-1])
     acc = jax.tree.map(lambda x: np.asarray(x, np.float64), state.params)
-    for path in paths[1:]:
+    for path in paths[:-1]:
         s2, cfg2, *_ = load_checkpoint(path)
         assert cfg2.model == cfg.model, f"architecture mismatch: {path}"
         acc = jax.tree.map(lambda a, b: a + np.asarray(b, np.float64), acc, s2.params)

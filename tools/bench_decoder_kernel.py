@@ -17,9 +17,7 @@ honor_env_platform()  # the axon plugin otherwise ignores JAX_PLATFORMS
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# (compile cache already configured by honor_env_platform above)
 
 
 def main():

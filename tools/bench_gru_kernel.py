@@ -87,7 +87,10 @@ def main():
         return (outs.astype(jnp.float32) ** 2).sum()
 
     def loss_pal(p):
-        xp = (x @ p["ih"]["kernel"].astype(jnp.bfloat16) + p["ih"]["bias"].astype(jnp.bfloat16))
+        # cast x too: f32 @ bf16 promotes to f32, which would stream a
+        # 2x-larger x_proj than the real bf16 training path
+        xp = (x.astype(jnp.bfloat16) @ p["ih"]["kernel"].astype(jnp.bfloat16)
+              + p["ih"]["bias"].astype(jnp.bfloat16))
         outs, fin = gru_layer_scan_ad(xp, m, h0, p["hh_kernel"].astype(jnp.bfloat16), p["hh_bias"], False, False)
         return (outs ** 2).sum()
 

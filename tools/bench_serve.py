@@ -104,11 +104,13 @@ def main():
                 return msgpack.packb({
                     "texts": [texts[i]],
                     "imgs": {"shape": [1, imgs.shape[1]], "data": imgs[i].tobytes()},
+                    "timeout": 600,  # match direct mode (server default is 60s)
                 }), {"Content-Type": "application/x-msgpack"}
         else:
             def encode(i):
                 return (json.dumps({"texts": [texts[i]],
-                                    "imgs": [imgs[i].tolist()]}).encode(),
+                                    "imgs": [imgs[i].tolist()],
+                                    "timeout": 600}).encode(),
                         {"Content-Type": "application/json"})
 
         for i in range(lo, hi):
@@ -145,11 +147,13 @@ def main():
         t.join()
     wall = time.monotonic() - t0
 
-    stats = dict(svc.stats)
+    # stop FIRST (joins the worker): the last batch's stats update happens
+    # after its futures resolve, so snapshotting before the join races it
     if server is not None:
         server.stop()
     else:
         svc.stop()
+    stats = dict(svc.stats)
     if errors or len(lat) != args.requests:
         print(json.dumps({"error": f"only {len(lat)}/{args.requests} requests "
                                    f"completed; first failures: {errors[:3]}"}))

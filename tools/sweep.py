@@ -31,6 +31,11 @@ def parse_sweep(spec: str):
 
 
 def main():
+    import jax  # noqa: F401 — imported so the compile cache engages below
+
+    from variational_mmt_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # the axon plugin otherwise ignores JAX_PLATFORMS
     from variational_mmt_tpu.cli.train import add_args, build_config
     from variational_mmt_tpu.config import update_config
     from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator
