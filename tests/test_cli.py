@@ -78,12 +78,26 @@ def test_cli_chain(corpus, capsys):
         np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-4)
 
 
-def test_cli_resume(corpus):
-    d = str(corpus)
-    # resume training from the checkpoint written by test_cli_chain
+def _mini_train(d, out_dir, steps=6):
+    """A 6-step vmmt_f checkpoint (self-contained; no cross-test ordering)."""
     cli_train.main([
-        "-data", f"{d}/demo", "-save_model", f"{d}/ckpts", "-model_type", "vmmt_f",
-        "-train_from", f"{d}/ckpts",
+        "-data", f"{d}/demo", "-save_model", out_dir, "-model_type", "vmmt_f",
+        "-train_img_feats", f"{d}/train.feats.npy",
+        "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-z_latent_dim", "4", "-batch_size", "16",
+        "-max_steps", str(steps), "-report_every", "100", "-valid_every", "100",
+        "-checkpoint_every", "100", "-buckets", "16", "-compute_dtype", "float32",
+    ])
+
+
+def test_cli_resume(corpus, tmp_path):
+    d = str(corpus)
+    ck = f"{tmp_path}/ckres"
+    _mini_train(d, ck, steps=6)
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", ck, "-model_type", "vmmt_f",
+        "-train_from", ck,
         "-train_img_feats", f"{d}/train.feats.npy",
         "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
         "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
@@ -93,7 +107,7 @@ def test_cli_resume(corpus):
     ])
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
 
-    state, _, _, _, _ = load_checkpoint(latest_checkpoint(f"{d}/ckpts"))
+    state, _, _, _, _ = load_checkpoint(latest_checkpoint(ck))
     assert int(state.step) == 8  # resumed 6 -> 8
 
 
@@ -237,7 +251,6 @@ def test_cli_preprocess_zero_merges_means_no_bpe(corpus, tmp_path):
         "-save_data", f"{tmp_path}/zm", "-bpe_merges", "0", "-pretokenized",
     ])
     assert not os.path.exists(f"{tmp_path}/zm.bpe.codes")
-    z = np.load(f"{tmp_path}/zm.train.npz", allow_pickle=True)
     nb = json.load(open(f"{tmp_path}/zm.vocab.src.json"))
     # word-level vocab, not characters: the corpus has ~40 word types
     assert len(nb["tokens"] if isinstance(nb, dict) and "tokens" in nb else nb) > 15
@@ -279,11 +292,13 @@ def test_optimizer_family_lr_default_survives_config(corpus, tmp_path):
 
 def test_phrase_table_requires_replace_unk(corpus, tmp_path):
     d = str(corpus)
+    ck = f"{tmp_path}/ckpt"
+    _mini_train(d, ck, steps=1)  # self-contained (checkpoint loads BEFORE the guard)
     pt = tmp_path / "pt.txt"
     pt.write_text("a\tb\n")
     with pytest.raises(SystemExit, match="replace_unk"):
         cli_translate.main([
-            "-model", f"{d}/ckpts", "-src", f"{d}/test.src",
+            "-model", ck, "-src", f"{d}/test.src",
             "-img_feats", f"{d}/test.feats.npy", "-pretokenized",
             "-output", f"{tmp_path}/o.txt", "-phrase_table", str(pt),
         ])

@@ -133,7 +133,11 @@ def test_extract_features_cli_end_to_end(fake_torchvision, tmp_path, feat_type, 
 def test_extract_features_errors_without_torchvision(tmp_path):
     from variational_mmt_tpu.cli import extract_features as cli_ex
 
-    assert "torchvision" not in sys.modules  # env truly lacks it
+    try:  # only meaningful where torchvision genuinely cannot import
+        import torchvision  # noqa: F401
+        pytest.skip("torchvision installed: the gating error cannot trigger")
+    except ImportError:
+        pass
     _write_images(str(tmp_path), [(1, 2, 3)])
     with pytest.raises(SystemExit, match="torchvision"):
         cli_ex.main(["-images_dir", str(tmp_path), "-image_list", str(tmp_path / "list.txt"),

@@ -154,9 +154,6 @@ def test_src_padding_does_not_leak():
     model = build_model(cfg)
     params = init_params(model, jax.random.PRNGKey(0))
     src1 = jnp.array([[4, 5, 6, 0, 0]], jnp.int32)
-    src2 = jnp.array([[4, 5, 6, 9, 9]], jnp.int32)  # garbage where src1 has PAD
-    # mask comes from ids != PAD, so src2's "pads" are real tokens; instead
-    # compare via explicit same-mask encode: use PAD id garbage -> same ids.
     tgt_in = jnp.array([[2, 7, 8, 0]], jnp.int32)
     img = jnp.ones((1, cfg.img_feat_dim), jnp.float32)
     o1 = model.apply({"params": params}, src1, tgt_in, img, deterministic=True, sample=False)
@@ -288,3 +285,19 @@ def test_conv_features_attention_pooling():
     model_m = build_model(cfg_m)
     params_m = init_params(model_m, jax.random.PRNGKey(0))
     assert "region_pool" not in params_m
+    # BEHAVIORAL check that the flag switches the forward pass, not just the
+    # param tree: under attention pooling, permuting region ORDER leaves the
+    # pooled value (a content-weighted sum) unchanged, while adding the same
+    # constant to every region shifts mean and attn identically — so compare
+    # against a transformation only the mean is invariant to: replace every
+    # region by the regions' mean. Mean pooling cannot tell the difference;
+    # attention pooling must.
+    img_flat = jnp.broadcast_to(img.mean(axis=1, keepdims=True), img.shape)
+    out_m1 = model_m.apply({"params": params_m}, src, tgt, img,
+                           deterministic=True, sample=False)
+    out_m2 = model_m.apply({"params": params_m}, src, tgt, img_flat,
+                           deterministic=True, sample=False)
+    np.testing.assert_allclose(np.asarray(out_m1["mu_p"]), np.asarray(out_m2["mu_p"]),
+                               rtol=1e-5, atol=1e-6)
+    mu_flat = prior_mu(img_flat)
+    assert not np.allclose(mu_a, mu_flat)  # attention sees the structure

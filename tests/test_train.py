@@ -372,12 +372,30 @@ def test_skip_nonfinite_guards_params():
 
 
 def test_skip_nonfinite_off_by_default():
+    """The default must NOT silently drop bad batches: with skip_nonfinite
+    off, a NaN batch poisons the params (proving no skip is active); with it
+    on, the same batch is skipped and the params stay finite."""
     cfg = tiny_cfg()
+    assert cfg.train.skip_nonfinite is False
     model = build_model(cfg.model)
     state = create_train_state(cfg, model)
+    bad = make_batch()
+    bad = dict(bad)
+    bad["img"] = bad["img"].at[0, 0].set(jnp.nan)
+
     step = make_train_step(cfg, model)
-    _, m = step(state, make_batch())
+    poisoned, m = step(state, bad)
     assert float(m["skipped_sum"]) == 0.0
+    assert not np.isfinite(np.asarray(jax.tree.leaves(poisoned.params)[0])).all()
+
+    import dataclasses
+    scfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, skip_nonfinite=True))
+    sstep = make_train_step(scfg, build_model(scfg.model))
+    # fresh state: the jitted step donates its input buffers
+    kept, m2 = sstep(create_train_state(cfg, model), bad)
+    assert float(m2["skipped_sum"]) == 1.0
+    for leaf in jax.tree.leaves(kept.params):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_param_init_uniform_reinit():
