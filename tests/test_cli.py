@@ -349,3 +349,76 @@ def test_config_without_features_disables_image_machinery(corpus, tmp_path):
     ])
     _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/cknm"))
     assert cfg.model.img_feat_dim == 0 and not cfg.model.use_img_predict
+
+
+def test_preprocess_layout_switch_removes_stale_files(corpus, tmp_path):
+    """Re-running preprocess with a different -shard_size layout must not
+    leave the previous layout behind (BinarizedDataset.load would prefer a
+    stale single file over fresh shards)."""
+    import glob
+
+    from variational_mmt_tpu.data.dataset import BinarizedDataset
+
+    d = str(corpus)
+    base = ["-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+            "-save_data", f"{tmp_path}/lay", "-no_bpe", "-pretokenized"]
+    cli_pre.main(base)  # single-file layout
+    assert os.path.exists(f"{tmp_path}/lay.train.npz")
+    cli_pre.main(base + ["-shard_size", "25"])  # -> sharded layout
+    assert not os.path.exists(f"{tmp_path}/lay.train.npz")
+    assert len(glob.glob(f"{tmp_path}/lay.train.*.npz")) == 3
+    ds = BinarizedDataset.load(f"{tmp_path}/lay.train.npz")
+    assert len(ds) == 60
+    cli_pre.main(base)  # -> back to single-file layout
+    assert glob.glob(f"{tmp_path}/lay.train.??.npz") == []
+    assert len(BinarizedDataset.load(f"{tmp_path}/lay.train.npz")) == 60
+
+
+def test_dataset_load_refuses_ambiguous_layout(corpus, tmp_path):
+    """Both a single .npz and shards present -> hard error, not a silent
+    preference for the (possibly stale) single file."""
+    import shutil
+
+    from variational_mmt_tpu.data.dataset import BinarizedDataset
+
+    d = str(corpus)
+    cli_pre.main(["-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+                  "-save_data", f"{tmp_path}/amb", "-no_bpe", "-pretokenized",
+                  "-shard_size", "25"])
+    shutil.copy(f"{tmp_path}/amb.train.00.npz", f"{tmp_path}/amb.train.npz")
+    with pytest.raises(ValueError, match="both .* and shards"):
+        BinarizedDataset.load(f"{tmp_path}/amb.train.npz")
+
+
+def test_config_file_optimizer_without_lr_gets_family_default(corpus, tmp_path):
+    """A config FILE that sets optimizer adadelta/adagrad but omits
+    learning_rate must get the family default (1.0/0.1), not the filled-in
+    adam dataclass default 4e-4 -- consistent with the no-config path."""
+    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    d = str(corpus)
+    cfg_path = f"{tmp_path}/fam.json"
+    open(cfg_path, "w").write('{"train": {"optimizer": "adadelta"}}')
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/ckfam",
+        "-config", cfg_path, "-model_type", "nmt",
+        "-word_vec_size", "16", "-rnn_size", "16", "-batch_size", "8",
+        "-max_steps", "1", "-buckets", "16", "-compute_dtype", "float32",
+        "-checkpoint_every", "100", "-valid_every", "100",
+    ])
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/ckfam"))
+    assert cfg.train.optimizer == "adadelta"
+    assert abs(cfg.train.learning_rate - 1.0) < 1e-9
+
+    # but an EXPLICIT file lr for the same family is respected
+    open(cfg_path, "w").write(
+        '{"train": {"optimizer": "adadelta", "learning_rate": 0.5}}')
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/ckfam2",
+        "-config", cfg_path, "-model_type", "nmt",
+        "-word_vec_size", "16", "-rnn_size", "16", "-batch_size", "8",
+        "-max_steps", "1", "-buckets", "16", "-compute_dtype", "float32",
+        "-checkpoint_every", "100", "-valid_every", "100",
+    ])
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/ckfam2"))
+    assert abs(cfg.train.learning_rate - 0.5) < 1e-9

@@ -120,6 +120,24 @@ def test_native_bpe_hash_leading_merge():
         assert nat.segment_word(w) == py.segment_word(w), w
 
 
+def test_bpe_hash_leading_merge_file_roundtrip(tmp_path):
+    """BPE.save -> BPE.load must preserve '#'-leading merges (only the
+    '#version' header line is a comment) so decode-time -bpe_codes
+    segmentation matches preprocess-time in-memory segmentation."""
+    from variational_mmt_tpu.data.bpe import BPE, learn_bpe
+
+    corpus = [["#goal", "#goal", "#go"] for _ in range(30)]
+    merges = learn_bpe(corpus, 20)
+    assert any(a == "#" for a, _ in merges)
+    path = str(tmp_path / "codes.bpe")
+    BPE(merges, use_native=False).save(path)
+    loaded = BPE.load(path)
+    assert loaded.merges == merges
+    mem = BPE(merges, use_native=False)
+    for w in ("#goal", "#gone", "#go", "plain#tag"):
+        assert loaded.segment_word(w) == mem.segment_word(w), w
+
+
 def test_native_bpe_concurrent_segmentation():
     """Per-call buffers: concurrent segment_word calls (the threaded serving
     path) must not corrupt each other."""

@@ -14,6 +14,7 @@ separate HDF5/NPY files aligned to corpus line order).
 from __future__ import annotations
 
 import argparse
+import os
 from typing import List
 
 from variational_mmt_tpu.data.bpe import BPE, learn_bpe
@@ -110,9 +111,17 @@ def main(argv=None) -> None:
         max_src_len=opt.src_seq_length,
         max_tgt_len=opt.tgt_seq_length,
     )
-    if opt.shard_size > 0:
-        from variational_mmt_tpu.data.dataset import BinarizedDataset
+    from variational_mmt_tpu.data.dataset import BinarizedDataset
 
+    # a re-run that switches between sharded and single-file layouts must
+    # not leave the previous layout behind: BinarizedDataset.load prefers
+    # the single file, so a stale one would silently shadow fresh shards
+    single = opt.save_data + ".train.npz"
+    for stale in BinarizedDataset.shard_paths(single) if opt.shard_size == 0 else (
+            [single] if os.path.exists(single) else []):
+        print(f"removing stale {stale} (layout changed)")
+        os.remove(stale)
+    if opt.shard_size > 0:
         n_shards = (len(ds) + opt.shard_size - 1) // opt.shard_size
         for si in range(n_shards):
             lo, hi = si * opt.shard_size, min((si + 1) * opt.shard_size, len(ds))
@@ -122,8 +131,8 @@ def main(argv=None) -> None:
         print(f"train: {len(ds)} examples -> {n_shards} shards "
               f"({opt.save_data}.train.00.npz ...)")
     else:
-        ds.save(opt.save_data + ".train.npz")
-        print(f"train: {len(ds)} examples -> {opt.save_data}.train.npz")
+        ds.save(single)
+        print(f"train: {len(ds)} examples -> {single}")
 
     # suggest bucket boundaries from the post-BPE length distribution
     # (each bucket shape costs one train-step compilation; percentile

@@ -327,7 +327,13 @@ def main(argv=None) -> None:
     cfg = build_config(opt, len(sv), len(tv))
     if opt.config:
         # config file as base; EVERY explicitly-passed CLI flag overrides it
-        base = Config.from_json(open(opt.config).read())
+        raw_text = open(opt.config).read()
+        base = Config.from_json(raw_text)
+        import json as _json
+
+        # which keys the FILE actually set (from_json fills dataclass
+        # defaults, losing the distinction needed for family-default lr)
+        file_train_keys = set(_json.loads(raw_text).get("train", {}))
         file_cfg = base.to_dict()
         cli_cfg = cfg.to_dict()
         for flag in passed:
@@ -346,9 +352,12 @@ def main(argv=None) -> None:
         cfg = Config.from_dict(file_cfg)
         if ("learning_rate" not in passed
                 and cfg.train.optimizer in ("adadelta", "adagrad")
-                and base.train.optimizer != cfg.train.optimizer):
-            # the file's lr was written for a different optimizer family:
-            # the family default applies, not the file's value
+                and (base.train.optimizer != cfg.train.optimizer
+                     or "learning_rate" not in file_train_keys)):
+            # the file's lr was written for a different optimizer family —
+            # or the file never set one and from_json filled the adam
+            # default (4e-4, which cripples adadelta/adagrad): the family
+            # default applies, not the filled-in value
             cfg.train.learning_rate = 1.0 if cfg.train.optimizer == "adadelta" else 0.1
     buckets = cfg.data.buckets
 

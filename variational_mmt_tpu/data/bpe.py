@@ -144,7 +144,10 @@ class BPE:
         merges: List[Tuple[str, str]] = []
         with open(path, encoding="utf-8") as f:
             for line in f:
-                if line.startswith("#"):
+                # skip only the version header: a learned merge may itself
+                # start with '#' (pretokenized hashtag-like words) and must
+                # survive the save/load round trip (matches native bpe.cpp)
+                if line.startswith("#version"):
                     continue
                 parts = line.rstrip("\n").split(" ")
                 if len(parts) == 2:

@@ -98,7 +98,14 @@ class BinarizedDataset:
         datasets). Shards concatenate in index order so example index ==
         corpus line — the image-feature alignment invariant holds across
         shards."""
-        paths = [path] if os.path.exists(path) else cls.shard_paths(path)
+        shards = cls.shard_paths(path)
+        if os.path.exists(path) and shards:
+            # ambiguous layout: a stale file from a previous run would be
+            # silently preferred — refuse instead of guessing
+            raise ValueError(
+                f"both {path} and shards ({shards[0]} ...) exist; remove the "
+                "stale layout (re-running preprocess does this automatically)")
+        paths = [path] if os.path.exists(path) else shards
         if not paths:
             raise FileNotFoundError(f"no dataset at {path} (or shards {path[:-4]}.NN.npz)")
         src: List[np.ndarray] = []

@@ -26,6 +26,35 @@ def honor_env_platform() -> None:
     enable_compile_cache()
 
 
+_cache_entries_at_start: int | None = None
+
+
+def _count_cache_entries(loc: str) -> int:
+    try:
+        return sum(1 for n in os.listdir(loc) if not n.startswith("."))
+    except OSError:
+        return 0
+
+
+def compile_cache_stats() -> dict:
+    """Report persistent-compile-cache state for bench/CLI diagnostics.
+
+    ``entries_added > 0`` during a run means cache MISSES happened (new
+    executables were serialized); ``entries_added == 0`` with a fast
+    compile means the run was served from cache. Round-2 verdict #2: a
+    fresh-session bench paid a 365s compile despite the cache — this makes
+    hit/miss observable instead of inferred.
+    """
+    import jax
+
+    loc = jax.config.jax_compilation_cache_dir or ""
+    if not loc:
+        return {"dir": None, "enabled": False}
+    n = _count_cache_entries(loc)
+    added = None if _cache_entries_at_start is None else n - _cache_entries_at_start
+    return {"dir": loc, "enabled": True, "entries": n, "entries_added": added}
+
+
 def enable_compile_cache() -> None:
     """Persistent XLA compilation cache for every CLI (repeat runs skip the
     multi-minute first compile — on a remote-TPU tunnel, compile dominated
@@ -45,8 +74,11 @@ def enable_compile_cache() -> None:
         # jax-free CLIs (preprocess) must stay jax-free: don't pay the
         # import (or create cache dirs) unless explicitly asked
         return
+    global _cache_entries_at_start
     if not loc:
         if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            _cache_entries_at_start = _count_cache_entries(
+                os.environ["JAX_COMPILATION_CACHE_DIR"])
             return  # respect JAX's own configuration
         base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
         loc = os.path.join(base, "vmmt", "xla_cache")
@@ -55,10 +87,13 @@ def enable_compile_cache() -> None:
 
         if (os.environ.get("VMMT_COMPILE_CACHE", "") == ""
                 and jax.config.jax_compilation_cache_dir):
+            _cache_entries_at_start = _count_cache_entries(
+                jax.config.jax_compilation_cache_dir)
             return  # already configured (user code or JAX env var)
         os.makedirs(loc, mode=0o700, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_entries_at_start = _count_cache_entries(loc)
     except Exception as e:
         print(f"warning: compile cache disabled ({e})")
