@@ -242,3 +242,94 @@ def test_stop_drains_racing_submissions():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="service stopped"):
         req.future.result(timeout=5)
+
+
+def test_mp_server_roundtrip_matches_in_process():
+    """Multi-process SO_REUSEPORT front end: same endpoint surface, same
+    results as the in-process server (dispatchers tokenize + RPC token
+    lists to the service process)."""
+    import http.client
+
+    msgpack = pytest.importorskip("msgpack")
+    from variational_mmt_tpu.serve import MPServingServer
+
+    cfg, model, state, vocab, svc = small_service()
+    server = MPServingServer(svc, port=0, procs=2,
+                             info={"model_type": "vmmt_c", "step": 0})
+    try:
+        server.start(timeout=120)
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["model_type"] == "vmmt_c"
+
+        texts = ["w1 w2 w3", "w4", "w5 w6"]
+        imgs = np.random.default_rng(3).standard_normal((3, 8)).astype(np.float32)
+
+        # json request through the dispatchers
+        body = json.dumps({"texts": texts, "imgs": imgs.tolist()}).encode()
+        req = urllib.request.Request(base + "/translate", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out_http = json.loads(r.read())
+        assert len(out_http["results"]) == 3
+
+        # msgpack request (binary imgs)
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        conn.request("POST", "/translate", body=msgpack.packb({
+            "texts": texts,
+            "imgs": {"shape": list(imgs.shape), "data": imgs.tobytes()},
+        }), headers={"Content-Type": "application/x-msgpack"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out_mp = msgpack.unpackb(resp.read())
+        conn.close()
+
+        # both transports agree with the direct service path
+        direct = svc.translate_text(texts, imgs)
+        assert [n[0]["text"] for n in out_http["results"]] == \
+               [nb[0][1] for nb in direct]
+        assert [n[0]["text"] for n in out_mp["results"]] == \
+               [nb[0][1] for nb in direct]
+
+        # malformed request -> 400 through a dispatcher too
+        bad = urllib.request.Request(
+            base + "/translate", data=b'{"texts": "nope"}', method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 6
+    finally:
+        server.stop()
+
+
+def test_mp_server_concurrent_clients():
+    """Concurrent clients through different dispatcher processes still
+    coalesce into shared device batches in the service process."""
+    from variational_mmt_tpu.serve import MPServingServer
+
+    _, _, _, _, svc = small_service(max_wait_ms=300.0)
+    server = MPServingServer(svc, port=0, procs=2)
+    results = {}
+    try:
+        server.start(timeout=120)
+        base = f"http://127.0.0.1:{server.port}"
+
+        def client(i):
+            body = json.dumps({"texts": [f"w{i + 1} w2"]}).encode()
+            req = urllib.request.Request(base + "/translate", data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        assert svc.stats["batched_requests"] >= 2
+    finally:
+        server.stop()

@@ -34,6 +34,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-bpe_codes", default="", help="BPE codes applied to request text")
     p.add_argument("-no_lower", action="store_true")
     p.add_argument("-no_warmup", action="store_true")
+    p.add_argument("-procs", type=int, default=0,
+                   help="HTTP dispatcher processes sharing the port via "
+                        "SO_REUSEPORT (0 = single-process threaded server); "
+                        "use >=2 to lift HTTP throughput toward the "
+                        "direct-queue ceiling under concurrent load")
 
 
 def main(argv=None) -> None:
@@ -45,7 +50,12 @@ def main(argv=None) -> None:
     opt = p.parse_args(argv)
 
     from variational_mmt_tpu.data.bpe import BPE
-    from variational_mmt_tpu.serve import ServeConfig, ServingServer, TranslationService
+    from variational_mmt_tpu.serve import (
+        MPServingServer,
+        ServeConfig,
+        ServingServer,
+        TranslationService,
+    )
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
 
     path = opt.model
@@ -68,11 +78,24 @@ def main(argv=None) -> None:
         model, state.params, sv, tv, dcfg,
         buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
     )
-    server = ServingServer(
-        service, opt.host, opt.port,
-        info={"model_type": cfg.model.model_type, "step": int(state.step),
-              "beam_size": opt.beam_size},
-    )
+    info = {"model_type": cfg.model.model_type, "step": int(state.step),
+            "beam_size": opt.beam_size}
+    if opt.procs > 0:
+        server = MPServingServer(service, opt.host, opt.port,
+                                 procs=opt.procs, info=info)
+        server.start()
+        print(f"serving on http://{opt.host}:{server.port}  "
+              f"({opt.procs} dispatcher processes, POST /translate)")
+        try:
+            import threading
+
+            threading.Event().wait()  # dispatchers own the sockets
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.stop()
+        return
+    server = ServingServer(service, opt.host, opt.port, info=info)
     print(f"serving on http://{opt.host}:{server.port}  (POST /translate)")
     try:
         server.serve_forever()

@@ -6,7 +6,7 @@ dynamic batcher, static device shapes) and ``ServingServer`` (stdlib HTTP
 front end).
 """
 
-from variational_mmt_tpu.serve.http_server import ServingServer
+from variational_mmt_tpu.serve.http_server import MPServingServer, ServingServer
 from variational_mmt_tpu.serve.service import ServeConfig, TranslationService
 
-__all__ = ["ServeConfig", "ServingServer", "TranslationService"]
+__all__ = ["MPServingServer", "ServeConfig", "ServingServer", "TranslationService"]

@@ -1,129 +1,50 @@
-"""Minimal production HTTP front end over :class:`TranslationService`.
+"""HTTP servers over :class:`TranslationService`.
 
-Stdlib-only (``http.server``): each connection is handled on its own
-thread, so concurrent clients' requests land in the service queue together
-and are coalesced into full device batches by the dynamic batcher — the
-HTTP layer itself never touches the device.
+Two deployment shapes (endpoint surface identical — serve/frontend.py):
 
-Endpoints:
-
-- ``GET /healthz``  -> ``{"ok": true, "model_type": ..., "step": ...}``
-- ``GET /stats``    -> service counters (requests, batches, busy_s, ...)
-- ``POST /translate`` with JSON body::
-
-      {"texts": ["a sentence", ...],           # required
-       "imgs": [[...2048 floats...], ...],     # optional, aligned to texts
-       "timeout": 60}                           # optional, seconds
-
-  -> ``{"results": [[{"score": s, "text": t}, ...n-best...], ...]}``
-
-- ``POST /translate`` with ``Content-Type: application/x-msgpack``: the
-  same map, but ``imgs`` is ``{"shape": [n, d], "data": <raw float32
-  little-endian bytes>}`` and the response is msgpack too. JSON-encoding
-  2048 floats per request dominates the HTTP path's cost (measured ~7x
-  throughput loss vs the direct queue); the binary format removes it.
+- :class:`ServingServer` — single-process ``ThreadingHTTPServer``. Simple,
+  zero extra processes; every handler thread contends on this process's
+  GIL with tokenization and the service worker (measured at ~1/3 of the
+  direct-queue throughput under a 32-client load — docs/perf_notes.md).
+- :class:`MPServingServer` — N dispatcher processes sharing one port via
+  ``SO_REUSEPORT``; each parses HTTP + body and tokenizes in its own
+  interpreter, forwarding token lists + binary features over a unix-socket
+  RPC (serve/rpc.py) to the device-owning process. The service process
+  spends its GIL only on queue hops, so HTTP throughput approaches the
+  direct-queue ceiling.
 """
 
 from __future__ import annotations
 
-import json
+import os
+import socket
+import tempfile
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
-try:
-    import msgpack
-except ImportError:  # binary wire format degrades to a clean 501
-    msgpack = None
-
+from variational_mmt_tpu.serve.frontend import Backend, make_http_handler
 from variational_mmt_tpu.serve.service import TranslationService
 
 
-def make_handler(service: TranslationService, info: dict):
-    class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"
+class _ServiceBackend(Backend):
+    """In-process adapter: handler threads call the service directly."""
 
-        def log_message(self, fmt, *args):  # quiet by default
-            pass
+    def __init__(self, service: TranslationService, info: dict):
+        self.service = service
+        self.info = info
 
-        def _json(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload).encode("utf-8")
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+    def translate(self, texts: List[str], imgs: Optional[np.ndarray],
+                  timeout: float):
+        return self.service.translate_text(texts, imgs, timeout=timeout)
 
-        def _msgpack(self, code: int, payload: dict) -> None:
-            body = msgpack.packb(payload)
-            self.send_response(code)
-            self.send_header("Content-Type", "application/x-msgpack")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+    def healthz(self) -> dict:
+        return {"ok": True, **self.info}
 
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._json(200, {"ok": True, **info})
-            elif self.path == "/stats":
-                with service._stats_lock:
-                    self._json(200, dict(service.stats))
-            else:
-                self._json(404, {"error": "not found"})
-
-        def do_POST(self):
-            binary = "msgpack" in (self.headers.get("Content-Type") or "")
-            if binary and msgpack is None:
-                # must still drain the body: leftover bytes desync keep-alive
-                self.rfile.read(int(self.headers.get("Content-Length", 0)))
-                self._json(501, {"error": "msgpack not available on this server"})
-                return
-            reply = self._msgpack if binary else self._json
-            if self.path != "/translate":
-                # drain before replying (keep-alive connections would parse
-                # the unread body as the next request line otherwise)
-                self.rfile.read(int(self.headers.get("Content-Length", 0)))
-                reply(404, {"error": "not found"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(n)
-                if binary:
-                    req = msgpack.unpackb(raw or b"\x80")
-                else:
-                    req = json.loads(raw or b"{}")
-                texts = req["texts"]
-                if not isinstance(texts, list) or not all(isinstance(t, str) for t in texts):
-                    raise ValueError("'texts' must be a list of strings")
-                imgs = req.get("imgs")
-                if imgs is not None:
-                    if binary:
-                        # {"shape": [n, d...], "data": raw f32 LE bytes}
-                        imgs = np.frombuffer(imgs["data"], dtype="<f4").reshape(
-                            imgs["shape"]
-                        )
-                    else:
-                        imgs = np.asarray(imgs, np.float32)
-                    if len(imgs) != len(texts):
-                        raise ValueError("'imgs' must align to 'texts'")
-                timeout = float(req.get("timeout", 60.0))
-            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
-                reply(400, {"error": str(e)})
-                return
-            try:
-                out = service.translate_text(texts, imgs, timeout=timeout)
-            except Exception as e:  # noqa: BLE001 — surface to the client
-                reply(500, {"error": f"{type(e).__name__}: {e}"})
-                return
-            reply(200, {
-                "results": [
-                    [{"score": s, "text": t} for s, t in nbest] for nbest in out
-                ]
-            })
-
-    return Handler
+    def stats(self) -> dict:
+        with self.service._stats_lock:
+            return dict(self.service.stats)
 
 
 class ServingServer:
@@ -132,9 +53,11 @@ class ServingServer:
 
     def __init__(self, service: TranslationService, host: str = "127.0.0.1",
                  port: int = 8080, info: Optional[dict] = None):
+        from http.server import ThreadingHTTPServer
+
         self.service = service
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(service, info or {})
+            (host, port), make_http_handler(_ServiceBackend(service, info or {}))
         )
         self._thread: Optional[threading.Thread] = None
 
@@ -156,4 +79,79 @@ class ServingServer:
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        self.service.stop()
+
+
+class MPServingServer:
+    """Multi-process HTTP front end: ``procs`` dispatcher processes accept
+    on one shared port (``SO_REUSEPORT`` — the kernel balances connections),
+    each forwarding over a unix-socket RPC to this (device-owning) process.
+
+    The parent holds a bound-but-not-listening socket on the port for its
+    whole lifetime: with ``port=0`` this picks the ephemeral port every
+    dispatcher then binds, and it keeps the number reserved against reuse
+    (a non-listening member of a reuseport group receives no connections).
+    """
+
+    def __init__(self, service: TranslationService, host: str = "127.0.0.1",
+                 port: int = 0, procs: int = 4, info: Optional[dict] = None):
+        import multiprocessing as mp
+
+        from variational_mmt_tpu.serve.frontend import run_dispatcher
+        from variational_mmt_tpu.serve.rpc import RPCServer
+
+        self.service = service
+        self._rpc_path = os.path.join(
+            tempfile.mkdtemp(prefix="vmmt-rpc-"), "rpc.sock"
+        )
+        self.rpc = RPCServer(service, {**(info or {})}, self._rpc_path)
+        self._reserve = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._reserve.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        self._reserve.bind((host, port))
+        self.port = self._reserve.getsockname()[1]
+
+        # spawn (not fork): a forked child would inherit the parent's live
+        # device-runtime state (remote-TPU client threads, fds)
+        ctx = mp.get_context("spawn")
+        merges = service.bpe.merges if service.bpe is not None else None
+        self._procs = []
+        self._ready = []
+        for _ in range(max(1, procs)):
+            rd, wr = ctx.Pipe(duplex=False)
+            p = ctx.Process(
+                target=run_dispatcher,
+                args=(host, self.port, self._rpc_path, merges,
+                      service.scfg.lower, wr),
+                daemon=True,
+            )
+            p.start()
+            wr.close()
+            self._procs.append(p)
+            self._ready.append(rd)
+
+    def start(self, timeout: float = 60.0) -> None:
+        """Block until every dispatcher is accepting connections."""
+        for p, rd in zip(self._procs, self._ready):
+            if not rd.poll(timeout):
+                raise RuntimeError(
+                    f"dispatcher pid={p.pid} not ready after {timeout}s"
+                )
+            assert rd.recv() == self.port
+            rd.close()
+
+    def stop(self) -> None:
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+        self.rpc.stop()
+        try:
+            self._reserve.close()
+        except OSError:
+            pass
+        try:
+            os.unlink(self._rpc_path)
+            os.rmdir(os.path.dirname(self._rpc_path))
+        except OSError:
+            pass
         self.service.stop()
