@@ -10,9 +10,14 @@ natively:
   — WordNet / the paraphrase tables cannot ship here, so they default to
   empty (making those stages no-ops) and activate when the user provides
   table files in meteor's one-mapping-per-line format;
-- one-to-one alignment selected by BEAM SEARCH maximizing matches and then
-  MINIMIZING CHUNKS (meteor's Aligner semantics) — a greedy left-to-right
-  matcher changes both the match set and the fragmentation penalty;
+- one-to-one alignment maximizing matches and then MINIMIZING CHUNKS
+  (meteor's Aligner semantics) — solved EXACTLY by a budgeted bitmask DP
+  (optimal on every realistic sentence; property-tested against the
+  objective in tests/test_meteor_aligner.py), with meteor-style BEAM
+  search as the fallback for adversarial repeated-word blowups. A greedy
+  left-to-right matcher would change both the match set and the
+  fragmentation penalty; the jar's beam-limited aligner is itself
+  measurably suboptimal on dense-match sentences;
 - weighted precision/recall with per-module weights and the
   content/function-word distinction (delta);
 - Pen = gamma * (chunks / matches)^beta; score = (1 - Pen) * Fmean.
@@ -52,7 +57,15 @@ _PRESETS = {
                    weights=(1.0, 0.6, 0.8, 0.6)),
 }
 
-BEAM = 40  # aligner beam width (meteor's own aligner is also beam-limited)
+BEAM = 40  # fallback-aligner beam width (meteor's own aligner is beam-limited)
+# exact-aligner memo budget: ~60ms worst case; real sentences use a few
+# hundred states, so the beam fallback only fires on adversarial
+# repeated-word blowups (tests measure the beam's divergence there)
+EXACT_STATE_BUDGET = 200_000
+
+
+class _ExactBudgetExceeded(Exception):
+    pass
 
 
 def load_table(path: str) -> Dict[str, Set[str]]:
@@ -105,10 +118,8 @@ class MeteorScorer:
             return 3
         return -1
 
-    def _align(self, hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
-        """Beam search over one-to-one alignments: maximize matches, then
-        minimize chunks (then prefer lower-module matches). Returns
-        [(hyp_idx, ref_idx, module)] sorted by hyp_idx."""
+    def _cands(self, hyp: List[str], ref: List[str]) -> List[List[Tuple[int, int]]]:
+        """Per-hyp-position candidate (ref_idx, module) matches."""
         hst = [stem(h) for h in hyp]
         rst = [stem(r) for r in ref]
         cands: List[List[Tuple[int, int]]] = []
@@ -119,6 +130,81 @@ class MeteorScorer:
                 if mod >= 0:
                     row.append((j, mod))
             cands.append(row)
+        return cands
+
+    def _align(self, hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+        """One-to-one alignment maximizing matches, then minimizing chunks,
+        then the match-module sum (meteor's Aligner objective). Returns
+        [(hyp_idx, ref_idx, module)] sorted by hyp_idx.
+
+        Exact bitmask-DP first (optimal; the state budget covers all
+        realistic sentences — tests/test_meteor_aligner.py bounds it); the
+        BEAM=40 search is the fallback for adversarial repeated-word blowups.
+        meteor-1.5's own aligner is beam-limited everywhere, so this is
+        strictly closer to the objective than the jar."""
+        matches = self._align_exact(hyp, ref, budget=EXACT_STATE_BUDGET)
+        if matches is None:
+            matches = self._align_beam(hyp, ref)
+        return matches
+
+    def _align_exact(
+        self, hyp: List[str], ref: List[str], budget: Optional[int] = None
+    ) -> Optional[List[Tuple[int, int, int]]]:
+        """Exact DP over (hyp position, used-ref bitmask, ref index matched
+        at the previous hyp position); None when the memo would exceed
+        ``budget`` states (caller falls back to the beam)."""
+        cands = self._cands(hyp, ref)
+        n = len(hyp)
+        memo: Dict[Tuple[int, int, int], Tuple[int, int, int]] = {}
+        moves: Dict[Tuple[int, int, int], Optional[Tuple[int, int]]] = {}
+
+        def rec(i: int, used: int, prev_j: int) -> Tuple[int, int, int]:
+            """Best (-matches, chunks, mod_sum) from position i (minimized
+            lexicographically — the same key the beam sorts on)."""
+            if i == n:
+                return (0, 0, 0)
+            key = (i, used, prev_j)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+            if budget is not None and len(memo) >= budget:
+                raise _ExactBudgetExceeded
+            best = rec(i + 1, used, -1)  # skip hyp[i]
+            best_move: Optional[Tuple[int, int]] = None
+            for j, mod in cands[i]:
+                if used >> j & 1:
+                    continue
+                negm, ch, ms = rec(i + 1, used | (1 << j), j)
+                cand = (negm - 1,
+                        ch + (0 if prev_j >= 0 and j == prev_j + 1 else 1),
+                        ms + mod)
+                if cand < best:
+                    best, best_move = cand, (j, mod)
+            memo[key] = best
+            moves[key] = best_move
+            return best
+
+        try:
+            rec(0, 0, -1)
+        except _ExactBudgetExceeded:
+            return None
+        out: List[Tuple[int, int, int]] = []
+        i, used, prev_j = 0, 0, -1
+        while i < n:
+            mv = moves.get((i, used, prev_j))
+            if mv is None:
+                i, prev_j = i + 1, -1
+            else:
+                j, mod = mv
+                out.append((i, j, mod))
+                used |= 1 << j
+                i, prev_j = i + 1, j
+        return out
+
+    def _align_beam(self, hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+        """Beam search over one-to-one alignments (fallback for sentences
+        whose exact-DP state space exceeds the budget)."""
+        cands = self._cands(hyp, ref)
 
         # beam state: (-matches, chunks, mod_sum, used_ref frozenset,
         #              last (i, j) or None, matches tuple)
@@ -139,6 +225,16 @@ class MeteorScorer:
             nxt.sort(key=lambda s: (s[0], s[1], s[2]))
             beams = nxt[:BEAM]
         return list(beams[0][5])
+
+    def _align_exact_key(self, hyp: List[str], ref: List[str]) -> Tuple[int, int, int]:
+        """Objective value of the (unbudgeted) exact alignment — the
+        optimum the tests bound the production aligner against."""
+        return self._align_key(self._align_exact(hyp, ref))
+
+    def _align_key(self, matches: List[Tuple[int, int, int]]) -> Tuple[int, int, int]:
+        """The beam objective value of an alignment, comparable with
+        :meth:`_align_exact_key`."""
+        return (len(matches), self._chunks(matches), sum(m for _, _, m in matches))
 
     # -- scoring -------------------------------------------------------
     def _score_from_stats(self, st: Dict[str, float]) -> float:

@@ -226,11 +226,27 @@ def make_train_step(
         )
     else:
         jit_step = jax.jit(entry, donate_argnums=(0,))
+
+    def _align_state(state: TrainState) -> TrainState:
+        """Match a host-fresh (or checkpoint-restored) state's sharding to
+        the steady-state signature BEFORE the first call. Without this the
+        first call traces with empty-sharding avals and the second with the
+        jit's output shardings — TWO full compiles of the identical program
+        (measured: the whole cold-start compile tail doubled), and the
+        second executable's cache key is the one that churned across
+        sessions."""
+        if mesh is None:
+            return state
+        leaf = jax.tree.leaves(state.params)[0]
+        if getattr(leaf, "sharding", None) == repl:
+            return state
+        return jax.device_put(state, repl)
+
     if has_table:
         # explicit argument (NOT a closure const: a closed-over 200MB array
         # would be serialized into every compile request)
-        return lambda state, batch: jit_step(state, batch, img_table)
-    return lambda state, batch: jit_step(state, batch)
+        return lambda state, batch: jit_step(_align_state(state), batch, img_table)
+    return lambda state, batch: jit_step(_align_state(state), batch)
 
 
 def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None):
