@@ -49,6 +49,11 @@ def main():
     add_args(p)
     p.add_argument("-sweep", required=True, help='e.g. "model.latent_dim=32,128 train.learning_rate=2e-4,4e-4"')
     p.add_argument("-sweep_steps", type=int, default=2000)
+    p.add_argument("-sweep_bleu", type=int, default=0,
+                   help="1: beam-decode the valid set after each config and "
+                        "record valid_bleu (ranks on the gate's acceptance "
+                        "metric, not just ppl)")
+    p.add_argument("-sweep_beam", type=int, default=4)
     p.add_argument("-out", default="sweep_results.jsonl")
     opt = p.parse_args()
 
@@ -72,21 +77,45 @@ def main():
         ti = BucketIterator(train_ds, cfg.train.batch_size, buckets, img_feats=train_feats, seed=cfg.train.seed)
         vi = BucketIterator(valid_ds, cfg.train.batch_size, buckets, img_feats=valid_feats, shuffle=False)
         t0 = time.time()
-        tr = Trainer(cfg, build_model(cfg.model), ti, vi, mesh=mesh)
+        model = build_model(cfg.model)
+        tr = Trainer(cfg, model, ti, vi, mesh=mesh)
         tr.train()
         val = tr.history[-1] if tr.history else tr.validate(tr.final_state)
         rec = {"overrides": overrides, "val_ppl": val["ppl"], "val_elbo": val.get("elbo"),
                "val_kl": val.get("kl"), "seconds": round(time.time() - t0, 1)}
+        if opt.sweep_bleu:
+            from variational_mmt_tpu.config import DecodeConfig
+            from variational_mmt_tpu.decode.translator import Translator
+            from variational_mmt_tpu.evals.bleu import corpus_bleu
+
+            dcfg = DecodeConfig(beam_size=opt.sweep_beam, max_length=40,
+                                batch_size=cfg.train.batch_size)
+            translator = Translator(model, tr.final_state.params, sv, tv,
+                                    dcfg, buckets=buckets)
+            out = translator.translate_ids(
+                [list(map(int, a)) for a in valid_ds.src],
+                valid_feats if cfg.model.img_feat_dim else None)
+            hyps = [tv.decode(nbest[0][1]) for nbest in out]
+            refs = [[tv.decode(t)] for t in valid_ds.tgt]
+            rec["valid_bleu"] = round(corpus_bleu(hyps, refs)["bleu"], 2)
         results.append(rec)
         print(f"[{i+1}/{len(combos)}] {overrides} -> ppl {val['ppl']:.3f} "
-              f"(kl {val.get('kl', 0):.2f}, {rec['seconds']}s)")
+              f"(kl {val.get('kl', 0):.2f}"
+              + (f", bleu {rec['valid_bleu']}" if "valid_bleu" in rec else "")
+              + f", {rec['seconds']}s)")
         with open(opt.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    results.sort(key=lambda r: r["val_ppl"])
-    print("\n=== ranked by validation ppl ===")
-    for r in results[:10]:
-        print(f"ppl {r['val_ppl']:.3f}  {r['overrides']}")
+    if opt.sweep_bleu:
+        results.sort(key=lambda r: -r["valid_bleu"])
+        print("\n=== ranked by validation BLEU ===")
+        for r in results[:10]:
+            print(f"bleu {r['valid_bleu']:6.2f}  ppl {r['val_ppl']:.3f}  {r['overrides']}")
+    else:
+        results.sort(key=lambda r: r["val_ppl"])
+        print("\n=== ranked by validation ppl ===")
+        for r in results[:10]:
+            print(f"ppl {r['val_ppl']:.3f}  {r['overrides']}")
 
 
 if __name__ == "__main__":
