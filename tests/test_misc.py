@@ -330,3 +330,31 @@ def test_make_mesh_rejects_oversubscription():
 
     with _pytest.raises(ValueError, match="data shards"):
         make_mesh(10 ** 6)
+
+
+def test_corrupt_targets_train_only_noise():
+    """corrupt_targets flips ~frac of tokens in place, only in the lines it
+    is given, deterministically per seed (the plain-corpus gate regime keeps
+    valid/test clean)."""
+    import copy
+
+    from variational_mmt_tpu.data import synthetic
+
+    src, tgt, _, _, tv = synthetic.make_corpus(
+        120, vocab_size=60, img_dim=8, seed=4, max_len=12)
+    train, valid = tgt[:100], tgt[100:]
+    valid_before = copy.deepcopy(valid)
+    train_before = copy.deepcopy(train)
+    n = synthetic.corrupt_targets(train, 0.3, vocab_size=60, seed=7)
+    total = sum(len(t) for t in train_before)
+    changed = sum(a != b for ta, tb in zip(train, train_before)
+                  for a, b in zip(ta, tb))
+    # flip count reported == observed-or-higher (a flip can redraw the same
+    # word), rate near 0.3, valid split untouched, vocab stays closed
+    assert n >= changed and abs(n / total - 0.3) < 0.08
+    assert valid == valid_before
+    assert all(w in tv.stoi for t in train for w in t)
+    # determinism: same seed reproduces the same corruption
+    train2 = copy.deepcopy(train_before)
+    synthetic.corrupt_targets(train2, 0.3, vocab_size=60, seed=7)
+    assert train2 == train

@@ -203,6 +203,16 @@ def main():
     p.add_argument("-img_pool", default="mean", choices=["mean", "attn"])
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
+    p.add_argument("-corpus", default="ambiguous", choices=["ambiguous", "plain"],
+                   help="plain: deterministic src->tgt task (synthetic.make_corpus"
+                        ") — with -n_train small and -tgt_noise > 0 this is the "
+                        "regularization regime where vmmt_f's latent + image-"
+                        "grounding loss matter (the paper's VMMT_F headline), "
+                        "not the disambiguation regime vmmt_c wins")
+    p.add_argument("-tgt_noise", type=float, default=0.0,
+                   help="plain corpus only: fraction of TRAIN-split gold target "
+                        "tokens replaced by random tokens (valid/test stay "
+                        "clean, so test BLEU measures generalization)")
     p.add_argument("-out", default="qg_results.jsonl")
     args = p.parse_args()
 
@@ -217,20 +227,33 @@ def main():
     print(f"platform: {platform}")
 
     from variational_mmt_tpu.data.synthetic import (
-        make_ambiguous_corpus, oracle_bleu_bounds,
+        corrupt_targets, make_ambiguous_corpus, make_corpus, oracle_bleu_bounds,
     )
 
     n = args.n_train + args.n_valid + args.n_test
-    src, tgt, feats, sv, tv, senses, amb = make_ambiguous_corpus(
-        n, vocab_size=args.vocab_size, img_dim=args.img_dim, seed=args.data_seed,
-        regions=args.img_regions,
-    )
     a, b = args.n_train, args.n_train + args.n_valid
+    if args.corpus == "plain":
+        src, tgt, feats, sv, tv = make_corpus(
+            n, vocab_size=args.vocab_size, img_dim=args.img_dim,
+            seed=args.data_seed,
+        )
+        if args.tgt_noise > 0:
+            # corrupt TRAIN gold targets only; the deterministic mapping is
+            # still the Bayes-optimal predictor, so clean-test BLEU measures
+            # how well a model resists memorizing label noise
+            corrupt_targets(tgt[:a], args.tgt_noise, args.vocab_size,
+                            seed=args.data_seed + 1)
+        o_bleu, t_bleu = 100.0, 100.0  # deterministic task, clean test refs
+    else:
+        src, tgt, feats, sv, tv, senses, amb = make_ambiguous_corpus(
+            n, vocab_size=args.vocab_size, img_dim=args.img_dim,
+            seed=args.data_seed, regions=args.img_regions,
+        )
+        o_bleu, t_bleu = oracle_bleu_bounds(src[b:], tgt[b:], senses[b:], amb,
+                                            args.vocab_size)
     data = (src[:a], tgt[:a], feats[:a],
             src[a:b], tgt[a:b], feats[a:b],
             src[b:], tgt[b:], feats[b:], sv, tv)
-    o_bleu, t_bleu = oracle_bleu_bounds(src[b:], tgt[b:], senses[b:], amb,
-                                        args.vocab_size)
     print(f"test-split asymptotes: oracle {o_bleu:.2f}, text-only {t_bleu:.2f}")
 
     results = []
@@ -239,6 +262,10 @@ def main():
             r = run_one(model_type, seed, data, args, platform)
             r["oracle_bleu"] = round(o_bleu, 2)
             r["text_asymptote"] = round(t_bleu, 2)
+            r["corpus"] = args.corpus
+            r["n_train"] = args.n_train
+            if args.corpus == "plain":
+                r["tgt_noise"] = args.tgt_noise
             results.append(r)
             print(json.dumps(r))
             with open(args.out, "a") as f:

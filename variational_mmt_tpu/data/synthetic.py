@@ -191,3 +191,21 @@ def oracle_bleu_bounds(src_lines, tgt_lines, senses, amb, vocab_size=200):
         for c in range(int(np.max(senses)) + 1)
     )
     return oracle, text
+
+
+def corrupt_targets(tgt_lines, frac, vocab_size=200, seed=0):
+    """In-place label noise for the regularization-regime gate: each target
+    token is replaced by a uniformly random target word with probability
+    ``frac``. Applied to the TRAIN split only (callers keep valid/test
+    clean), so clean-test BLEU measures resistance to memorizing noise —
+    the regime where VMMT_F's latent + image-grounding losses matter
+    (reference model1's headline gains are regularization-driven)."""
+    rng = np.random.default_rng(seed)
+    n_words = vocab_size - len(SPECIALS)
+    n_flipped = 0
+    for t in tgt_lines:
+        for j in range(len(t)):
+            if rng.random() < frac:
+                t[j] = f"t{int(rng.integers(0, n_words))}"
+                n_flipped += 1
+    return n_flipped
