@@ -40,6 +40,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-pretokenized", action="store_true", help="input is already tokenized; whitespace-split only")
     p.add_argument("-no_lower", action="store_true")
     p.add_argument("-share_vocab", action="store_true")
+    p.add_argument("-vocab_pad_multiple", type=int, default=1,
+                   help="pad both vocabs with inert filler types to a "
+                        "multiple of N (required for train -tensor_parallel "
+                        "N: the vocab dim is sharded N ways)")
     p.add_argument("-shard_size", type=int, default=0,
                    help="examples per training shard (0 = one file; the "
                         "reference's multi-.pt-shard datasets)")
@@ -101,6 +105,10 @@ def main(argv=None) -> None:
     else:
         sv = Vocab.build(train_src, max_size=opt.src_vocab_size, min_freq=opt.src_words_min_frequency)
         tv = Vocab.build(train_tgt, max_size=opt.tgt_vocab_size, min_freq=opt.tgt_words_min_frequency)
+    if opt.vocab_pad_multiple > 1:
+        sv.pad_to_multiple(opt.vocab_pad_multiple)
+        if tv is not sv:
+            tv.pad_to_multiple(opt.vocab_pad_multiple)
     sv.save(opt.save_data + ".vocab.src.json")
     tv.save(opt.save_data + ".vocab.tgt.json")
     print(f"src vocab {len(sv)}; tgt vocab {len(tv)}")

@@ -108,6 +108,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-keep_checkpoints", type=int, default=3)
     p.add_argument("-buckets", default="16,24,32,48,64")
     p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
+    p.add_argument("-tensor_parallel", type=int, default=1,
+                   help=">1: 2-D (data, model) device mesh; vocab-parallel "
+                        "embeddings + generator sharded over the model axis "
+                        "(vocab sizes must be divisible; see preprocess "
+                        "-vocab_pad_multiple)")
     p.add_argument("-metrics_log", default="", help="JSONL scalar log path (ELBO decomposition)")
     p.add_argument("-tensorboard_dir", default="",
                    help="TensorBoard scalar event dir (native writer, no TF dependency)")
@@ -174,6 +179,7 @@ FLAG2KEY = {
     "checkpoint_every": ("train", "checkpoint_every"),
     "keep_checkpoints": ("train", "keep_checkpoints"),
     "num_shards": ("train", "num_data_shards"),
+    "tensor_parallel": ("train", "num_model_shards"),
 }
 
 # flags that configure the run but have no Config field
@@ -268,6 +274,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             checkpoint_every=opt.checkpoint_every,
             keep_checkpoints=opt.keep_checkpoints,
             num_data_shards=opt.num_shards,
+            num_model_shards=opt.tensor_parallel,
         ),
         data=DataConfig(save_data=opt.data, buckets=[int(b) for b in opt.buckets.split(",")]),
     )
@@ -374,7 +381,16 @@ def main(argv=None) -> None:
         # len(ds)//batch_size undercounts by up to n_buckets-1
         cfg.train.max_steps = cfg.train.epochs * max(1, len(train_iter))
     model = build_model(cfg.model)
-    mesh = make_mesh(cfg.train.num_data_shards)
+    if cfg.train.num_model_shards > 1:
+        from variational_mmt_tpu.parallel.tp import make_mesh_2d
+
+        import jax
+
+        n_model = cfg.train.num_model_shards
+        n_data = cfg.train.num_data_shards or len(jax.devices()) // n_model
+        mesh = make_mesh_2d(n_data, n_model, data_axis=cfg.train.data_axis)
+    else:
+        mesh = make_mesh(cfg.train.num_data_shards)
     print(f"devices: {[str(d) for d in mesh.devices.flatten()]}")
     print(f"model: {cfg.model.model_type}; steps: {cfg.train.max_steps}")
 

@@ -148,6 +148,8 @@ class TrainConfig:
     # --- parallelism ---
     data_axis: str = "data"
     num_data_shards: int = 0  # 0 = use all local devices
+    num_model_shards: int = 1  # >1: 2-D (data, model) mesh; vocab-parallel
+    # embeddings + generator sharded over the model axis (parallel/tp.py)
 
 
 @dataclass

@@ -28,6 +28,22 @@ class Vocab:
     def __contains__(self, tok: str) -> bool:
         return tok in self.stoi
 
+    def pad_to_multiple(self, m: int) -> None:
+        """Append inert filler types until len(vocab) % m == 0 (tensor
+        parallelism shards embedding/generator tables over the vocab dim and
+        needs it divisible by the TP degree). Filler tokens never appear in
+        data, so their rows train to ~init and their generator logits are
+        harmless constants under the full-softmax normalizer."""
+        i = 0
+        while len(self.itos) % m != 0:
+            tok = f"<vpad{i}>"
+            while tok in self.stoi:
+                i += 1
+                tok = f"<vpad{i}>"
+            self.stoi[tok] = len(self.itos)
+            self.itos.append(tok)
+            i += 1
+
     @classmethod
     def build(
         cls,

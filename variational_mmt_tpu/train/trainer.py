@@ -70,6 +70,20 @@ def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] =
     )
 
 
+def state_shardings(cfg: Config, model: VMMTModel, mesh):
+    """NamedSharding tree for the TrainState on ``mesh``: fully replicated
+    on a 1-D data mesh; the tensor-parallel layout (parallel/tp.py rules —
+    vocab-sharded embeddings + generator) when the mesh has a 'model' axis.
+    Built from an eval_shape template so jit in/out shardings can be fixed
+    before any real state exists (the one-compile-per-cold-start property)."""
+    from variational_mmt_tpu.parallel.tp import MODEL_AXIS, tree_shardings
+
+    if MODEL_AXIS not in mesh.axis_names:
+        return replicated_sharding(mesh)
+    tpl = jax.eval_shape(lambda: create_train_state(cfg, model))
+    return tree_shardings(tpl, mesh)
+
+
 def make_train_step(
     cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None,
     steps_per_call: Optional[int] = None,
@@ -215,13 +229,14 @@ def make_train_step(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = replicated_sharding(mesh)
+        state_sh = state_shardings(cfg, model, mesh)
         # stacked (spc, B, ...) batches shard the SECOND axis
         data = (batch_sharding(mesh) if spc == 1
                 else NamedSharding(mesh, P(None, cfg.train.data_axis)))
         jit_step = jax.jit(
             entry,
-            in_shardings=(repl, data, repl) if has_table else (repl, data),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, repl) if has_table else (state_sh, data),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
     else:
@@ -237,10 +252,17 @@ def make_train_step(
         sessions."""
         if mesh is None:
             return state
-        leaf = jax.tree.leaves(state.params)[0]
-        if getattr(leaf, "sharding", None) == repl:
+        if isinstance(state_sh, NamedSharding):  # 1-D mesh: one broadcast spec
+            leaf = jax.tree.leaves(state.params)[0]
+            if getattr(leaf, "sharding", None) == state_sh:
+                return state
+            return jax.device_put(state, state_sh)
+        aligned = jax.tree.map(
+            lambda l, s: getattr(l, "sharding", None) == s, state, state_sh
+        )
+        if all(jax.tree.leaves(aligned)):
             return state
-        return jax.device_put(state, repl)
+        return jax.device_put(state, state_sh)
 
     if has_table:
         # explicit argument (NOT a closure const: a closed-over 200MB array
@@ -276,10 +298,11 @@ def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional
 
     if mesh is not None:
         repl = replicated_sharding(mesh)
+        state_sh = state_shardings(cfg, model, mesh)
         data = batch_sharding(mesh)
         jit_eval = jax.jit(
             eval_step,
-            in_shardings=(repl, data, repl) if has_table else (repl, data),
+            in_shardings=(state_sh, data, repl) if has_table else (state_sh, data),
             out_shardings=repl,
         )
     else:
@@ -315,12 +338,24 @@ class Trainer:
         self.train_iter = train_iter
         self.valid_iter = valid_iter
         self.mesh = mesh if mesh is not None else make_mesh()
-        n_dev = int(self.mesh.devices.size)
+        # on a 2-D (data, model) mesh only the data axis slices the batch
+        n_dev = int(dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+                    .get(cfg.train.data_axis, self.mesh.devices.size))
         if cfg.train.batch_size % n_dev != 0:
             raise ValueError(
                 f"batch_size ({cfg.train.batch_size}) must be divisible by the "
                 f"number of data-parallel devices ({n_dev}); pick e.g. "
                 f"{(cfg.train.batch_size // n_dev + 1) * n_dev}"
+            )
+        from variational_mmt_tpu.parallel.tp import (
+            MODEL_AXIS, validate_tp_divisibility,
+        )
+
+        if MODEL_AXIS in self.mesh.axis_names:
+            validate_tp_divisibility(
+                cfg.model,
+                int(dict(zip(self.mesh.axis_names,
+                             self.mesh.devices.shape))[MODEL_AXIS]),
             )
         spc = max(1, cfg.train.steps_per_call)
         self._spc = spc
