@@ -171,3 +171,31 @@ def test_trainer_accepts_tp_mesh():
     tr = Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh_2d(2, 2))
     tr.train()
     assert np.isfinite(float(tr.final_state.lr))
+
+
+def test_tp_decode_matches_single_device():
+    """Beam decode with TP-sharded params (vocab-parallel generator under
+    the (K*V) top-k) == single-device decode, token for token."""
+    from variational_mmt_tpu.config import DecodeConfig
+    from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+    from variational_mmt_tpu.decode.translator import Translator
+
+    cfg = tp_cfg()
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    params = jax.tree.map(np.asarray, state.params)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(V - 4)])
+    dcfg = DecodeConfig(beam_size=3, max_length=8, batch_size=4)
+    rng = np.random.default_rng(5)
+    src_ids = [list(map(int, rng.integers(4, V, rng.integers(3, 7))))
+               for _ in range(9)]  # odd count: pad-row masking
+    feats = rng.standard_normal((9, 16)).astype(np.float32)
+    tp = Translator(model, params, vocab, vocab, dcfg, buckets=[8],
+                    mesh=make_mesh_2d(2, 2))
+    single = Translator(model, params, vocab, vocab, dcfg, buckets=[8])
+    out_tp = tp.translate_ids(src_ids, feats)
+    out_s = single.translate_ids(src_ids, feats)
+    for a, b in zip(out_s, out_tp):
+        assert [ids for _, ids in a] == [ids for _, ids in b], (a, b)
+        np.testing.assert_allclose([s for s, _ in a], [s for s, _ in b],
+                                   rtol=2e-5, atol=2e-5)

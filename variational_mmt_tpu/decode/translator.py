@@ -119,14 +119,26 @@ class Translator:
                 batch_sharding,
                 replicated_sharding,
             )
+            from variational_mmt_tpu.parallel.tp import (
+                MODEL_AXIS, tree_shardings,
+            )
 
-            if self.dcfg.batch_size % self.mesh.size:
+            # on a 2-D (data, model) mesh only the data axis slices the batch
+            n_data = dict(zip(self.mesh.axis_names,
+                              self.mesh.devices.shape)).get(
+                                  "data", self.mesh.size)
+            if self.dcfg.batch_size % n_data:
                 raise ValueError(
                     f"decode batch_size {self.dcfg.batch_size} must divide by "
-                    f"mesh size {self.mesh.size}"
+                    f"the data-parallel degree {n_data}"
                 )
             self._batch_sh = batch_sharding(self.mesh)
-            params = jax.device_put(params, replicated_sharding(self.mesh))
+            if MODEL_AXIS in self.mesh.axis_names:
+                # tensor-parallel decode: vocab-sharded embeddings+generator;
+                # the beam's (K·V) top-k rides GSPMD collectives over V
+                params = jax.device_put(params, tree_shardings(params, self.mesh))
+            else:
+                params = jax.device_put(params, replicated_sharding(self.mesh))
         self.params = params
         # optional src->tgt map consulted by replace_unk before copying the
         # source token verbatim (reference -phrase_table)
