@@ -199,7 +199,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "fix_word_vecs_enc": "1", "fix_word_vecs_dec": "1", "seed": "42",
         "report_every": "9",
         "valid_every": "100", "checkpoint_every": "100",
-        "keep_checkpoints": "2", "num_shards": "1",
+        "keep_checkpoints": "2", "num_shards": "1", "tensor_parallel": "1",
     }
     argv = ["-save_model", f"{tmp_path}/ckov", "-config", cfg_path,
             "-train_img_feats", f"{d}/train.feats.npy"]
