@@ -267,8 +267,12 @@ def make_train_step(
     if has_table:
         # explicit argument (NOT a closure const: a closed-over 200MB array
         # would be serialized into every compile request)
-        return lambda state, batch: jit_step(_align_state(state), batch, img_table)
-    return lambda state, batch: jit_step(_align_state(state), batch)
+        fn = lambda state, batch: jit_step(_align_state(state), batch, img_table)  # noqa: E731
+    else:
+        fn = lambda state, batch: jit_step(_align_state(state), batch)  # noqa: E731
+    # the raw jit is reachable for AOT tooling (lower/compile/memory_analysis)
+    fn._jit = jit_step
+    return fn
 
 
 def make_eval_step(cfg: Config, model: VMMTModel, mesh=None, img_table: Optional[jax.Array] = None):
