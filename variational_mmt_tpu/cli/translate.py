@@ -32,6 +32,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-tgt", default="", help="reference target (for BLEU / IW eval)")
     p.add_argument("-img_feats", default="", help="HDF5/NPY features aligned to src lines")
     p.add_argument("-output", default="pred.txt")
+    p.add_argument("-tensor_parallel", type=int, default=1,
+                   help=">1: decode on a 2-D (data, model) mesh with vocab-"
+                        "parallel embeddings+generator (matches train "
+                        "-tensor_parallel)")
     p.add_argument("-bpe_codes", default="", help="BPE codes from preprocess (applied to src)")
     p.add_argument("-pretokenized", action="store_true")
     p.add_argument("-no_lower", action="store_true")
@@ -110,7 +114,16 @@ def main(argv=None) -> None:
         dump_beam=bool(opt.dump_beam),
     )
     mesh = None
-    if len(jax.devices()) > 1 and opt.batch_size % len(jax.devices()) == 0:
+    if opt.tensor_parallel > 1:
+        from variational_mmt_tpu.parallel.tp import (
+            make_mesh_2d, validate_tp_divisibility,
+        )
+
+        validate_tp_divisibility(cfg.model, opt.tensor_parallel)
+        n_data = max(1, len(jax.devices()) // opt.tensor_parallel)
+        mesh = make_mesh_2d(n_data, opt.tensor_parallel)
+        print(f"decode over ({n_data} data x {opt.tensor_parallel} model) mesh")
+    elif len(jax.devices()) > 1 and opt.batch_size % len(jax.devices()) == 0:
         from variational_mmt_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
