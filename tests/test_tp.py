@@ -199,3 +199,19 @@ def test_tp_decode_matches_single_device():
         assert [ids for _, ids in a] == [ids for _, ids in b], (a, b)
         np.testing.assert_allclose([s for s, _ in a], [s for s, _ in b],
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_tp_iw_eval_matches_single_device():
+    """K-sample IW-ELBO with TP-sharded params == single-device."""
+    from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus
+
+    cfg = tp_cfg()
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    params = jax.tree.map(np.asarray, state.params)
+    batch = tp_batch(B=8)
+    key = jax.random.PRNGKey(3)
+    tp = iw_elbo_corpus(model, params, [batch], 3, key, mesh=make_mesh_2d(2, 2))
+    single = iw_elbo_corpus(model, params, [batch], 3, key)
+    np.testing.assert_allclose(tp["iw_elbo_per_sent"],
+                               single["iw_elbo_per_sent"], rtol=1e-5)

@@ -94,9 +94,14 @@ def iw_elbo_corpus(
     sharding = None
     if mesh is not None and mesh.size > 1:
         from variational_mmt_tpu.parallel.mesh import batch_sharding, replicated_sharding
+        from variational_mmt_tpu.parallel.tp import MODEL_AXIS, tree_shardings
 
         sharding = batch_sharding(mesh)
-        params = jax.device_put(params, replicated_sharding(mesh))
+        if MODEL_AXIS in mesh.axis_names:
+            # tensor-parallel eval: vocab-sharded embeddings + generator
+            params = jax.device_put(params, tree_shardings(params, mesh))
+        else:
+            params = jax.device_put(params, replicated_sharding(mesh))
     tot, tot_text, n_sent, n_tok = 0.0, 0.0, 0.0, 0.0
     for i, batch in enumerate(batches):
         if sharding is not None:
