@@ -66,7 +66,9 @@ def _path_str(path) -> str:
 def spec_for(path_str: str, leaf_ndim: int, mesh: Mesh) -> P:
     if MODEL_AXIS in mesh.axis_names:
         for suffix, spec in TP_RULES:
-            if path_str.endswith(suffix):
+            # component-boundary match: "generator/kernel" must not claim a
+            # hypothetical "pre_generator/kernel"
+            if path_str == suffix or path_str.endswith("/" + suffix):
                 if leaf_ndim < len(spec):
                     break  # rank mismatch (e.g. scalar stand-in) -> replicate
                 return spec

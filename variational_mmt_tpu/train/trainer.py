@@ -230,6 +230,13 @@ def make_train_step(
 
         repl = replicated_sharding(mesh)
         state_sh = state_shardings(cfg, model, mesh)
+        if not isinstance(state_sh, NamedSharding):
+            # TP: indices of the sharded leaves (+ leaf 0 as the
+            # replicated-placement sentinel) checked by _align_state
+            sh_leaves = jax.tree.leaves(state_sh)
+            check_idx = [i for i, s in enumerate(sh_leaves) if s.spec]
+            if 0 not in check_idx:
+                check_idx.append(0)
         # stacked (spc, B, ...) batches shard the SECOND axis
         data = (batch_sharding(mesh) if spc == 1
                 else NamedSharding(mesh, P(None, cfg.train.data_axis)))
@@ -257,10 +264,12 @@ def make_train_step(
             if getattr(leaf, "sharding", None) == state_sh:
                 return state
             return jax.device_put(state, state_sh)
-        aligned = jax.tree.map(
-            lambda l, s: getattr(l, "sharding", None) == s, state, state_sh
-        )
-        if all(jax.tree.leaves(aligned)):
+        # TP tree: compare only the few leaves the rules actually shard
+        # (plus leaf 0 as the replicated sentinel) — a full-tree compare
+        # would cost a python lambda per leaf on EVERY dispatch
+        leaves = jax.tree.leaves(state)
+        if all(getattr(leaves[i], "sharding", None) == sh_leaves[i]
+               for i in check_idx):
             return state
         return jax.device_put(state, state_sh)
 
