@@ -60,7 +60,8 @@ def build_cfg(model_type, seed, steps, platform, args):
             img_feat_dim=args.img_dim if model_type != "nmt" else 0,
             img_feat_type="conv" if args.img_regions > 0 else "pool5",
             img_pool=args.img_pool,
-            use_img_predict=model_type != "nmt",
+            use_img_predict=(model_type != "nmt"
+                             and not getattr(args, "no_img_predict", 0)),
             img_loss="logprob",
             z_cond="init+input",
             compute_dtype="bfloat16" if on_tpu else "float32",
@@ -213,6 +214,14 @@ def main():
                    help="plain corpus only: fraction of TRAIN-split gold target "
                         "tokens replaced by random tokens (valid/test stay "
                         "clean, so test BLEU measures generalization)")
+    p.add_argument("-no_img_predict", type=int, default=0,
+                   help="1: drop the p(v|z) image-prediction objective. For "
+                        "vmmt_f this is the paper-faithful regularization "
+                        "variant: without it the anneal drives KL(q||N(0,I)) "
+                        "toward 0, so decode-time z=0 matches training and "
+                        "the latent acts as pure noise regularization; WITH "
+                        "it z is forced to encode v and decode-time z=0 is a "
+                        "train/test mismatch (the standard gate shows this)")
     p.add_argument("-out", default="qg_results.jsonl")
     args = p.parse_args()
 
@@ -266,6 +275,8 @@ def main():
             r["n_train"] = args.n_train
             if args.corpus == "plain":
                 r["tgt_noise"] = args.tgt_noise
+            if args.no_img_predict:
+                r["no_img_predict"] = 1
             results.append(r)
             print(json.dumps(r))
             with open(args.out, "a") as f:
