@@ -51,7 +51,8 @@ def build_cfg(model_type, seed, args, platform):
             word_dropout=0.1 if model_type != "nmt" else 0.0,
             latent_dim=args.latent_dim,
             img_feat_dim=args.img_dim if model_type != "nmt" else 0,
-            use_img_predict=model_type != "nmt",
+            use_img_predict=(model_type != "nmt"
+                             and not getattr(args, "no_img_predict", 0)),
             img_loss="logprob",
             z_cond="init+input",
             compute_dtype="bfloat16" if on_tpu else "float32",
@@ -104,6 +105,7 @@ def run_one(model_type, seed, data, args, platform):
     bleu = corpus_bleu(hyps, [[r] for r in te_tgt])["bleu"]
     return {"model": model_type, "seed": seed, "test_bleu": round(bleu, 2),
             "n_train": args.n_train, "train_noise": args.train_noise,
+            "no_img_predict": getattr(args, "no_img_predict", 0),
             "steps": args.steps, "train_s": round(train_s, 1)}
 
 
@@ -123,6 +125,12 @@ def main():
     p.add_argument("-latent_dim", type=int, default=64)
     p.add_argument("-img_dim", type=int, default=512)
     p.add_argument("-dropout", type=float, default=0.3)
+    p.add_argument("-no_img_predict", type=int, default=0,
+                   help="1: drop p(v|z) for vmmt_f — the anneal then drives "
+                        "KL(q||N(0,I)) to ~0 so decode-time z=0 matches "
+                        "training (pure noise regularization, the paper-"
+                        "faithful deployment); with p(v|z) on, z must encode "
+                        "v and z=0 decode is a train/test mismatch")
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-out", default="reg_results.jsonl")
     args = p.parse_args()
@@ -150,13 +158,11 @@ def main():
 
     if args.train_noise > 0:
         # corrupt TRAINING targets only (memorization trap); test refs clean
-        rng = np.random.default_rng(args.data_seed + 1)
-        n_words = args.vocab_size - 4
-        tr_tgt = [
-            [f"t{rng.integers(n_words)}" if rng.random() < args.train_noise else w
-             for w in sent]
-            for sent in tr_tgt
-        ]
+        from variational_mmt_tpu.data.synthetic import corrupt_targets
+
+        tr_tgt = [list(t) for t in tr_tgt]
+        corrupt_targets(tr_tgt, args.train_noise, args.vocab_size,
+                        seed=args.data_seed + 1)
 
     data = (tr_src, tr_tgt, tr_feats, te_src, te_tgt, te_feats, sv, tv)
     results = []
