@@ -215,3 +215,38 @@ def test_tp_iw_eval_matches_single_device():
     single = iw_elbo_corpus(model, params, [batch], 3, key)
     np.testing.assert_allclose(tp["iw_elbo_per_sent"],
                                single["iw_elbo_per_sent"], rtol=1e-5)
+
+
+def test_tp_checkpoint_roundtrip_matches_dp(tmp_path):
+    """A checkpoint saved from TP-sharded state must contain the FULL
+    gathered tensors (not one shard) and decode identically to a DP-trained
+    checkpoint of the same run."""
+    from variational_mmt_tpu.train.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+    from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+
+    cfg = tp_cfg()
+    model = build_model(cfg.model)
+    batch = tp_batch()
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(V - 4)])
+
+    mesh_tp = make_mesh_2d(4, 2)
+    state_tp = create_train_state(cfg, model)
+    state_1 = create_train_state(cfg, model)
+    step_tp = make_train_step(cfg, model, mesh_tp)
+    step_1 = make_train_step(cfg, model, make_mesh(1))
+    for _ in range(2):
+        state_tp, _ = step_tp(state_tp, jax.device_put(batch, batch_sharding(mesh_tp)))
+        state_1, _ = step_1(state_1, jax.device_put(batch, batch_sharding(make_mesh(1))))
+
+    p_tp = str(tmp_path / "tp")
+    save_checkpoint(p_tp, state_tp, cfg, vocab, vocab)
+    state_l, cfg_l, sv_l, _, _ = load_checkpoint(latest_checkpoint(p_tp))
+    # full shapes on disk (the vocab-sharded generator must be gathered)
+    gk = state_l.params["generator"]["kernel"]
+    assert gk.shape == (cfg.model.hidden_dim, V), gk.shape
+    for a, b in zip(jax.tree.leaves(state_l.params),
+                    jax.tree.leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
