@@ -34,6 +34,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-bpe_codes", default="", help="BPE codes applied to request text")
     p.add_argument("-no_lower", action="store_true")
     p.add_argument("-no_warmup", action="store_true")
+    p.add_argument("-tensor_parallel", type=int, default=1,
+                   help=">1: serve decode on a 2-D (data, model) mesh with "
+                        "vocab-parallel embeddings+generator")
     p.add_argument("-procs", type=int, default=0,
                    help="HTTP dispatcher processes sharing the port via "
                         "SO_REUSEPORT (0 = single-process threaded server); "
@@ -73,10 +76,23 @@ def main(argv=None) -> None:
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup, lower=not opt.no_lower
     )
     bpe = BPE.load(opt.bpe_codes) if opt.bpe_codes else None
+    mesh = None
+    if opt.tensor_parallel > 1:
+        import jax
+
+        from variational_mmt_tpu.parallel.tp import (
+            make_mesh_2d, validate_tp_divisibility,
+        )
+
+        validate_tp_divisibility(cfg.model, opt.tensor_parallel)
+        n_data = max(1, len(jax.devices()) // opt.tensor_parallel)
+        mesh = make_mesh_2d(n_data, opt.tensor_parallel)
+        print(f"serving over ({n_data} data x {opt.tensor_parallel} model) mesh")
     print("compiling decode shapes..." if scfg.warmup else "warmup skipped")
     service = TranslationService(
         model, state.params, sv, tv, dcfg,
         buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
+        mesh=mesh,
     )
     info = {"model_type": cfg.model.model_type, "step": int(state.step),
             "beam_size": opt.beam_size}
