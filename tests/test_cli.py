@@ -369,6 +369,12 @@ def test_preprocess_layout_switch_removes_stale_files(corpus, tmp_path):
     assert len(glob.glob(f"{tmp_path}/lay.train.*.npz")) == 3
     ds = BinarizedDataset.load(f"{tmp_path}/lay.train.npz")
     assert len(ds) == 60
+    # sharded -> sharded with a LARGER shard size rewrites fewer shards;
+    # stale higher-index ones must not survive to be concatenated back in
+    # (60/25 -> shards 00..02; 60/40 -> shards 00..01)
+    cli_pre.main(base + ["-shard_size", "40"])
+    assert len(glob.glob(f"{tmp_path}/lay.train.??.npz")) == 2
+    assert len(BinarizedDataset.load(f"{tmp_path}/lay.train.npz")) == 60
     cli_pre.main(base)  # -> back to single-file layout
     assert glob.glob(f"{tmp_path}/lay.train.??.npz") == []
     assert len(BinarizedDataset.load(f"{tmp_path}/lay.train.npz")) == 60

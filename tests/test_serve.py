@@ -15,7 +15,8 @@ from variational_mmt_tpu.serve import ServeConfig, ServingServer, TranslationSer
 from variational_mmt_tpu.train.trainer import create_train_state
 
 
-def small_service(model_type="vmmt_c", max_wait_ms=50.0, batch_size=4, warmup=False):
+def small_service(model_type="vmmt_c", max_wait_ms=50.0, batch_size=4, warmup=False,
+                  **scfg_kw):
     cfg = Config(
         model=ModelConfig(
             model_type=model_type, src_vocab_size=24, tgt_vocab_size=24, emb_dim=16,
@@ -30,7 +31,7 @@ def small_service(model_type="vmmt_c", max_wait_ms=50.0, batch_size=4, warmup=Fa
     vocab = Vocab(SPECIALS + [f"w{i}" for i in range(20)])
     svc = TranslationService(
         model, state.params, vocab, vocab, cfg.decode, buckets=[8],
-        scfg=ServeConfig(max_wait_ms=max_wait_ms, warmup=warmup),
+        scfg=ServeConfig(max_wait_ms=max_wait_ms, warmup=warmup, **scfg_kw),
     )
     return cfg, model, state, vocab, svc
 
@@ -50,6 +51,52 @@ def test_service_matches_offline():
         assert [nb[0][0] for nb in online] == pytest.approx(
             [nb[0][0] for nb in offline]
         )
+    finally:
+        svc.stop()
+
+
+def test_over_length_request_rejected_not_compiled():
+    """A source longer than the largest warmed bucket must be refused at
+    submit time (the offline catch-all bucket would mean an in-line XLA
+    compile per distinct over-length, stalling the batcher), and the serving
+    path must never see a bucket beyond the warmed set."""
+    _, _, _, _, svc = small_service()  # buckets=[8]
+    try:
+        long_text = " ".join(f"w{i % 20}" for i in range(9))
+        with pytest.raises(ValueError, match="caps at 8"):
+            svc.translate_text([long_text])
+        # in-cap requests still work after a rejection
+        assert svc.translate_text(["w1 w2"], np.zeros((1, 8), np.float32))
+    finally:
+        svc.stop()
+
+
+def test_over_length_truncate_matches_offline_prefix():
+    """over_length='truncate' serves the capped prefix — identical to the
+    offline translation of that prefix."""
+    cfg, model, state, vocab, svc = small_service(over_length="truncate")
+    try:
+        toks = [f"w{i % 20}" for i in range(11)]
+        img = np.zeros((1, 8), np.float32)
+        online = svc.translate_text([" ".join(toks)], img)
+        tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+        offline = tr.translate_tokens([toks[:8]], img)
+        assert online[0][0][1] == offline[0][0][1]
+    finally:
+        svc.stop()
+
+
+def test_max_src_tokens_extends_warmed_buckets():
+    """max_src_tokens above the largest bucket adds a warmed bucket of that
+    length; a source of exactly that length is accepted, one beyond is not."""
+    _, _, _, _, svc = small_service(max_src_tokens=12)
+    try:
+        assert 12 in svc.translator.buckets
+        ok = svc.translate_text([" ".join(f"w{i % 20}" for i in range(12))],
+                                np.zeros((1, 8), np.float32))
+        assert ok and ok[0]
+        with pytest.raises(ValueError, match="caps at 12"):
+            svc.translate_text([" ".join(f"w{i % 20}" for i in range(13))])
     finally:
         svc.stop()
 
@@ -117,6 +164,15 @@ def test_http_roundtrip():
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+
+        # over-length source -> 400 client error (never an in-line compile)
+        long_body = json.dumps(
+            {"texts": [" ".join(f"w{i % 20}" for i in range(9))]}).encode()
+        over = urllib.request.Request(
+            base + "/translate", data=long_body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(over, timeout=30)
+        assert ei.value.code == 400 and b"caps at 8" in ei.value.read()
 
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             stats = json.loads(r.read())

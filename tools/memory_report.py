@@ -67,7 +67,8 @@ def main():
     from variational_mmt_tpu.config import Config, ModelConfig, TrainConfig
 
     platform = jax.devices()[0].platform
-    on_tpu = platform == "axon"
+    # "axon" is the remote-tunnel TPU plugin; a native runtime reports "tpu"
+    on_tpu = platform in ("axon", "tpu")
     rows = {}
     for fused in (True, False):
         m = ModelConfig(

@@ -68,7 +68,7 @@ def read_corpus(path: str, pretokenized: bool, lower: bool) -> List[List[str]]:
 def main(argv=None) -> None:
     from variational_mmt_tpu.utils.platform import honor_env_platform
 
-    honor_env_platform()
+    honor_env_platform(needs_jax=False)  # preprocess stays jax-free
     p = argparse.ArgumentParser("vmmt-tpu preprocess")
     add_args(p)
     opt = p.parse_args(argv)
@@ -121,13 +121,18 @@ def main(argv=None) -> None:
     )
     from variational_mmt_tpu.data.dataset import BinarizedDataset
 
-    # a re-run that switches between sharded and single-file layouts must
-    # not leave the previous layout behind: BinarizedDataset.load prefers
-    # the single file, so a stale one would silently shadow fresh shards
+    # a re-run must not leave the previous run's layout behind: a stale
+    # single file would shadow fresh shards (BinarizedDataset.load prefers
+    # it), and a re-run with a larger -shard_size rewrites fewer shards, so
+    # stale higher-index ones would be concatenated back in — duplicating
+    # examples and breaking the example-index == corpus-line invariant the
+    # image-feature alignment relies on. Remove BOTH layouts before writing.
     single = opt.save_data + ".train.npz"
-    for stale in BinarizedDataset.shard_paths(single) if opt.shard_size == 0 else (
-            [single] if os.path.exists(single) else []):
-        print(f"removing stale {stale} (layout changed)")
+    stale_paths = list(BinarizedDataset.shard_paths(single))
+    if opt.shard_size > 0 and os.path.exists(single):
+        stale_paths.append(single)
+    for stale in stale_paths:
+        print(f"removing stale {stale} (re-run)")
         os.remove(stale)
     if opt.shard_size > 0:
         n_shards = (len(ds) + opt.shard_size - 1) // opt.shard_size

@@ -303,14 +303,6 @@ def main(argv=None) -> None:
 
     sv = Vocab.load(opt.data + ".vocab.src.json")
     tv = Vocab.load(opt.data + ".vocab.tgt.json")
-    if opt.share_embeddings and sv.itos != tv.itos:
-        # equal SIZES are not enough (both commonly hit the vocab-size cap):
-        # sharing one table across different id->token maps silently embeds
-        # source tokens as unrelated target words
-        raise SystemExit(
-            "-share_embeddings requires identical source/target vocabs: "
-            "re-run preprocess with -share_vocab"
-        )
     train_ds = BinarizedDataset.load(opt.data + ".train.npz")
     valid_ds = None
     if BinarizedDataset.exists(opt.data + ".valid.npz"):
@@ -366,6 +358,16 @@ def main(argv=None) -> None:
             # default (4e-4, which cripples adadelta/adagrad): the family
             # default applies, not the filled-in value
             cfg.train.learning_rate = 1.0 if cfg.train.optimizer == "adadelta" else 0.1
+    if cfg.model.share_embeddings and sv.itos != tv.itos:
+        # checked on the EFFECTIVE config (a -config file can enable sharing
+        # without the CLI flag). Equal SIZES are not enough (both commonly
+        # hit the vocab-size cap): sharing one table across different
+        # id->token maps silently embeds source tokens as unrelated target
+        # words
+        raise SystemExit(
+            "share_embeddings requires identical source/target vocabs: "
+            "re-run preprocess with -share_vocab"
+        )
     buckets = cfg.data.buckets
 
     # iterators carry only indices; the feature tables live device-resident
@@ -387,6 +389,13 @@ def main(argv=None) -> None:
         import jax
 
         n_model = cfg.train.num_model_shards
+        if not cfg.train.num_data_shards and len(jax.devices()) < n_model:
+            # floor-division would produce a size-0 mesh and a bare
+            # ZeroDivisionError later; fail with the real cause instead
+            raise SystemExit(
+                f"-tensor_parallel {n_model} exceeds the {len(jax.devices())} "
+                "available devices"
+            )
         n_data = cfg.train.num_data_shards or len(jax.devices()) // n_model
         mesh = make_mesh_2d(n_data, n_model, data_axis=cfg.train.data_axis)
     else:

@@ -15,7 +15,8 @@ import numpy as np
 
 from variational_mmt_tpu.config import DecodeConfig
 from variational_mmt_tpu.data.bpe import BPE, remove_bpe
-from variational_mmt_tpu.data.dataset import BucketIterator, binarize
+from variational_mmt_tpu.data.dataset import (BucketIterator, binarize,
+                                               buckets_with_catchall)
 from variational_mmt_tpu.data.features import load_features
 from variational_mmt_tpu.data.tokenizer import tokenize
 from variational_mmt_tpu.data.prefetch import prefetch
@@ -155,9 +156,13 @@ def main(argv=None) -> None:
               + (f" ({skipped} multi-word sources skipped)" if skipped else ""))
     import time
 
-    t0 = time.time()
     want_scores = opt.verbose or opt.dump_attn
-    results = translator.translate_tokens(src_tok, feats, keep_ids=want_scores)
+    # encoded once; reused below for force-decode scoring / IW eval instead
+    # of a second full-corpus vocab encode
+    src_ids = [sv.encode(t) for t in src_tok] if (want_scores or opt.tgt) else None
+    t0 = time.time()
+    results = translator.translate_tokens(
+        src_tok, feats, keep_ids=want_scores, src_ids=src_ids)
     dt = time.time() - t0
     print(f"translated {len(results)} sentences in {dt:.1f}s "
           f"({len(results) / max(dt, 1e-9):.1f} sent/s, beam {opt.beam_size})")
@@ -178,7 +183,6 @@ def main(argv=None) -> None:
               f"sentences -> {opt.dump_beam}")
 
     bucket_list = cfg.data.buckets or [16, 24, 32, 48, 64]
-    src_ids = [sv.encode(t) for t in src_tok] if (want_scores or opt.tgt) else None
     pred_lp = pred_nt = None
     if want_scores:
         # force-decode each 1-best hypothesis (raw BPE-level ids): TRUE
@@ -261,10 +265,10 @@ def main(argv=None) -> None:
             # catch-all bucket: over-long pairs must be scored in full, not
             # silently truncated at batch assembly (same guard as decode and
             # force-decode scoring)
-            iw_buckets = sorted(bucket_list)
-            need = max([1] + [len(s) for s in src_ids] + [len(t) + 1 for t in gold_ids])
-            if need > iw_buckets[-1]:
-                iw_buckets = iw_buckets + [need]
+            iw_buckets = buckets_with_catchall(
+                bucket_list,
+                max([1] + [len(s) for s in src_ids]
+                    + [len(t) + 1 for t in gold_ids]))
             it = BucketIterator(ds, opt.batch_size, iw_buckets,
                                 img_feats=feats, shuffle=False)
             import jax.numpy as jnp

@@ -159,6 +159,18 @@ def binarize(
     return BinarizedDataset(src, tgt)
 
 
+def buckets_with_catchall(buckets: Sequence[int], need: int) -> List[int]:
+    """Sorted ``buckets`` plus a catch-all bucket when ``need`` (the longest
+    sequence to be batched, in tokens) exceeds the largest — over-long
+    inputs are decoded/scored in full, never silently truncated at batch
+    assembly. One policy shared by decode, force-decode scoring and IW eval
+    so the three paths cannot diverge."""
+    out = sorted(buckets)
+    if need > out[-1]:
+        out = out + [need]
+    return out
+
+
 class BucketIterator:
     """Length-bucketed batches with static shapes.
 

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from variational_mmt_tpu.data.dataset import BucketIterator, binarize
+from variational_mmt_tpu.data.dataset import (BucketIterator, binarize,
+                                               buckets_with_catchall)
 from variational_mmt_tpu.data.vocab import PAD
 from variational_mmt_tpu.models.model import VMMTModel
 
@@ -70,10 +71,9 @@ def score_corpus(
     ds = binarize(src_ids, tgt_ids)
     # hypotheses/references may exceed the training buckets (e.g. decode
     # max_length 100 vs largest bucket 64): add a catch-all bucket
-    buckets = sorted(buckets)
-    need = max([1] + [len(s) for s in src_ids] + [len(t) + 1 for t in tgt_ids])
-    if need > buckets[-1]:
-        buckets = buckets + [need]
+    buckets = buckets_with_catchall(
+        buckets,
+        max([1] + [len(s) for s in src_ids] + [len(t) + 1 for t in tgt_ids]))
     it = BucketIterator(ds, batch_size=batch_size, buckets=buckets,
                         img_feats=img_feats, shuffle=False)
     fn = jax.jit(make_score_fn(model, return_attn=return_attn))

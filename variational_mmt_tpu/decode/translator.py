@@ -19,7 +19,8 @@ import numpy as np
 
 from variational_mmt_tpu.config import DecodeConfig
 from variational_mmt_tpu.data.bpe import remove_bpe
-from variational_mmt_tpu.data.dataset import BinarizedDataset, BucketIterator
+from variational_mmt_tpu.data.dataset import (BinarizedDataset, BucketIterator,
+                                               buckets_with_catchall)
 from variational_mmt_tpu.data.vocab import UNK_TOK, Vocab
 from variational_mmt_tpu.models.model import VMMTModel
 from variational_mmt_tpu.ops.beam import beam_search, greedy_search
@@ -160,10 +161,8 @@ class Translator:
         ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
         # catch-all bucket: a source longer than the largest bucket must be
         # encoded in full, not silently truncated at batch assembly
-        buckets = sorted(self.buckets)
-        need = max([1] + [len(s) for s in src_ids])
-        if need > buckets[-1]:
-            buckets = buckets + [need]
+        buckets = buckets_with_catchall(
+            self.buckets, max([1] + [len(s) for s in src_ids]))
         it = BucketIterator(
             ds, batch_size=self.dcfg.batch_size, buckets=buckets,
             img_feats=img_feats, shuffle=False,
@@ -217,11 +216,15 @@ class Translator:
         img_feats: Optional[np.ndarray] = None,
         debpe: bool = True,
         keep_ids: bool = False,
+        src_ids: Optional[List[List[int]]] = None,
     ) -> List[List[Tuple[float, str]]]:
         """``keep_ids``: entries become (score, text, raw_token_ids) — the
         undecodable BPE-level ids, needed e.g. to force-decode a hypothesis
-        for attention dumps."""
-        src_ids = [self.src_vocab.encode(t) for t in src_tokens]
+        for attention dumps. ``src_ids``: pre-encoded ids for ``src_tokens``
+        (a caller that needs the ids anyway — e.g. for scoring — passes them
+        to skip a second full-corpus vocab encode)."""
+        if src_ids is None:
+            src_ids = [self.src_vocab.encode(t) for t in src_tokens]
         pt = self.phrase_table
         out = []
         for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats)):

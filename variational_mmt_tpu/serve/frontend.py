@@ -125,6 +125,9 @@ def make_http_handler(backend: Backend):
                 return
             try:
                 out = backend.translate(texts, imgs, timeout)
+            except ValueError as e:  # bad request (e.g. over-length source)
+                reply(400, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001 — surface to the client
                 reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -180,6 +183,10 @@ class _DispatcherBackend(Backend):
             timeout,
         )
         if "error" in resp:
+            if resp["error"].startswith("ValueError:"):
+                # re-raise as the client-error type so the handler maps it
+                # to a 400 exactly like the in-process backend
+                raise ValueError(resp["error"].split(": ", 1)[1])
             raise RuntimeError(resp["error"])
         return [[(s, t) for s, t in nbest] for nbest in resp["results"]]
 

@@ -51,6 +51,14 @@ class ServeConfig:
     lower: bool = True  # lowercase incoming text (reference preprocessing)
     queue_capacity: int = 4096  # back-pressure: submit blocks when full
     conv_regions: int = 49  # rows per conv feature map (ResNet 7x7 grid)
+    # longest accepted source, in post-BPE tokens (0 = the largest bucket;
+    # a larger value adds a warmed bucket of that length). Anything longer
+    # is rejected (or truncated with over_length="truncate") at submit time:
+    # the offline CLI's catch-all bucket would mean an in-line multi-second
+    # XLA compile PER DISTINCT over-length, stalling every queued request —
+    # warmup must stay exhaustive for the shapes live traffic can produce
+    max_src_tokens: int = 0
+    over_length: str = "reject"  # "reject" -> client error | "truncate"
 
 
 @dataclass
@@ -88,6 +96,13 @@ class TranslationService:
             if (model.is_latent or model.cfg.use_img_predict) and model.cfg.img_feat_dim > 0
             else 0
         )
+        if self.scfg.over_length not in ("reject", "truncate"):
+            raise ValueError(
+                f"over_length must be 'reject' or 'truncate', got "
+                f"{self.scfg.over_length!r}")
+        self._src_cap = self.scfg.max_src_tokens or max(buckets)
+        if self._src_cap > max(buckets):
+            buckets = list(buckets) + [self._src_cap]  # warmed like the rest
         self.translator = Translator(
             model, params, src_vocab, tgt_vocab, self.dcfg, buckets=buckets,
             mesh=mesh,
@@ -118,6 +133,15 @@ class TranslationService:
         [(score, text), ...] (same payload as Translator.translate_tokens)."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
+        if len(tokens) > self._src_cap:
+            if self.scfg.over_length == "truncate":
+                tokens = tokens[: self._src_cap]
+            else:
+                raise ValueError(
+                    f"source has {len(tokens)} tokens but this server caps at "
+                    f"{self._src_cap} (every accepted length is compiled at "
+                    "warmup; raise ServeConfig.max_src_tokens or set "
+                    "over_length='truncate')")
         if self._img_dim and img is None:
             # latent models condition the prior on v; an online request
             # without an image degrades to the zero-feature vector

@@ -12,7 +12,12 @@ from __future__ import annotations
 import os
 
 
-def honor_env_platform() -> None:
+def honor_env_platform(needs_jax: bool = True) -> None:
+    """``needs_jax=False`` (the preprocess CLI) keeps a jax-free entry point
+    jax-free; every other CLI wants the compile cache configured even though
+    it has not imported jax yet (round-3 review: serve — the CLI with the
+    largest compile bill — silently lost the cache to the import-order
+    guard)."""
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         import jax
@@ -23,7 +28,7 @@ def honor_env_platform() -> None:
                 jax.config.update("jax_platforms", plat)
         except Exception as e:  # backends already initialized elsewhere
             print(f"warning: could not apply JAX_PLATFORMS={plat}: {e}")
-    enable_compile_cache()
+    enable_compile_cache(allow_jax_import=needs_jax)
 
 
 _cache_entries_at_start: int | None = None
@@ -55,7 +60,7 @@ def compile_cache_stats() -> dict:
     return {"dir": loc, "enabled": True, "entries": n, "entries_added": added}
 
 
-def enable_compile_cache() -> None:
+def enable_compile_cache(allow_jax_import: bool = True) -> None:
     """Persistent XLA compilation cache for every CLI (repeat runs skip the
     multi-minute first compile — on a remote-TPU tunnel, compile dominated
     a full Multi30k-scale training's wall clock).
@@ -69,7 +74,7 @@ def enable_compile_cache() -> None:
     loc = os.environ.get("VMMT_COMPILE_CACHE", "")
     if loc == "0":
         return
-    if ("jax" not in sys.modules and not loc
+    if (not allow_jax_import and "jax" not in sys.modules and not loc
             and not os.environ.get("JAX_PLATFORMS")):
         # jax-free CLIs (preprocess) must stay jax-free: don't pay the
         # import (or create cache dirs) unless explicitly asked
