@@ -11,7 +11,8 @@ from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig, TrainC
 from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
 from variational_mmt_tpu.decode.translator import Translator
 from variational_mmt_tpu.models.model import build_model
-from variational_mmt_tpu.serve import ServeConfig, ServingServer, TranslationService
+from variational_mmt_tpu.serve import (ClientError, ServeConfig, ServingServer,
+                                       TranslationService)
 from variational_mmt_tpu.train.trainer import create_train_state
 
 
@@ -99,6 +100,49 @@ def test_max_src_tokens_extends_warmed_buckets():
             svc.translate_text([" ".join(f"w{i % 20}" for i in range(13))])
     finally:
         svc.stop()
+
+
+def test_batch_rejection_is_atomic():
+    """A multi-sentence request with one over-length source enqueues NOTHING:
+    the valid sentences must not consume device work whose results are
+    discarded when the request 400s."""
+    _, _, _, _, svc = small_service()  # buckets=[8]
+    try:
+        texts = ["w1 w2", "w3 w4", " ".join(f"w{i % 20}" for i in range(9))]
+        before = svc.stats["requests"]
+        with pytest.raises(ClientError, match="caps at 8"):
+            svc.translate_text(texts)
+        assert svc.stats["requests"] == before  # nothing reached the queue
+    finally:
+        svc.stop()
+
+
+def test_negative_max_src_tokens_rejected_at_construction():
+    with pytest.raises(ValueError, match="max_src_tokens"):
+        small_service(max_src_tokens=-5)
+
+
+def test_dispatcher_maps_only_client_errors_to_400():
+    """Server-side ValueErrors crossing the RPC stay server errors (500);
+    only the dedicated ClientError type is unwrapped for the 400 path —
+    a bug must never be reported to the client as its own malformed input."""
+    from variational_mmt_tpu.serve.frontend import _DispatcherBackend
+
+    class FakeRPC:
+        def __init__(self, resp):
+            self.resp = resp
+
+        def call(self, obj, timeout):
+            return self.resp
+
+    be = _DispatcherBackend(FakeRPC({"error": "ClientError: too long"}),
+                            None, lower=True)
+    with pytest.raises(ClientError, match="too long"):
+        be.translate(["x"], None, 5.0)
+    be = _DispatcherBackend(FakeRPC({"error": "ValueError: server bug"}),
+                            None, lower=True)
+    with pytest.raises(RuntimeError, match="server bug"):
+        be.translate(["x"], None, 5.0)
 
 
 def test_dynamic_batching_coalesces():
@@ -353,6 +397,17 @@ def test_mp_server_roundtrip_matches_in_process():
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+
+        # over-length source -> 400 through the real RPC unwrap (the
+        # service's ClientError crosses the unix socket as a typed error)
+        over = urllib.request.Request(
+            base + "/translate",
+            data=json.dumps(
+                {"texts": [" ".join(f"w{i % 20}" for i in range(9))]}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(over, timeout=30)
+        assert ei.value.code == 400 and b"caps at 8" in ei.value.read()
 
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             stats = json.loads(r.read())

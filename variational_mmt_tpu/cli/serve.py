@@ -32,6 +32,13 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-max_wait_ms", type=float, default=5.0,
                    help="batching window after the first queued request")
     p.add_argument("-bpe_codes", default="", help="BPE codes applied to request text")
+    p.add_argument("-max_src_tokens", type=int, default=0,
+                   help="longest accepted source in post-BPE tokens (0 = the "
+                        "largest bucket; larger values add a warmed bucket)")
+    p.add_argument("-over_length", choices=["reject", "truncate"],
+                   default="reject",
+                   help="sources beyond the cap: reject -> HTTP 400, "
+                        "truncate -> serve the capped prefix")
     p.add_argument("-no_lower", action="store_true")
     p.add_argument("-no_warmup", action="store_true")
     p.add_argument("-tensor_parallel", type=int, default=1,
@@ -73,7 +80,9 @@ def main(argv=None) -> None:
         coverage_beta=opt.coverage_beta,
     )
     scfg = ServeConfig(
-        max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup, lower=not opt.no_lower
+        max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,
+        lower=not opt.no_lower, max_src_tokens=opt.max_src_tokens,
+        over_length=opt.over_length,
     )
     bpe = BPE.load(opt.bpe_codes) if opt.bpe_codes else None
     mesh = None

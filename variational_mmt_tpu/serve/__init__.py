@@ -6,7 +6,9 @@ dynamic batcher, static device shapes) and ``ServingServer`` (stdlib HTTP
 front end).
 """
 
+from variational_mmt_tpu.serve.errors import ClientError
 from variational_mmt_tpu.serve.http_server import MPServingServer, ServingServer
 from variational_mmt_tpu.serve.service import ServeConfig, TranslationService
 
-__all__ = ["MPServingServer", "ServeConfig", "ServingServer", "TranslationService"]
+__all__ = ["ClientError", "MPServingServer", "ServeConfig", "ServingServer",
+           "TranslationService"]

@@ -33,6 +33,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from variational_mmt_tpu.serve.errors import ClientError
+
 try:
     import msgpack
 except ImportError:  # binary wire format degrades to a clean 501
@@ -125,7 +127,7 @@ def make_http_handler(backend: Backend):
                 return
             try:
                 out = backend.translate(texts, imgs, timeout)
-            except ValueError as e:  # bad request (e.g. over-length source)
+            except ClientError as e:  # bad request (e.g. over-length source)
                 reply(400, {"error": str(e)})
                 return
             except Exception as e:  # noqa: BLE001 — surface to the client
@@ -183,10 +185,12 @@ class _DispatcherBackend(Backend):
             timeout,
         )
         if "error" in resp:
-            if resp["error"].startswith("ValueError:"):
+            if resp["error"].startswith("ClientError:"):
                 # re-raise as the client-error type so the handler maps it
-                # to a 400 exactly like the in-process backend
-                raise ValueError(resp["error"].split(": ", 1)[1])
+                # to a 400 exactly like the in-process backend; server-side
+                # ValueErrors deliberately do NOT match (they are bugs, and
+                # must surface as 500s, not as the client's fault)
+                raise ClientError(resp["error"].split(": ", 1)[1])
             raise RuntimeError(resp["error"])
         return [[(s, t) for s, t in nbest] for nbest in resp["results"]]
 

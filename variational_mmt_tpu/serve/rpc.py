@@ -32,6 +32,8 @@ from typing import Optional
 import msgpack
 import numpy as np
 
+from variational_mmt_tpu.serve.errors import ClientError
+
 _LEN = struct.Struct("<I")
 MAX_MSG = 256 * 1024 * 1024  # corrupt-length guard
 
@@ -164,14 +166,11 @@ class RPCServer:
             if wire is not None:
                 imgs = np.frombuffer(wire["data"], dtype="<f4").reshape(wire["shape"])
                 if len(imgs) != len(tokens):
-                    raise ValueError("'imgs' must align to 'texts'")
+                    raise ClientError("'imgs' must align to 'texts'")
             timeout = float(req.get("timeout", 60.0))
-            futs = [
-                self.service.submit_tokens(
-                    toks, None if imgs is None else imgs[i]
-                )
-                for i, toks in enumerate(tokens)
-            ]
+            # batch submit: the whole request is validated before anything
+            # is enqueued, so a rejected sentence costs no device work
+            futs = self.service.submit_tokens_batch(tokens, imgs)
             return {
                 "results": [
                     [[float(s), t] for s, t in f.result(timeout=timeout)]

@@ -30,11 +30,12 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from variational_mmt_tpu.config import DecodeConfig
+from variational_mmt_tpu.serve.errors import ClientError
 from variational_mmt_tpu.data.bpe import BPE
 from variational_mmt_tpu.data.tokenizer import tokenize
 from variational_mmt_tpu.data.vocab import Vocab
@@ -100,6 +101,9 @@ class TranslationService:
             raise ValueError(
                 f"over_length must be 'reject' or 'truncate', got "
                 f"{self.scfg.over_length!r}")
+        if self.scfg.max_src_tokens < 0:
+            raise ValueError(
+                f"max_src_tokens must be >= 0, got {self.scfg.max_src_tokens}")
         self._src_cap = self.scfg.max_src_tokens or max(buckets)
         if self._src_cap > max(buckets):
             buckets = list(buckets) + [self._src_cap]  # warmed like the rest
@@ -126,18 +130,17 @@ class TranslationService:
     # ------------------------------------------------------------------
     # producer API
     # ------------------------------------------------------------------
-    def submit_tokens(
-        self, tokens: List[str], img: Optional[np.ndarray] = None
-    ) -> Future:
-        """Enqueue one pre-tokenized sentence; resolves to the n-best list
-        [(score, text), ...] (same payload as Translator.translate_tokens)."""
-        if self._stopped.is_set():
-            raise RuntimeError("service stopped")
+    def _validated(
+        self, tokens: List[str], img: Optional[np.ndarray]
+    ) -> Tuple[List[str], Optional[np.ndarray]]:
+        """Apply the over-length policy and image defaults/shape check;
+        raises ClientError without side effects so multi-sentence callers
+        can validate a whole request before enqueuing any of it."""
         if len(tokens) > self._src_cap:
             if self.scfg.over_length == "truncate":
                 tokens = tokens[: self._src_cap]
             else:
-                raise ValueError(
+                raise ClientError(
                     f"source has {len(tokens)} tokens but this server caps at "
                     f"{self._src_cap} (every accepted length is compiled at "
                     "warmup; raise ServeConfig.max_src_tokens or set "
@@ -150,27 +153,56 @@ class TranslationService:
             img = np.asarray(img, np.float32)
             want = self._feat_shape()
             if want and img.shape != want:
-                raise ValueError(f"img features must have shape {want}, got {img.shape}")
+                raise ClientError(
+                    f"img features must have shape {want}, got {img.shape}")
+        return tokens, img
+
+    def _enqueue(self, tokens: List[str], img: Optional[np.ndarray]) -> Future:
         req = _Request(tokens=tokens, img=img)
         self._q.put(req)
         with self._stats_lock:
             self.stats["requests"] += 1
         return req.future
 
-    def submit_text(self, text: str, img: Optional[np.ndarray] = None) -> Future:
+    def submit_tokens(
+        self, tokens: List[str], img: Optional[np.ndarray] = None
+    ) -> Future:
+        """Enqueue one pre-tokenized sentence; resolves to the n-best list
+        [(score, text), ...] (same payload as Translator.translate_tokens)."""
+        if self._stopped.is_set():
+            raise RuntimeError("service stopped")
+        return self._enqueue(*self._validated(tokens, img))
+
+    def submit_tokens_batch(
+        self, tokens_list: Sequence[List[str]], imgs: Optional[np.ndarray] = None
+    ) -> List[Future]:
+        """Validate EVERY sentence of a multi-sentence request, then enqueue
+        all of them. A rejection (e.g. one over-length source) therefore
+        costs no device work: nothing from the request reaches the queue."""
+        if self._stopped.is_set():
+            raise RuntimeError("service stopped")
+        pairs = [
+            self._validated(toks, None if imgs is None else imgs[i])
+            for i, toks in enumerate(tokens_list)
+        ]
+        return [self._enqueue(toks, img) for toks, img in pairs]
+
+    def _text_to_tokens(self, text: str) -> List[str]:
         toks = tokenize(text, lower=self.scfg.lower)
         if self.bpe is not None:
             toks = self.bpe.segment(toks)
-        return self.submit_tokens(toks, img)
+        return toks
+
+    def submit_text(self, text: str, img: Optional[np.ndarray] = None) -> Future:
+        return self.submit_tokens(self._text_to_tokens(text), img)
 
     def translate_text(
         self, texts: Sequence[str], imgs: Optional[np.ndarray] = None, timeout: float = 120.0
     ) -> List[List]:
-        """Synchronous convenience: submit all, wait for all."""
-        futs = [
-            self.submit_text(t, None if imgs is None else imgs[i])
-            for i, t in enumerate(texts)
-        ]
+        """Synchronous convenience: submit all, wait for all (all-or-nothing
+        at submit time — see submit_tokens_batch)."""
+        futs = self.submit_tokens_batch(
+            [self._text_to_tokens(t) for t in texts], imgs)
         return [f.result(timeout=timeout) for f in futs]
 
     # ------------------------------------------------------------------
