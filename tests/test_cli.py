@@ -428,3 +428,61 @@ def test_config_file_optimizer_without_lr_gets_family_default(corpus, tmp_path):
     ])
     _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(f"{tmp_path}/ckfam2"))
     assert abs(cfg.train.learning_rate - 0.5) < 1e-9
+
+
+def test_cli_ensemble_translate(corpus, tmp_path, capsys):
+    """-model a,b ensemble decode: output lines for every sentence, the
+    incompatible-flag guard, and the vocab-mismatch guard."""
+    d = str(corpus)
+    _mini_train(d, f"{tmp_path}/ens_a")
+    # a second member from a different seed (different params, same vocab)
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", f"{tmp_path}/ens_b",
+        "-model_type", "vmmt_f", "-train_img_feats", f"{d}/train.feats.npy",
+        "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-z_latent_dim", "4", "-batch_size", "16",
+        "-max_steps", "6", "-report_every", "100", "-valid_every", "100",
+        "-checkpoint_every", "100", "-buckets", "16",
+        "-compute_dtype", "float32", "-seed", "99",
+    ])
+    cli_translate.main([
+        "-model", f"{tmp_path}/ens_a,{tmp_path}/ens_b",
+        "-src", f"{d}/test.src", "-img_feats", f"{d}/test.feats.npy",
+        "-bpe_codes", f"{d}/demo.bpe.codes", "-pretokenized",
+        "-output", f"{tmp_path}/pred_ens.txt", "-beam_size", "2",
+        "-batch_size", "8", "-max_length", "12",
+    ])
+    with open(f"{tmp_path}/pred_ens.txt") as f:
+        assert len(f.read().splitlines()) == 10
+    assert "ensemble of 2 checkpoints (prob)" in capsys.readouterr().out
+
+    # per-model-only flags must be rejected up front, not fail deep inside
+    with pytest.raises(SystemExit, match="-iw_eval"):
+        cli_translate.main([
+            "-model", f"{tmp_path}/ens_a,{tmp_path}/ens_b",
+            "-src", f"{d}/test.src", "-tgt", f"{d}/test.tgt",
+            "-img_feats", f"{d}/test.feats.npy",
+            "-bpe_codes", f"{d}/demo.bpe.codes", "-pretokenized",
+            "-iw_eval", "2",
+        ])
+
+    # a member from a different preprocess run (different vocab) is refused
+    cli_pre.main([
+        "-train_src", f"{d}/train.src", "-train_tgt", f"{d}/train.tgt",
+        "-valid_src", f"{d}/valid.src", "-valid_tgt", f"{d}/valid.tgt",
+        "-save_data", f"{tmp_path}/other", "-bpe_merges", "10", "-pretokenized",
+    ])
+    cli_train.main([
+        "-data", f"{tmp_path}/other", "-save_model", f"{tmp_path}/ens_c",
+        "-model_type", "nmt", "-word_vec_size", "16", "-rnn_size", "16",
+        "-batch_size", "8", "-max_steps", "1", "-buckets", "16",
+        "-compute_dtype", "float32", "-checkpoint_every", "100",
+        "-valid_every", "100",
+    ])
+    with pytest.raises(SystemExit, match="different"):
+        cli_translate.main([
+            "-model", f"{tmp_path}/ens_a,{tmp_path}/ens_c",
+            "-src", f"{d}/test.src", "-img_feats", f"{d}/test.feats.npy",
+            "-bpe_codes", f"{d}/demo.bpe.codes", "-pretokenized",
+        ])

@@ -259,9 +259,11 @@ def test_serve_cli_args_parse():
     p = argparse.ArgumentParser()
     add_args(p)
     opt = p.parse_args(["-model", "x", "-port", "0", "-max_wait_ms", "2.5",
-                        "-max_src_tokens", "96", "-over_length", "truncate"])
+                        "-max_src_tokens", "96", "-over_length", "truncate",
+                        "-ensemble_mode", "logprob"])
     assert opt.port == 0 and opt.max_wait_ms == 2.5
     assert opt.max_src_tokens == 96 and opt.over_length == "truncate"
+    assert opt.ensemble_mode == "logprob"
 
 
 def test_http_msgpack_binary_wire_matches_json():

@@ -18,7 +18,12 @@ from variational_mmt_tpu.config import DecodeConfig
 
 
 def add_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("-model", required=True, help="checkpoint dir (or specific step dir)")
+    p.add_argument("-model", required=True,
+                   help="checkpoint dir (or specific step dir); "
+                        "comma-separate several for an ensemble")
+    p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
+                   help="ensemble combination of per-step distributions: "
+                        "mean probability (prob) or mean log-prob (logprob)")
     p.add_argument("-host", default="127.0.0.1")
     p.add_argument("-port", type=int, default=8080)
     p.add_argument("-beam_size", type=int, default=4)
@@ -68,16 +73,44 @@ def main(argv=None) -> None:
     )
     from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
 
-    path = opt.model
-    if not os.path.exists(os.path.join(path, "state.msgpack")):
-        path = latest_checkpoint(path) or path
-    state, cfg, model, sv, tv = load_checkpoint(path)
-    print(f"loaded {path} (step {int(state.step)}, {cfg.model.model_type})")
+    ens_states, ens_models, ens_cfgs = [], [], []
+    cfg = model = state = sv = tv = None
+    for raw_path in opt.model.split(","):
+        path = raw_path.strip()
+        if not os.path.exists(os.path.join(path, "state.msgpack")):
+            path = latest_checkpoint(path) or path
+        m_state, m_cfg, m_model, m_sv, m_tv = load_checkpoint(path)
+        print(f"loaded {path} (step {int(m_state.step)}, {m_cfg.model.model_type})")
+        if cfg is None:
+            state, cfg, model, sv, tv = m_state, m_cfg, m_model, m_sv, m_tv
+        elif m_sv.itos != sv.itos or m_tv.itos != tv.itos:
+            raise SystemExit(
+                f"ensemble member {path} was trained with a different vocab; "
+                "all -model checkpoints must come from the same preprocess run")
+        ens_states.append(m_state)
+        ens_models.append(m_model)
+        ens_cfgs.append(m_cfg)
+    ensemble = len(ens_models) > 1
+    if ensemble:
+        if opt.tensor_parallel > 1:
+            raise SystemExit("-tensor_parallel: not supported with an "
+                             "ensemble — serve a single -model")
+        feats_ifaces = {
+            (c.model.img_feat_dim, c.model.img_feat_type)
+            for c in ens_cfgs
+            if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0
+        }
+        if len(feats_ifaces) > 1:
+            raise SystemExit(
+                "ensemble members disagree on the image-feature interface "
+                f"{sorted(feats_ifaces)}: all vmmt_c members must share the "
+                "feature type/dim")
+        print(f"ensemble of {len(ens_models)} checkpoints ({opt.ensemble_mode})")
 
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
-        coverage_beta=opt.coverage_beta,
+        coverage_beta=opt.coverage_beta, ensemble_mode=opt.ensemble_mode,
     )
     scfg = ServeConfig(
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,
@@ -99,12 +132,16 @@ def main(argv=None) -> None:
         print(f"serving over ({n_data} data x {opt.tensor_parallel} model) mesh")
     print("compiling decode shapes..." if scfg.warmup else "warmup skipped")
     service = TranslationService(
-        model, state.params, sv, tv, dcfg,
+        ens_models if ensemble else model,
+        [s.params for s in ens_states] if ensemble else state.params,
+        sv, tv, dcfg,
         buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
         mesh=mesh,
     )
-    info = {"model_type": cfg.model.model_type, "step": int(state.step),
-            "beam_size": opt.beam_size}
+    info = {"model_type": ",".join(c.model.model_type for c in ens_cfgs)
+            if ensemble else cfg.model.model_type,
+            "step": int(state.step), "beam_size": opt.beam_size,
+            "ensemble": len(ens_models) if ensemble else 0}
     if opt.procs > 0:
         server = MPServingServer(service, opt.host, opt.port,
                                  procs=opt.procs, info=info)

@@ -28,7 +28,13 @@ from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpo
 
 
 def add_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("-model", required=True, help="checkpoint dir (or specific step dir)")
+    p.add_argument("-model", required=True,
+                   help="checkpoint dir (or specific step dir); "
+                        "comma-separate several for an ensemble decode")
+    p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
+                   help="how ensemble members' next-token distributions are "
+                        "combined: mean probability (prob) or mean log-prob "
+                        "(logprob, geometric)")
     p.add_argument("-src", required=True, help="source text file")
     p.add_argument("-tgt", default="", help="reference target (for BLEU / IW eval)")
     p.add_argument("-img_feats", default="", help="HDF5/NPY features aligned to src lines")
@@ -78,11 +84,56 @@ def main(argv=None) -> None:
     add_args(p)
     opt = p.parse_args(argv)
 
-    path = opt.model
-    if not os.path.exists(os.path.join(path, "state.msgpack")):
-        path = latest_checkpoint(path) or path
-    state, cfg, model, sv, tv = load_checkpoint(path)
-    print(f"loaded {path} (step {int(state.step)}, {cfg.model.model_type})")
+    ens_states, ens_models, ens_cfgs = [], [], []
+    cfg = model = state = sv = tv = None
+    for raw_path in opt.model.split(","):
+        path = raw_path.strip()
+        if not os.path.exists(os.path.join(path, "state.msgpack")):
+            path = latest_checkpoint(path) or path
+        m_state, m_cfg, m_model, m_sv, m_tv = load_checkpoint(path)
+        print(f"loaded {path} (step {int(m_state.step)}, {m_cfg.model.model_type})")
+        if cfg is None:
+            state, cfg, model, sv, tv = m_state, m_cfg, m_model, m_sv, m_tv
+        else:
+            # ensemble members must index the same token space on both
+            # sides: the beam combines distributions positionally and the
+            # source ids are encoded once
+            if m_sv.itos != sv.itos or m_tv.itos != tv.itos:
+                raise SystemExit(
+                    f"ensemble member {path} was trained with a different "
+                    "vocab; all -model checkpoints must come from the same "
+                    "preprocess run")
+        ens_states.append(m_state)
+        ens_models.append(m_model)
+        ens_cfgs.append(m_cfg)
+    ensemble = len(ens_models) > 1
+    if ensemble:
+        incompatible = [
+            ("-iw_eval", opt.iw_eval > 0),
+            ("-verbose", opt.verbose),
+            ("-dump_attn", bool(opt.dump_attn)),
+            ("-tensor_parallel", opt.tensor_parallel > 1),
+        ]
+        bad = [f for f, on in incompatible if on]
+        if bad:
+            raise SystemExit(
+                f"{', '.join(bad)}: not supported with an ensemble "
+                "(force-decode scoring, the IW bound and TP sharding are "
+                "defined per model) — pass a single -model")
+        # one img tensor feeds every member's conditional prior, so members
+        # that consume decode-time features must share the feature interface
+        # (vmmt_f/nmt members ignore v at decode and may mix freely)
+        feats_ifaces = {
+            (c.model.img_feat_dim, c.model.img_feat_type)
+            for c in ens_cfgs
+            if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0
+        }
+        if len(feats_ifaces) > 1:
+            raise SystemExit(
+                "ensemble members disagree on the image-feature interface "
+                f"{sorted(feats_ifaces)}: all vmmt_c members must be trained "
+                "on the same feature type/dim (one -img_feats tensor feeds "
+                "every conditional prior)")
 
     lower = not opt.no_lower
     with open(opt.src, encoding="utf-8") as f:
@@ -99,20 +150,23 @@ def main(argv=None) -> None:
     feats = load_features(opt.img_feats) if opt.img_feats else None
     if feats is not None:
         assert len(feats) == len(src_tok), "feature rows must align to src lines"
-    if feats is None and cfg.model.model_type == "vmmt_c" and cfg.model.img_feat_dim > 0:
+    needs_feats = [c for c in ens_cfgs
+                   if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0]
+    if feats is None and needs_feats:
         # the conditional prior p(z|x,v) needs v at decode time; without this
         # guard the failure is a cryptic flax shape error inside the prior
         raise SystemExit(
             "this checkpoint's conditional prior was trained on image features "
-            f"(img_feat_dim={cfg.model.img_feat_dim}): pass -img_feats aligned "
-            "to the source file (vmmt_f decodes without features; vmmt_c cannot)"
+            f"(img_feat_dim={needs_feats[0].model.img_feat_dim}): pass -img_feats "
+            "aligned to the source file (vmmt_f decodes without features; "
+            "vmmt_c cannot)"
         )
 
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
-        dump_beam=bool(opt.dump_beam),
+        dump_beam=bool(opt.dump_beam), ensemble_mode=opt.ensemble_mode,
     )
     mesh = None
     if opt.tensor_parallel > 1:
@@ -129,9 +183,16 @@ def main(argv=None) -> None:
 
         mesh = make_mesh()
         print(f"data-parallel decode over {mesh.size} devices")
-    translator = Translator(model, state.params, sv, tv, dcfg,
-                            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
-                            mesh=mesh)
+    if ensemble:
+        print(f"ensemble of {len(ens_models)} checkpoints ({opt.ensemble_mode})")
+        translator = Translator(ens_models, [s.params for s in ens_states],
+                                sv, tv, dcfg,
+                                buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+                                mesh=mesh)
+    else:
+        translator = Translator(model, state.params, sv, tv, dcfg,
+                                buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+                                mesh=mesh)
     if opt.phrase_table:
         if not opt.replace_unk:
             raise SystemExit("-phrase_table is only consulted by -replace_unk; "

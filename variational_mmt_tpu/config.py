@@ -191,6 +191,10 @@ class DecodeConfig:
     replace_unk: bool = False
     dump_beam: bool = False  # record the raw beam search tree (-dump_beam)
     iw_samples: int = 10  # K for importance-weighted ELBO eval
+    # multi-checkpoint ensemble combination: "prob" averages the per-model
+    # next-token distributions in probability space (logsumexp - log M, the
+    # standard NMT ensemble); "logprob" averages log-probs (geometric mean)
+    ensemble_mode: str = "prob"
 
 
 @dataclass

@@ -26,60 +26,112 @@ from variational_mmt_tpu.models.model import VMMTModel
 from variational_mmt_tpu.ops.beam import beam_search, greedy_search
 
 
-def make_translate_fn(model: VMMTModel, dcfg: DecodeConfig) -> Callable:
+def _combine_logps(logps: List[jax.Array], mode: str) -> jax.Array:
+    """Ensemble combination of per-model next-token log-distributions.
+
+    ``prob``: arithmetic mean in probability space (logsumexp - log M), the
+    standard NMT ensemble; ``logprob``: mean of log-probs (geometric mean of
+    probabilities, unnormalized — ranking-equivalent product-of-experts).
+    With one model both are the identity.
+    """
+    if len(logps) == 1:
+        return logps[0]
+    stacked = jnp.stack(logps, axis=0)
+    if mode == "prob":
+        return jax.nn.logsumexp(stacked, axis=0) - jnp.log(float(len(logps)))
+    if mode != "logprob":
+        raise ValueError(f"unknown ensemble_mode: {mode!r} (expected prob | logprob)")
+    return jnp.mean(stacked, axis=0)
+
+
+def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
     """Builds fn(params, src (B,S), img (B,D)|None) -> (tokens (B,K,L),
-    scores (B,K)). Jit-cached per input shape by the caller."""
+    scores (B,K)). Jit-cached per input shape by the caller.
+
+    ``model`` may be a single VMMTModel or a list of them (checkpoint
+    ensemble); with a list, ``params`` must be a matching tuple of param
+    trees and the beam expands on the combined distribution
+    (dcfg.ensemble_mode). Each member keeps its own encoder memory, latent
+    and decoder carry — architectures may differ as long as the vocabs
+    match (the caller checks that)."""
+    models = list(model) if isinstance(model, (list, tuple)) else [model]
     K = dcfg.beam_size
 
     def fn(params, src, img):
+        plist = list(params) if isinstance(params, (list, tuple)) else [params]
+        assert len(plist) == len(models), "one param tree per ensemble member"
         B = src.shape[0]
-        memory, finals, src_mask, summary = model.apply(
-            {"params": params}, src, method=VMMTModel.encode
-        )
-        z = None
-        if model.is_latent:
-            z = model.apply({"params": params}, summary, img, method=VMMTModel.prior_latent)
-        init_hs = model.apply({"params": params}, finals, z, method=VMMTModel.init_decoder_state)
-        carry0 = model.apply({"params": params}, init_hs, method=VMMTModel.init_decode_carry)
+        # per-member encode: (params, memory, z, keys, carry0); src_mask is a
+        # function of src alone, identical across members
+        src_mask = None
+        members = []
+        carry0 = []
+        for m, p in zip(models, plist):
+            memory, finals, src_mask, summary = m.apply(
+                {"params": p}, src, method=VMMTModel.encode
+            )
+            z = None
+            if m.is_latent:
+                z = m.apply({"params": p}, summary, img, method=VMMTModel.prior_latent)
+            init_hs = m.apply({"params": p}, finals, z, method=VMMTModel.init_decoder_state)
+            carry0.append(m.apply({"params": p}, init_hs, method=VMMTModel.init_decode_carry))
+            keys = m.apply({"params": p}, memory, method=VMMTModel.project_memory)
+            members.append((m, p, memory, z, keys))
         track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
-
-        keys = model.apply({"params": params}, memory, method=VMMTModel.project_memory)
+        single = len(models) == 1
 
         # the greedy fast path cannot honor min_length (or produce real
         # scores/attn/traces) — any of those routes through the K=1 beam
         if (K == 1 and not track_attn and not dcfg.dump_beam
                 and dcfg.min_length == 0):
-            def step1(carry, toks):
-                carry, logits, _ = model.apply(
-                    {"params": params}, carry, toks, memory, src_mask, z, keys,
-                    method=VMMTModel.decode_step,
-                )
-                return carry, jax.nn.log_softmax(logits, axis=-1)
+            def step1(carries, toks):
+                new, logps = [], []
+                for (m, p, memory, z, keys), c in zip(members, carries):
+                    c, logits, _ = m.apply(
+                        {"params": p}, c, toks, memory, src_mask, z, keys,
+                        method=VMMTModel.decode_step,
+                    )
+                    new.append(c)
+                    logps.append(jax.nn.log_softmax(logits, axis=-1))
+                return tuple(new), _combine_logps(logps, dcfg.ensemble_mode)
 
-            tokens = greedy_search(step1, carry0, B, dcfg.max_length)
+            tokens = greedy_search(step1, tuple(carry0), B, dcfg.max_length)
             return tokens[:, None, :], jnp.zeros((B, 1), jnp.float32)
 
         # tile read-only context across beams (closures, not carry: no
         # per-step re-gather of the memory bank)
-        mem_t = jnp.repeat(memory, K, axis=0)
         mask_t = jnp.repeat(src_mask, K, axis=0)
-        z_t = jnp.repeat(z, K, axis=0) if z is not None else None
-        keys_t = jnp.repeat(keys, K, axis=0)
+        tiled = [
+            (m, p,
+             jnp.repeat(memory, K, axis=0),
+             jnp.repeat(z, K, axis=0) if z is not None else None,
+             jnp.repeat(keys, K, axis=0))
+            for (m, p, memory, z, keys) in members
+        ]
 
-        def step(carry, toks):
-            carry, logits, align = model.apply(
-                {"params": params}, carry, toks, mem_t, mask_t, z_t, keys_t,
-                method=VMMTModel.decode_step,
-            )
-            logp = jax.nn.log_softmax(logits, axis=-1)
+        def step(carries, toks):
+            new, logps, aligns = [], [], []
+            for (m, p, mem_t, z_t, keys_t), c in zip(tiled, carries):
+                c, logits, align = m.apply(
+                    {"params": p}, c, toks, mem_t, mask_t, z_t, keys_t,
+                    method=VMMTModel.decode_step,
+                )
+                new.append(c)
+                logps.append(jax.nn.log_softmax(logits, axis=-1))
+                aligns.append(align)
+            logp = _combine_logps(logps, dcfg.ensemble_mode)
             if track_attn:
                 # full attention probs: the beam derives the argmax for
-                # -replace_unk and accumulates coverage when beta != 0
-                return carry, logp, align.astype(jnp.float32)
-            return carry, logp
+                # -replace_unk and accumulates coverage when beta != 0;
+                # for an ensemble, the member-mean attention
+                attn = (aligns[0].astype(jnp.float32) if single
+                        else jnp.mean(jnp.stack(
+                            [a.astype(jnp.float32) for a in aligns], 0), 0))
+                return tuple(new), logp, attn
+            return tuple(new), logp
 
         return beam_search(
-            step, carry0, B, K, dcfg.max_length, dcfg.min_length,
+            step, tuple(carry0), B, K, dcfg.max_length, dcfg.min_length,
             dcfg.alpha, dcfg.length_penalty, return_attn=dcfg.replace_unk,
             coverage_beta=dcfg.coverage_beta, src_mask=src_mask,
             return_trace=dcfg.dump_beam,
@@ -101,7 +153,7 @@ class Translator:
 
     def __init__(
         self,
-        model: VMMTModel,
+        model,
         params,
         src_vocab: Vocab,
         tgt_vocab: Vocab,
@@ -109,7 +161,17 @@ class Translator:
         buckets: Sequence[int] = (16, 24, 32, 48, 64),
         mesh=None,
     ):
-        self.model = model
+        # checkpoint ensemble: model may be a list of VMMTModels with params
+        # a matching sequence of trees (the reference lineage's -models
+        # ensemble decode; combination rule = dcfg.ensemble_mode)
+        self.models = list(model) if isinstance(model, (list, tuple)) else [model]
+        self.model = self.models[0]
+        if isinstance(params, (list, tuple)):
+            if len(params) != len(self.models):
+                raise ValueError(
+                    f"{len(self.models)} ensemble members but {len(params)} "
+                    "param trees")
+            params = tuple(params)
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.dcfg = dcfg or DecodeConfig()
@@ -137,14 +199,22 @@ class Translator:
             if MODEL_AXIS in self.mesh.axis_names:
                 # tensor-parallel decode: vocab-sharded embeddings+generator;
                 # the beam's (K·V) top-k rides GSPMD collectives over V
+                if len(self.models) > 1:
+                    raise ValueError(
+                        "ensemble decode does not compose with tensor "
+                        "parallelism; use a data-only mesh")
                 params = jax.device_put(params, tree_shardings(params, self.mesh))
+            elif isinstance(params, tuple):
+                params = tuple(
+                    jax.device_put(p, replicated_sharding(self.mesh))
+                    for p in params)
             else:
                 params = jax.device_put(params, replicated_sharding(self.mesh))
         self.params = params
         # optional src->tgt map consulted by replace_unk before copying the
         # source token verbatim (reference -phrase_table)
         self.phrase_table: dict = {}
-        self._fn = jax.jit(make_translate_fn(model, self.dcfg))
+        self._fn = jax.jit(make_translate_fn(self.models, self.dcfg))
         # raw search trees by corpus index, populated when dcfg.dump_beam
         # (the reference's -dump_beam); see ops/beam.py return_trace
         self.beam_traces: dict = {}

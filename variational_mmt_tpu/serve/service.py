@@ -91,12 +91,17 @@ class TranslationService:
         self.dcfg = dcfg or DecodeConfig()
         self.scfg = scfg or ServeConfig()
         self.bpe = bpe
-        self.model = model
-        self._img_dim = (
-            model.cfg.img_feat_dim
-            if (model.is_latent or model.cfg.use_img_predict) and model.cfg.img_feat_dim > 0
-            else 0
-        )
+        # checkpoint ensemble: model may be a list (params a matching list of
+        # trees); the Translator combines per-step distributions on-device.
+        # The caller (cli/serve.py) enforces vocab/feature-interface match.
+        self.models = list(model) if isinstance(model, (list, tuple)) else [model]
+        self.model = self.models[0]
+        img_members = [
+            m for m in self.models
+            if (m.is_latent or m.cfg.use_img_predict) and m.cfg.img_feat_dim > 0
+        ]
+        self._img_cfg = img_members[0].cfg if img_members else None
+        self._img_dim = self._img_cfg.img_feat_dim if self._img_cfg else 0
         if self.scfg.over_length not in ("reject", "truncate"):
             raise ValueError(
                 f"over_length must be 'reject' or 'truncate', got "
@@ -245,7 +250,7 @@ class TranslationService:
     def _feat_shape(self):
         if not self._img_dim:
             return ()
-        if self.model.cfg.img_feat_type == "conv":
+        if self._img_cfg.img_feat_type == "conv":
             return (self.scfg.conv_regions, self._img_dim)
         return (self._img_dim,)
 
