@@ -149,8 +149,10 @@ def test_cli_img_interface_mismatch_rejected(tmp_path):
         cli_translate.main(argv)
     with pytest.raises(SystemExit, match="image-feature interface"):
         cli_serve.main(["-model", f"{tmp_path}/a,{tmp_path}/b", "-no_warmup"])
+    # the TP guard needs interface-compatible members (the shared loader
+    # raises the interface mismatch first)
     with pytest.raises(SystemExit, match="tensor_parallel"):
-        cli_serve.main(["-model", f"{tmp_path}/a,{tmp_path}/b",
+        cli_serve.main(["-model", f"{tmp_path}/a,{tmp_path}/a",
                         "-tensor_parallel", "2", "-no_warmup"])
 
 
@@ -159,6 +161,41 @@ def test_member_count_mismatch_rejected():
     with pytest.raises(ValueError, match="param trees"):
         Translator([model, model], [state.params], vocab, vocab, cfg.decode,
                    buckets=[8])
+    # a bare (non-sequence) tree with a model list must fail in __init__,
+    # not be silently zip-truncated to member 0 inside the traced fn
+    with pytest.raises(ValueError, match="single tree"):
+        Translator([model, model], state.params, vocab, vocab, cfg.decode,
+                   buckets=[8])
+
+
+def test_model_spec_empty_segment_rejected():
+    from variational_mmt_tpu.cli.loading import load_model_spec
+
+    for spec in ("ckpts/a,", ",ckpts/a", "a,,b"):
+        with pytest.raises(SystemExit, match="empty checkpoint path"):
+            load_model_spec(spec)
+
+
+def test_serve_mixed_family_uses_vmmt_c_feature_interface():
+    """A vmmt_f member trained on WIDER features may share an ensemble with
+    a narrower vmmt_c (its v is ignored at decode); the service must size
+    request features to the vmmt_c interface — the only decode-time
+    consumer — not to whichever member comes first."""
+    from variational_mmt_tpu.serve import ServeConfig, TranslationService
+
+    _, model_f, state_f, vocab = small_setup("vmmt_f", seed=41, img_dim=16)
+    _, model_c, state_c, _ = small_setup("vmmt_c", seed=42, img_dim=8)
+    svc = TranslationService(
+        [model_f, model_c], [state_f.params, state_c.params], vocab, vocab,
+        DecodeConfig(beam_size=2, max_length=8, batch_size=4), buckets=[8],
+        scfg=ServeConfig(max_wait_ms=50.0, warmup=False))
+    try:
+        assert svc._feat_shape() == (8,)
+        imgs = np.zeros((2, 8), np.float32)
+        out = svc.translate_text(["w1 w2", "w3"], imgs)
+        assert len(out) == 2
+    finally:
+        svc.stop()
 
 
 def test_serve_ensemble_matches_offline():
@@ -201,4 +238,8 @@ def test_ensemble_shifts_distribution():
     out_e = Translator([model_a, model_b], [state_a.params, state_b.params],
                        vocab, vocab, dcfg, buckets=[8]).translate_ids(src, feats)
     ids = lambda out: [out[i][0][1] for i in range(len(out))]
-    assert ids(out_e) != ids(out_a) or ids(out_e) != ids(out_b)
+    # the two members must disagree for the assertion below to bite, and
+    # the ensemble must differ from EACH member (an `or` here would pass a
+    # regression that returns member 0's distribution verbatim)
+    assert ids(out_a) != ids(out_b)
+    assert ids(out_e) != ids(out_a) and ids(out_e) != ids(out_b)

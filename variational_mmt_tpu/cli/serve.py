@@ -12,7 +12,6 @@ always runs full static-shape batches.
 from __future__ import annotations
 
 import argparse
-import os
 
 from variational_mmt_tpu.config import DecodeConfig
 
@@ -71,41 +70,15 @@ def main(argv=None) -> None:
         ServingServer,
         TranslationService,
     )
-    from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from variational_mmt_tpu.cli.loading import load_model_spec
 
-    ens_states, ens_models, ens_cfgs = [], [], []
-    cfg = model = state = sv = tv = None
-    for raw_path in opt.model.split(","):
-        path = raw_path.strip()
-        if not os.path.exists(os.path.join(path, "state.msgpack")):
-            path = latest_checkpoint(path) or path
-        m_state, m_cfg, m_model, m_sv, m_tv = load_checkpoint(path)
-        print(f"loaded {path} (step {int(m_state.step)}, {m_cfg.model.model_type})")
-        if cfg is None:
-            state, cfg, model, sv, tv = m_state, m_cfg, m_model, m_sv, m_tv
-        elif m_sv.itos != sv.itos or m_tv.itos != tv.itos:
-            raise SystemExit(
-                f"ensemble member {path} was trained with a different vocab; "
-                "all -model checkpoints must come from the same preprocess run")
-        ens_states.append(m_state)
-        ens_models.append(m_model)
-        ens_cfgs.append(m_cfg)
-    ensemble = len(ens_models) > 1
-    if ensemble:
+    lm = load_model_spec(opt.model)
+    cfg, sv, tv = lm.cfg, lm.src_vocab, lm.tgt_vocab
+    if lm.ensemble:
         if opt.tensor_parallel > 1:
             raise SystemExit("-tensor_parallel: not supported with an "
                              "ensemble — serve a single -model")
-        feats_ifaces = {
-            (c.model.img_feat_dim, c.model.img_feat_type)
-            for c in ens_cfgs
-            if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0
-        }
-        if len(feats_ifaces) > 1:
-            raise SystemExit(
-                "ensemble members disagree on the image-feature interface "
-                f"{sorted(feats_ifaces)}: all vmmt_c members must share the "
-                "feature type/dim")
-        print(f"ensemble of {len(ens_models)} checkpoints ({opt.ensemble_mode})")
+        print(f"ensemble of {len(lm.models)} checkpoints ({opt.ensemble_mode})")
 
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
@@ -131,17 +104,18 @@ def main(argv=None) -> None:
         mesh = make_mesh_2d(n_data, opt.tensor_parallel)
         print(f"serving over ({n_data} data x {opt.tensor_parallel} model) mesh")
     print("compiling decode shapes..." if scfg.warmup else "warmup skipped")
+    svc_model, svc_params = lm.translator_args()
     service = TranslationService(
-        ens_models if ensemble else model,
-        [s.params for s in ens_states] if ensemble else state.params,
-        sv, tv, dcfg,
+        svc_model, svc_params, sv, tv, dcfg,
         buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
         mesh=mesh,
     )
-    info = {"model_type": ",".join(c.model.model_type for c in ens_cfgs)
-            if ensemble else cfg.model.model_type,
-            "step": int(state.step), "beam_size": opt.beam_size,
-            "ensemble": len(ens_models) if ensemble else 0}
+    info = {"model_type": ",".join(c.model.model_type for c in lm.cfgs)
+            if lm.ensemble else cfg.model.model_type,
+            "step": ",".join(str(s) for s in lm.steps)
+            if lm.ensemble else lm.steps[0],
+            "beam_size": opt.beam_size,
+            "ensemble": len(lm.models) if lm.ensemble else 0}
     if opt.procs > 0:
         server = MPServingServer(service, opt.host, opt.port,
                                  procs=opt.procs, info=info)

@@ -8,7 +8,6 @@ reference file and/or run the K-sample IW-ELBO evaluation (needs -tgt).
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import numpy as np
@@ -24,7 +23,7 @@ from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus
 from variational_mmt_tpu.decode.translator import Translator
 from variational_mmt_tpu.evals.bleu import corpus_bleu
 from variational_mmt_tpu.evals.meteor import meteor_score
-from variational_mmt_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+from variational_mmt_tpu.cli.loading import load_model_spec
 
 
 def add_args(p: argparse.ArgumentParser) -> None:
@@ -84,30 +83,10 @@ def main(argv=None) -> None:
     add_args(p)
     opt = p.parse_args(argv)
 
-    ens_states, ens_models, ens_cfgs = [], [], []
-    cfg = model = state = sv = tv = None
-    for raw_path in opt.model.split(","):
-        path = raw_path.strip()
-        if not os.path.exists(os.path.join(path, "state.msgpack")):
-            path = latest_checkpoint(path) or path
-        m_state, m_cfg, m_model, m_sv, m_tv = load_checkpoint(path)
-        print(f"loaded {path} (step {int(m_state.step)}, {m_cfg.model.model_type})")
-        if cfg is None:
-            state, cfg, model, sv, tv = m_state, m_cfg, m_model, m_sv, m_tv
-        else:
-            # ensemble members must index the same token space on both
-            # sides: the beam combines distributions positionally and the
-            # source ids are encoded once
-            if m_sv.itos != sv.itos or m_tv.itos != tv.itos:
-                raise SystemExit(
-                    f"ensemble member {path} was trained with a different "
-                    "vocab; all -model checkpoints must come from the same "
-                    "preprocess run")
-        ens_states.append(m_state)
-        ens_models.append(m_model)
-        ens_cfgs.append(m_cfg)
-    ensemble = len(ens_models) > 1
-    if ensemble:
+    lm = load_model_spec(opt.model)
+    model, cfg, sv, tv = lm.model, lm.cfg, lm.src_vocab, lm.tgt_vocab
+    params = lm.params[0]
+    if lm.ensemble:
         incompatible = [
             ("-iw_eval", opt.iw_eval > 0),
             ("-verbose", opt.verbose),
@@ -120,20 +99,6 @@ def main(argv=None) -> None:
                 f"{', '.join(bad)}: not supported with an ensemble "
                 "(force-decode scoring, the IW bound and TP sharding are "
                 "defined per model) — pass a single -model")
-        # one img tensor feeds every member's conditional prior, so members
-        # that consume decode-time features must share the feature interface
-        # (vmmt_f/nmt members ignore v at decode and may mix freely)
-        feats_ifaces = {
-            (c.model.img_feat_dim, c.model.img_feat_type)
-            for c in ens_cfgs
-            if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0
-        }
-        if len(feats_ifaces) > 1:
-            raise SystemExit(
-                "ensemble members disagree on the image-feature interface "
-                f"{sorted(feats_ifaces)}: all vmmt_c members must be trained "
-                "on the same feature type/dim (one -img_feats tensor feeds "
-                "every conditional prior)")
 
     lower = not opt.no_lower
     with open(opt.src, encoding="utf-8") as f:
@@ -150,7 +115,7 @@ def main(argv=None) -> None:
     feats = load_features(opt.img_feats) if opt.img_feats else None
     if feats is not None:
         assert len(feats) == len(src_tok), "feature rows must align to src lines"
-    needs_feats = [c for c in ens_cfgs
+    needs_feats = [c for c in lm.cfgs
                    if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0]
     if feats is None and needs_feats:
         # the conditional prior p(z|x,v) needs v at decode time; without this
@@ -183,16 +148,12 @@ def main(argv=None) -> None:
 
         mesh = make_mesh()
         print(f"data-parallel decode over {mesh.size} devices")
-    if ensemble:
-        print(f"ensemble of {len(ens_models)} checkpoints ({opt.ensemble_mode})")
-        translator = Translator(ens_models, [s.params for s in ens_states],
-                                sv, tv, dcfg,
-                                buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
-                                mesh=mesh)
-    else:
-        translator = Translator(model, state.params, sv, tv, dcfg,
-                                buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
-                                mesh=mesh)
+    if lm.ensemble:
+        print(f"ensemble of {len(lm.models)} checkpoints ({opt.ensemble_mode})")
+    tr_model, tr_params = lm.translator_args()
+    translator = Translator(tr_model, tr_params, sv, tv, dcfg,
+                            buckets=cfg.data.buckets or [16, 24, 32, 48, 64],
+                            mesh=mesh)
     if opt.phrase_table:
         if not opt.replace_unk:
             raise SystemExit("-phrase_table is only consulted by -replace_unk; "
@@ -257,7 +218,7 @@ def main(argv=None) -> None:
 
         pred_ids = [list(nbest[0][2]) for nbest in results]
         pred_lp, pred_nt, attns = score_corpus(
-            model, state.params, src_ids, pred_ids, feats,
+            model, params, src_ids, pred_ids, feats,
             buckets=bucket_list, batch_size=opt.batch_size,
             return_attn=bool(opt.dump_attn),
         )
@@ -302,7 +263,7 @@ def main(argv=None) -> None:
             from variational_mmt_tpu.decode.score import report_score, score_corpus
 
             gold_lp, gold_nt, _ = score_corpus(
-                model, state.params, src_ids, gold_ids, feats,
+                model, params, src_ids, gold_ids, feats,
                 buckets=bucket_list, batch_size=opt.batch_size,
             )
             print(report_score("PRED", pred_lp, pred_nt))
@@ -342,7 +303,7 @@ def main(argv=None) -> None:
                     tree["img"] = b.img
                 return jax.device_put(tree)
 
-            out = iw_elbo_corpus(model, state.params, prefetch(it.epoch(0), transform=to_dev),
+            out = iw_elbo_corpus(model, params, prefetch(it.epoch(0), transform=to_dev),
                                  opt.iw_eval, jax.random.PRNGKey(opt.seed), mesh=mesh)
             print(f"IW-ELBO (K={opt.iw_eval}): joint {out['iw_elbo_per_sent']:.2f} / "
                   f"text {out['iw_text_per_sent']:.2f} per sent; "

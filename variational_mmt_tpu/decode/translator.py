@@ -172,6 +172,13 @@ class Translator:
                     f"{len(self.models)} ensemble members but {len(params)} "
                     "param trees")
             params = tuple(params)
+        elif len(self.models) > 1:
+            # a bare tree with a model list must fail HERE, not inside the
+            # traced fn (where a stripped assert would silently zip-truncate
+            # the ensemble down to member 0)
+            raise ValueError(
+                f"{len(self.models)} ensemble members need a matching "
+                "sequence of param trees, got a single tree")
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.dcfg = dcfg or DecodeConfig()

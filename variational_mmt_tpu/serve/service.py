@@ -96,7 +96,15 @@ class TranslationService:
         # The caller (cli/serve.py) enforces vocab/feature-interface match.
         self.models = list(model) if isinstance(model, (list, tuple)) else [model]
         self.model = self.models[0]
+        # the interface member must be a vmmt_c when one exists: conditional
+        # priors are the only decode-time feature consumers, and the CLI
+        # guard only enforces agreement among vmmt_c members (a vmmt_f
+        # trained on wider features may legally share an ensemble with a
+        # narrower vmmt_c — its v is ignored at decode)
         img_members = [
+            m for m in self.models
+            if m.cfg.model_type == "vmmt_c" and m.cfg.img_feat_dim > 0
+        ] or [
             m for m in self.models
             if (m.is_latent or m.cfg.use_img_predict) and m.cfg.img_feat_dim > 0
         ]
