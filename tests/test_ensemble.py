@@ -168,6 +168,30 @@ def test_member_count_mismatch_rejected():
                    buckets=[8])
 
 
+def test_ensemble_data_parallel_mesh_matches_single():
+    """Ensemble decode over the data mesh (replicated member params,
+    batch sharded on 'data') == single-device ensemble, token for token."""
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    cfg, model_a, state_a, vocab = small_setup(seed=51)
+    _, model_b, state_b, _ = small_setup("nmt", seed=52)
+    n = len(jax.devices())
+    dcfg = DecodeConfig(beam_size=3, max_length=10, batch_size=n)
+    src = [[4 + (i * 3 + j) % 19 for j in range(1 + i % 5)]
+           for i in range(n + 3)]  # non-multiple count: pad-row masking
+    feats = np.random.default_rng(9).standard_normal(
+        (len(src), 8)).astype(np.float32)
+    members = ([model_a, model_b], [state_a.params, state_b.params])
+    out_s = Translator(*members, vocab, vocab, dcfg,
+                       buckets=[8]).translate_ids(src, feats)
+    out_dp = Translator(*members, vocab, vocab, dcfg, buckets=[8],
+                        mesh=make_mesh(n)).translate_ids(src, feats)
+    for a, b in zip(out_s, out_dp):
+        assert [ids for _, ids in a] == [ids for _, ids in b]
+        np.testing.assert_allclose([s for s, _ in a], [s for s, _ in b],
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_model_spec_empty_segment_rejected():
     from variational_mmt_tpu.cli.loading import load_model_spec
 
