@@ -19,9 +19,18 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     from variational_mmt_tpu.config import Config, DecodeConfig, ModelConfig
     from variational_mmt_tpu.decode.translator import make_translate_fn
     from variational_mmt_tpu.models.model import build_model, init_params
+
+    ap = argparse.ArgumentParser("bench_decode")
+    ap.add_argument("-ensemble", type=int, default=1,
+                    help="N>1: decode an N-member checkpoint ensemble "
+                         "(independent random param trees of the same "
+                         "flagship shape) to measure the combination cost")
+    opt = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
     B, S = (64, 24) if on_tpu else (8, 16)
@@ -32,8 +41,15 @@ def main():
     )
     dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20, batch_size=B)
     model = build_model(cfg)
-    params = init_params(model, jax.random.PRNGKey(0))
-    fn = jax.jit(make_translate_fn(model, dcfg))
+    M = max(1, opt.ensemble)
+    if M > 1:
+        params = tuple(init_params(model, jax.random.PRNGKey(i))
+                       for i in range(M))
+        fn = jax.jit(make_translate_fn([model] * M, dcfg))
+        print(f"{M}-member ensemble ({dcfg.ensemble_mode})")
+    else:
+        params = init_params(model, jax.random.PRNGKey(0))
+        fn = jax.jit(make_translate_fn(model, dcfg))
 
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, 10000, (B, S)), jnp.int32)
