@@ -301,3 +301,15 @@ def test_beam_trace_reconstructs_hypotheses():
             # undoing the length penalty (alpha=0 -> penalty 1, equal)
             np.testing.assert_allclose(tr_sc[b, slot, n - 1], scores[b, rank],
                                        rtol=1e-5)
+
+
+def test_return_attn_requires_attn_output():
+    """return_attn with a 2-output step_fn must raise (not silently record
+    argmax 0 everywhere, which would make replace_unk copy src position 0)."""
+    import pytest
+
+    V = 7
+    step_fn, _ = toy_lm(V)
+    init_carry = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
+    with pytest.raises(ValueError, match="third output"):
+        beam_search(step_fn, init_carry, 1, 2, 6, return_attn=True)

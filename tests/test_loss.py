@@ -165,6 +165,23 @@ def test_fused_ce_matches_naive(eps, chunk):
     for a, c in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-4, atol=1e-6)
 
+    # the mask cotangent must be the true gradient (the per-token unmasked
+    # NLLs), not a silent zero from a None in the custom VJP
+    def obj_naive_m(m):
+        logits = (x @ W + b)[None]
+        n, r, _ = token_ce(logits, tgt[None], m[None], eps)
+        return 1.3 * n[0] + 0.7 * r[0]
+
+    def obj_fused_m(m):
+        n, r, _ = fused_generator_ce(x, W, b, tgt, m, eps, chunk)
+        return 1.3 * n.sum() + 0.7 * r.sum()
+
+    gm0 = jax.grad(obj_naive_m)(mask)
+    gm1 = jax.grad(obj_fused_m)(mask)
+    assert float(jnp.abs(gm0).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm0),
+                               rtol=2e-4, atol=1e-6)
+
 
 def test_fused_ce_end_to_end_train_step_matches():
     """A full train step with model fused_ce=True matches fused_ce=False:

@@ -457,3 +457,45 @@ def test_single_compile_per_cold_start():
     # (a second signature is the double-compile bug, invisible on warm
     # persistent caches but a full recompile on every cold start)
     assert step._jit._cache_size() == 1, step._jit._cache_size()
+
+
+def test_max_steps_exact_with_spc():
+    """max_steps not a multiple of steps_per_call: the final stacked window
+    must be split through the single-step path, landing exactly on the
+    budget (previously the loop overshot by up to spc-1 optimizer steps)."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(5)
+    src = [list(rng.integers(4, 30, 6)) for _ in range(64)]
+    tgt = [list(rng.integers(4, 30, 6)) for _ in range(64)]
+    ds = binarize(src, tgt)
+    cfg = tiny_cfg(max_steps=5, steps_per_call=3, report_every=100,
+                   valid_every=10**9, checkpoint_every=10**9)
+    cfg.model.img_feat_dim = 0
+    cfg.model.use_img_predict = False
+    it = BucketIterator(ds, 8, [8], seed=0)
+    tr = Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
+    tr.train()
+    assert int(tr.final_state.step) == 5
+
+
+def test_grad_accum_divisibility_errors():
+    """batch_size must divide by grad_accum (and each micro by the data
+    devices) — a named error at construction, not a generic reshape error
+    inside jit."""
+    from variational_mmt_tpu.data.dataset import binarize, BucketIterator
+    from variational_mmt_tpu.train.trainer import Trainer
+
+    ds = binarize([[4, 5]] * 8, [[4, 5]] * 8)
+    it = BucketIterator(ds, 8, [8], seed=0)
+    cfg = tiny_cfg(max_steps=1, batch_size=8, grad_accum=3)
+    cfg.model.img_feat_dim = 0
+    cfg.model.use_img_predict = False
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(cfg, build_model(cfg.model), it, mesh=make_mesh(8))
+    cfg2 = tiny_cfg(max_steps=1, batch_size=16, grad_accum=4)
+    cfg2.model.img_feat_dim = 0
+    cfg2.model.use_img_predict = False
+    with pytest.raises(ValueError, match="micro-batch"):
+        Trainer(cfg2, build_model(cfg2.model), it, mesh=make_mesh(8))

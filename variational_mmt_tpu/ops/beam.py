@@ -152,6 +152,14 @@ def beam_search(
                 attn_arg = attn.reshape(B, K)
         else:
             carry, logp = out
+            if return_attn:
+                # without this the search would silently record argmax 0
+                # for every step and replace_unk would copy src position 0
+                raise ValueError(
+                    "return_attn=True requires step_fn to return attention "
+                    "(argmax positions (N,) or full probs (N, S)) as its "
+                    "third output"
+                )
             attn_arg = jnp.zeros((B, K), jnp.int32)
         if use_cov and attn_probs is None:
             raise ValueError(

@@ -78,7 +78,9 @@ def fused_generator_ce(
     chunk: int = 1024,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (nll (N,) masked training CE, nll_raw (N,) masked unsmoothed
-    NLL, n_correct scalar). Differentiable in x, W, b."""
+    NLL, n_correct scalar). Differentiable in x, W, b AND mask (the mask
+    cotangent is the per-token unmasked NLL, saved at fwd time — (N,) f32,
+    negligible next to x); targets/n_correct carry no gradient."""
     return _fused_fwd_impl(x, W, b, targets, mask, label_smoothing, chunk)[0]
 
 
@@ -97,17 +99,19 @@ def _fused_fwd_impl(x, W, b, targets, mask, eps, chunk):
         lse, z_t, l_pad, l_sum, pred = _chunk_stats(x_c, W, b=bf, tgt_c=t_c)
         nll, nll_raw = _nll_from_stats(lse, z_t, l_pad, l_sum, V, eps)
         nc = ((pred == t_c) * m_c).sum()
-        return 0, (nll * m_c, nll_raw * m_c, nc)
+        return 0, (nll * m_c, nll_raw * m_c, nc, nll, nll_raw)
 
-    _, (nll, nll_raw, ncs) = jax.lax.scan(body, 0, (xp, tp, mp))
+    _, (nll, nll_raw, ncs, nll_u, nll_raw_u) = jax.lax.scan(body, 0, (xp, tp, mp))
     nll = nll.reshape(-1)[:N]
     nll_raw = nll_raw.reshape(-1)[:N]
     out = (nll, nll_raw, ncs.sum())
-    return out, (x, W, b, targets, mask)
+    # unmasked per-token NLLs: d(nll_i * m_i)/dm_i, the mask cotangent
+    return out, (x, W, b, targets, mask,
+                 nll_u.reshape(-1)[:N], nll_raw_u.reshape(-1)[:N])
 
 
 def _fused_bwd_impl(eps, chunk, res, grads):
-    x, W, b, targets, mask = res
+    x, W, b, targets, mask, nll_u, nll_raw_u = res
     g_nll, g_raw, _ = grads  # n_correct has no gradient
     N, H = x.shape
     V = W.shape[1]
@@ -145,7 +149,10 @@ def _fused_bwd_impl(eps, chunk, res, grads):
     zerob = jnp.zeros((V,), jnp.float32)
     (dW, db), dx = jax.lax.scan(body, (zeroW, zerob), (xp, tp, mp, gp, grp))
     dx = dx.reshape(-1, H)[:N].astype(x.dtype)
-    return dx, dW.astype(W.dtype), db.astype(b.dtype), None, None
+    # outputs are nll*m and nll_raw*m, so d/dm is the unmasked NLLs
+    dmask = (g_nll.astype(jnp.float32) * nll_u
+             + g_raw.astype(jnp.float32) * nll_raw_u).astype(mask.dtype)
+    return dx, dW.astype(W.dtype), db.astype(b.dtype), None, dmask
 
 
 fused_generator_ce.defvjp(

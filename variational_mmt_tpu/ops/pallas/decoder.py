@@ -126,7 +126,9 @@ def decoder_fwd_pallas(
 ):
     """Forward-only fused decoder scan. Shapes as in
     models/fused_decoder.py:_fwd_scan. Returns (attn_hs, h0s, h1s, probs),
-    all f32, batch-major."""
+    batch-major, in the COMPUTE dtype (keys.dtype; bf16 at the flagship
+    config — halves the activation-stream HBM traffic, and the jax
+    reference path saves activations in the compute dtype too)."""
     B, T, H3 = emb_proj.shape
     H = H3 // 3
     S = keys.shape[1]
@@ -190,7 +192,7 @@ def _slices(B, chunk):
 # backward
 # ----------------------------------------------------------------------
 def _dec_bwd_kernel(
-    ep_ref, dm_ref, h0s_ref, h1s_ref, pr_ref, attn_ref,
+    ep_ref, dm_ref, h0s_ref, pr_ref, attn_ref,
     h0p_ref, h1p_ref, fp_ref,  # prev-step blocks (index map t-1)
     da_ref, dpr_ref,
     h00_ref, h01_ref, wf_ref, wh0_ref, bh0_ref, wm_ref, bm_ref,
@@ -255,7 +257,7 @@ def _dec_bwd_kernel(
 
 
 def _bwd_rows(H: int, S: int, itemsize: int) -> int:
-    # streams: ~11 input blocks (mostly bf16) + 4x (B,3H) f32 local-grad
+    # streams: ~10 input blocks (mostly bf16) + 4x (B,3H) f32 local-grad
     # outputs, double-buffered; measured: 40 rows at H=500/S=32/bf16
     # overflows the 16 MB VMEM by 0.5 MB, 32 fits
     budget = 5 * 1024 * 1024
@@ -306,7 +308,9 @@ def decoder_bwd_pallas(
             cur((1, B, H3)),   # emb_proj
             cur((1, B, H)),    # dmid
             cur((1, B, H)),    # h0s
-            cur((1, B, H)),    # h1s
+            # h1s only as the PREV-step block below: h1n is recomputed from
+            # the recurrence inputs, so streaming the current-step h1s was a
+            # dead double-buffered fetch per step
             cur((1, B, S)),    # probs
             cur((1, B, H)),    # attn_hs
             prev((1, B, H)),   # h0s prev
@@ -338,20 +342,17 @@ def decoder_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((B, H), f32)] * 3,
         interpret=interpret,
     )(
-        tm(emb_proj), tm(dmid), tm(h0s), tm(h1s), tm(probs), tm(attn_hs),
+        tm(emb_proj), tm(dmid), tm(h0s), tm(probs), tm(attn_hs),
         tm(h0s), tm(h1s), tm(attn_hs),
         tm(d_attn.astype(f32)), tm(d_probs.astype(f32)),
         h00.astype(f32), h01.astype(f32),
         Wfeed, Wh0, bh0.astype(f32).reshape(1, H3),
-        Wmid, bm_reshape(bmid, H3), Wh1, bh1.astype(f32).reshape(1, H3),
+        Wmid, bmid.astype(f32).reshape(1, H3),
+        Wh1, bh1.astype(f32).reshape(1, H3),
         keys, mem_v, Wc_q,
     )
     dx0, dhp0, dx1, dhp1, pre, dsc, dh00, dh01 = outs
     return (tm(dx0), tm(dhp0), tm(dx1), tm(dhp1), tm(pre), tm(dsc), dh00, dh01)
-
-
-def bm_reshape(b, H3):
-    return b.astype(f32).reshape(1, H3)
 
 
 # ----------------------------------------------------------------------
@@ -363,7 +364,7 @@ def fused_decoder_pallas(emb_proj, dmid, h00, h01, Wfeed, Wh0, bh0, Wmid,
                          interpret=False, row_chunk=0):
     """Same contract as models/fused_decoder.py:fused_input_feed_decoder,
     with both passes as Pallas sequence kernels. Returns
-    (attn_hs (B,T,H) f32, probs (B,T,S) f32)."""
+    (attn_hs (B,T,H), probs (B,T,S)) in the compute dtype (keys.dtype)."""
     attn_hs, _, _, probs = decoder_fwd_pallas(
         emb_proj, dmid, h00, h01, Wfeed, Wh0, bh0, Wmid, bmid, Wh1, bh1,
         keys, mem_v, Wc_q, mask_bias, interpret=interpret, row_chunk=row_chunk,

@@ -164,7 +164,7 @@ def gru_layer_scan(
 # backward
 # ----------------------------------------------------------------------
 def _gru_bwd_kernel(
-    x_ref, m_ref, h0_ref, wh_ref, bh_ref, outs_ref, prev_ref, g_ref,
+    x_ref, m_ref, h0_ref, wh_ref, bh_ref, prev_ref, g_ref,
     dx_ref, dh0_ref, dwh_ref, dbh_ref,
     dh_scr, dwh_scr, dbh_scr,
 ):
@@ -266,7 +266,10 @@ def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
+            # outs only as the PREV-step block: the kernel recomputes this
+            # step's gates from h_prev, so the current-step output is never
+            # read (streaming it cost a dead double-buffered (B,H) fetch
+            # per step)
             pl.BlockSpec((1, B, H), prev_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
         ],
@@ -288,7 +291,7 @@ def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
             pltpu.VMEM((1, H3), f32),
         ],
         interpret=interpret,
-    )(x_proj, mask, h0, Wh, bh, outs, outs, g)
+    )(x_proj, mask, h0, Wh, bh, outs, g)
     return dx, dh0, dWh, dbh
 
 

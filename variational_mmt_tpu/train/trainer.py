@@ -360,6 +360,20 @@ class Trainer:
                 f"number of data-parallel devices ({n_dev}); pick e.g. "
                 f"{(cfg.train.batch_size // n_dev + 1) * n_dev}"
             )
+        accum = max(1, cfg.train.grad_accum)
+        if cfg.train.batch_size % accum != 0:
+            # otherwise the micro-batch reshape inside jit fails with a
+            # generic 'cannot reshape' error that names neither knob
+            raise ValueError(
+                f"batch_size ({cfg.train.batch_size}) must be divisible by "
+                f"grad_accum ({accum})"
+            )
+        if (cfg.train.batch_size // accum) % n_dev != 0:
+            raise ValueError(
+                f"each micro-batch (batch_size // grad_accum = "
+                f"{cfg.train.batch_size // accum}) must be divisible by the "
+                f"number of data-parallel devices ({n_dev})"
+            )
         from variational_mmt_tpu.parallel.tp import (
             MODEL_AXIS, validate_tp_divisibility,
         )
@@ -510,13 +524,27 @@ class Trainer:
                 kind, batch = "single", item
             else:
                 kind, batch = item
-            if kind == "stack":
+            if kind == "stack" and max_steps - step < self._spc:
+                # the stacked window would overshoot max_steps (possible
+                # whenever the counter drifted via epoch-boundary single
+                # flushes or max_steps % spc != 0): run exactly the
+                # remaining micro-batches through the single-step path and
+                # land on the budget to the step. Triggers fire once for
+                # the group, same as for a stacked dispatch.
+                prev = step
+                for i in range(max_steps - step):
+                    single = jax.tree.map(lambda x, i=i: x[i], batch)
+                    state, metrics = self.train_step_single(state, single)
+                    pending.append(metrics)
+                step = max_steps
+            elif kind == "stack":
                 state, metrics = self.train_step(state, batch)
                 prev, step = step, step + self._spc
+                pending.append(metrics)
             else:
                 state, metrics = self.train_step_single(state, batch)
                 prev, step = step, step + 1
-            pending.append(metrics)
+                pending.append(metrics)
             if len(pending) >= 512:  # bound host memory between reports
                 flush()
             if crossed(prev, step, cfg.report_every):
