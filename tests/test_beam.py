@@ -38,6 +38,8 @@ def host_beam(table, K, L, alpha, min_length=0):
                 continue
             prev = toks[-1] if toks else BOS
             for v in range(table.shape[1]):
+                if v == PAD:
+                    continue  # live beams never extend with PAD (device rule)
                 lp = table[prev, v]
                 if t < min_length and v == EOS:
                     lp = -1e9
@@ -111,17 +113,50 @@ def test_beam_batch_independence():
 def test_greedy_matches_beam1_argmax_path():
     step_fn, table = toy_lm()
     init_carry = {"prev": jnp.zeros((2,), jnp.int32), "junk": jnp.zeros((2, 3))}
-    toks = greedy_search(step_fn, init_carry, 2, 6)
-    # manual argmax walk
+    toks, scores = greedy_search(step_fn, init_carry, 2, 6)
+    # manual argmax walk (PAD excluded for live rows, matching the device)
+    V = table.shape[1]
     t = BOS
     want = []
     for _ in range(6):
-        t = int(np.argmax(table[t]))
+        t = int(np.argmax(np.where(np.arange(V) == PAD, -1e9, table[t])))
         want.append(t)
         if t == EOS:
             break
+    prev, want_score = BOS, 0.0
+    for tok in want:
+        want_score += float(table[prev, tok])
+        prev = tok
     row = [x for x in np.asarray(toks)[0].tolist() if x != PAD]
     assert row == want
+    # scores must be the REAL cumulative log-prob (serve clients receive
+    # them; they were previously fake zeros on the greedy fast path)
+    np.testing.assert_allclose(float(scores[0]), want_score, rtol=1e-5)
+
+
+def test_live_rows_never_emit_pad():
+    """A (pathological) model that ranks PAD highest must not place PAD in
+    a live hypothesis: mid-hypothesis PAD would be dropped by the output
+    strip while desyncing attention positions and keeping its log-prob."""
+    V = 7
+    logits = np.full((V,), -5.0, np.float32)
+    logits[PAD] = 5.0  # PAD always wins an unmasked argmax
+    logits[4] = 1.0
+    table = jax.nn.log_softmax(jnp.array(np.tile(logits, (V, 1))), axis=-1)
+
+    def step_fn(carry, toks):
+        return carry, table[toks]
+
+    toks, _ = greedy_search(step_fn, jnp.zeros((1,), jnp.int32), 1, 5)
+    emitted = np.asarray(toks)[0].tolist()
+    assert 4 in emitted and all(
+        x != PAD for x in emitted[: emitted.index(4) + 1])
+    bt, _ = beam_search(step_fn, jnp.zeros((1,), jnp.int32), 1, 2, 5)
+    for k in range(2):
+        row = np.asarray(bt)[0, k].tolist()
+        # PAD may appear only as post-EOS padding
+        first_pad = row.index(PAD) if PAD in row else len(row)
+        assert first_pad == len(row) or EOS in row[:first_pad]
 
 
 def test_length_penalty_values():

@@ -265,3 +265,17 @@ def test_prefetch_releases_producer_on_abandoned_consumer():
             break
         time.sleep(0.05)
     assert not extra, f"leaked threads: {extra}"
+
+
+def test_npy_features_reject_split(tmp_path):
+    """A bare .npy cannot honor a split request — raising protects the same
+    row<->line alignment invariant as the HDF5/npz branches."""
+    import pytest
+
+    from variational_mmt_tpu.data.features import load_features
+
+    p = str(tmp_path / "f.npy")
+    np.save(p, np.zeros((3, 4), np.float32))
+    assert load_features(p).shape == (3, 4)
+    with pytest.raises(ValueError, match="split"):
+        load_features(p, split="valid")

@@ -299,3 +299,27 @@ def test_overlong_source_not_truncated_at_decode():
     # and it genuinely differs from decoding the truncated prefix
     c = tr_big.translate_ids([long_src[0][:8]])
     assert a[0][0][1] != c[0][0][1] or a[0][0][0] != c[0][0][0]
+
+
+def test_n_best_beyond_beam_rejected():
+    """n_best > beam_size must raise (silent clamping would change the
+    n-best block structure a downstream parser was promised)."""
+    cfg, model, state, vocab = small_setup()
+    with pytest.raises(ValueError, match="n_best"):
+        Translator(model, state.params, vocab, vocab,
+                   DecodeConfig(beam_size=2, n_best=5), buckets=[8])
+
+
+def test_greedy_scores_are_real_logprobs():
+    """beam_size=1 (greedy fast path) must return the cumulative log-prob
+    of the emitted tokens, not fake zeros — serve clients and
+    translate_ids callers receive these scores directly."""
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.beam_size = 1
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    feats = np.random.default_rng(1).standard_normal((3, 8)).astype(np.float32)
+    out = tr.translate_ids([[5, 6, 7], [8, 9], [10, 11]], feats)
+    scores = [nbest[0][0] for nbest in out]
+    assert all(np.isfinite(s) for s in scores)
+    assert any(s != 0.0 for s in scores)
+    assert all(s <= 0.0 for s in scores)  # log-probs of emitted tokens

@@ -81,13 +81,11 @@ class BinarizedDataset:
 
     # -- persistence ---------------------------------------------------
     def save(self, path: str) -> None:
-        arrs = {
-            "src_data": np.concatenate(self.src) if self.src else np.zeros(0, np.int32),
-            "src_off": np.cumsum([0] + [len(a) for a in self.src]).astype(np.int64),
-        }
-        if self.tgt is not None:
-            arrs["tgt_data"] = np.concatenate(self.tgt) if self.tgt else np.zeros(0, np.int32)
-            arrs["tgt_off"] = np.cumsum([0] + [len(a) for a in self.tgt]).astype(np.int64)
+        # the on-disk layout IS the flat form, so reuse (and cache) it
+        arrs = dict(zip(("src_data", "src_off"), self.src_flat()))
+        tf = self.tgt_flat()
+        if tf is not None:
+            arrs["tgt_data"], arrs["tgt_off"] = tf
         np.savez_compressed(path, **arrs)
 
     @classmethod
@@ -110,17 +108,30 @@ class BinarizedDataset:
             raise FileNotFoundError(f"no dataset at {path} (or shards {path[:-4]}.NN.npz)")
         src: List[np.ndarray] = []
         tgt: Optional[List[np.ndarray]] = None
+        flats = []
         for i, p in enumerate(paths):
             z = np.load(p)
-            src.extend(_unflatten(z["src_data"], z["src_off"]))
+            sd, so = z["src_data"], z["src_off"]
+            src.extend(_unflatten(sd, so))
             has_tgt = "tgt_data" in z
             if i == 0:
                 tgt = [] if has_tgt else None
             elif has_tgt != (tgt is not None):
                 raise ValueError(f"shard {p} disagrees about having targets")
             if has_tgt:
-                tgt.extend(_unflatten(z["tgt_data"], z["tgt_off"]))
-        return cls(src, tgt)
+                td, to = z["tgt_data"], z["tgt_off"]
+                tgt.extend(_unflatten(td, to))
+            if i == 0 and len(paths) == 1:
+                flats = [(np.ascontiguousarray(sd, np.int32), so.astype(np.int64)),
+                         (np.ascontiguousarray(td, np.int32), to.astype(np.int64))
+                         if has_tgt else None]
+        ds = cls(src, tgt)
+        if flats:
+            # single file: the on-disk layout IS the flat form the native
+            # batcher asks for — seed the cache instead of re-concatenating
+            # the whole corpus at first use
+            ds._src_flat, ds._tgt_flat = flats
+        return ds
 
     @staticmethod
     def shard_paths(path: str) -> List[str]:
@@ -140,7 +151,11 @@ class BinarizedDataset:
 
 
 def _unflatten(data: np.ndarray, off: np.ndarray) -> List[np.ndarray]:
-    return [data[off[i] : off[i + 1]].astype(np.int32) for i in range(len(off) - 1)]
+    # rows are read-only views into one int32 buffer (the ascontiguousarray
+    # is a no-op for data written by save()); a per-row astype would copy
+    # the whole corpus on every load
+    data = np.ascontiguousarray(data, np.int32)
+    return [data[off[i] : off[i + 1]] for i in range(len(off) - 1)]
 
 
 def binarize(

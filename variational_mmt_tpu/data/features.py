@@ -50,6 +50,14 @@ def load_features(path: str, split: Optional[str] = None, mmap: bool = False) ->
                     raise KeyError(f"ambiguous HDF5 datasets {keys} in {path}; pass split=")
             arr = np.asarray(f[key], np.float32)
     elif ext == ".npy":
+        if split is not None:
+            # a bare .npy holds exactly one array; silently returning it for
+            # a requested split would pair e.g. valid text with train-ordered
+            # rows (same invariant the HDF5/npz branches raise to protect)
+            raise ValueError(
+                f"{path} is a single-array .npy and cannot honor "
+                f"split={split!r}; use per-split files or an HDF5/npz "
+                "with named splits")
         arr = np.load(path, mmap_mode="r" if mmap else None)
     elif ext == ".npz":
         z = np.load(path)

@@ -95,8 +95,9 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
                     logps.append(jax.nn.log_softmax(logits, axis=-1))
                 return tuple(new), _combine_logps(logps, dcfg.ensemble_mode)
 
-            tokens = greedy_search(step1, tuple(carry0), B, dcfg.max_length)
-            return tokens[:, None, :], jnp.zeros((B, 1), jnp.float32)
+            tokens, g_scores = greedy_search(step1, tuple(carry0), B,
+                                             dcfg.max_length)
+            return tokens[:, None, :], g_scores[:, None]
 
         # tile read-only context across beams (closures, not carry: no
         # per-step re-gather of the memory bank)
@@ -182,6 +183,13 @@ class Translator:
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.dcfg = dcfg or DecodeConfig()
+        if self.dcfg.n_best > self.dcfg.beam_size:
+            # silently clamping would change the n-best block size a
+            # downstream output-file parser was promised
+            raise ValueError(
+                f"n_best ({self.dcfg.n_best}) cannot exceed beam_size "
+                f"({self.dcfg.beam_size}): the beam tracks beam_size "
+                "hypotheses")
         self.buckets = list(buckets)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
@@ -244,7 +252,7 @@ class Translator:
             ds, batch_size=self.dcfg.batch_size, buckets=buckets,
             img_feats=img_feats, shuffle=False,
         )
-        n_best = min(self.dcfg.n_best, self.dcfg.beam_size)
+        n_best = self.dcfg.n_best  # <= beam_size, validated in __init__
         results: dict = {}
         for batch in it.epoch(0):
             img = jnp.asarray(batch.img) if batch.img is not None else None

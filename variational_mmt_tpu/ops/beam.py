@@ -168,6 +168,12 @@ def beam_search(
             )
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V).astype(jnp.float32)
+        # PAD is never a legal continuation of a LIVE hypothesis (it is
+        # re-allowed below as the absorbing extension of finished beams):
+        # a model-selected mid-hypothesis PAD would be dropped by the
+        # output strip while its log-prob stayed in the score and its
+        # attention step desynced the replace_unk positions
+        logp = jnp.where(jnp.arange(V)[None, None, :] == pad_id, NEG_INF, logp)
         # min-length: no EOS before min_length tokens emitted
         logp = jnp.where(
             (s.t < min_length) & (jnp.arange(V)[None, None, :] == eos_id), NEG_INF, logp
@@ -262,22 +268,30 @@ def greedy_search(
     eos_id: int = EOS,
     bos_id: int = BOS,
     pad_id: int = PAD,
-) -> jax.Array:
-    """Argmax decoding in one ``lax.while_loop``; returns (B, max_length)."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Argmax decoding in one ``lax.while_loop``; returns
+    (tokens (B, max_length), scores (B,) cumulative log-prob of the emitted
+    tokens — real hypothesis scores, matching what the K=1 beam would
+    accumulate, so greedy-path callers never hand out fake zeros)."""
     B, L = batch_size, max_length
 
     def cond(s):
-        t, _, finished, _, _ = s
+        t, _, finished, _, _, _ = s
         return (t < L) & ~jnp.all(finished)
 
     def body(s):
-        t, tokens, finished, carry, last = s
+        t, tokens, finished, carry, last, score = s
         carry, logp = step_fn(carry, last)
+        # same PAD exclusion as the beam: live rows must not emit PAD
+        logp = jnp.where(jnp.arange(logp.shape[-1])[None, :] == pad_id,
+                         NEG_INF, logp)
         tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        step_lp = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+        score = jnp.where(finished, score, score + step_lp)
         tok = jnp.where(finished, pad_id, tok)
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], t, axis=1)
         finished = finished | (tok == eos_id)
-        return (t + 1, tokens, finished, carry, tok)
+        return (t + 1, tokens, finished, carry, tok, score)
 
     init = (
         jnp.int32(0),
@@ -285,6 +299,7 @@ def greedy_search(
         jnp.zeros((B,), bool),
         init_carry,
         jnp.full((B,), bos_id, jnp.int32),
+        jnp.zeros((B,), jnp.float32),
     )
-    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return tokens
+    _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, init)
+    return tokens, scores
