@@ -110,18 +110,40 @@ def test_attention_masks_padding():
         np.testing.assert_allclose(align.sum(-1), 1.0, rtol=1e-5)
 
 
-def test_attention_seq_matches_single_step():
-    B, S, T, H = 2, 5, 3, 8
+@pytest.mark.parametrize("attn_type,T", [("general", 3), ("mlp", 3), ("mlp", 19)])
+def test_attention_seq_matches_single_step(attn_type, T):
+    """Sequence mode == per-step mode; mlp at T=19 exercises the chunked
+    (memory-bounded) score path incl. the T % 8 remainder."""
+    B, S, H = 2, 5, 8
     rng = np.random.default_rng(4)
     mem = rng.standard_normal((B, S, H)).astype(np.float32)
     q = rng.standard_normal((B, T, H)).astype(np.float32)
     mask = np.ones((B, S), np.float32)
-    mod = GlobalAttention(hidden=H, attn_type="general")
+    mask[1, 3:] = 0.0
+    mod = GlobalAttention(hidden=H, attn_type=attn_type)
     params = mod.init(jax.random.PRNGKey(0), jnp.array(q), jnp.array(mem), jnp.array(mask))["params"]
     seq_out, _ = mod.apply({"params": params}, jnp.array(q), jnp.array(mem), jnp.array(mask))
     for t in range(T):
         one, _ = mod.apply({"params": params}, jnp.array(q[:, t]), jnp.array(mem), jnp.array(mask))
         np.testing.assert_allclose(np.asarray(seq_out[:, t]), np.asarray(one), rtol=1e-5, atol=1e-6)
+
+    # gradients must agree too (the chunked path runs under jax.grad in
+    # input_feed=False training)
+    def loss_seq(q_):
+        out, _ = mod.apply({"params": params}, q_, jnp.array(mem), jnp.array(mask))
+        return (out * out).sum()
+
+    def loss_steps(q_):
+        tot = 0.0
+        for t in range(T):
+            out, _ = mod.apply({"params": params}, q_[:, t], jnp.array(mem), jnp.array(mask))
+            tot = tot + (out * out).sum()
+        return tot
+
+    g_seq = jax.grad(loss_seq)(jnp.array(q))
+    g_step = jax.grad(loss_steps)(jnp.array(q))
+    np.testing.assert_allclose(np.asarray(g_seq), np.asarray(g_step),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_masked_mean():

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -448,3 +449,72 @@ def test_mp_server_concurrent_clients():
         assert svc.stats["batched_requests"] >= 2
     finally:
         server.stop()
+
+
+def test_empty_source_rejected():
+    """An empty/whitespace-only text must be a ClientError (HTTP 400), not
+    an all-PAD row whose uniformly-masked attention decodes to garbage."""
+    from variational_mmt_tpu.serve import ClientError
+
+    _, _, _, _, svc = small_service()
+    try:
+        with pytest.raises(ClientError, match="empty source"):
+            svc.translate_text(["w1 w2", ""])
+        # atomic: the valid sentence must not have been enqueued
+        assert svc.stats["requests"] == 0
+    finally:
+        svc.stop()
+
+
+def test_stop_without_start_does_not_hang():
+    """stop() on a constructed-but-never-served HTTP server must return
+    (BaseServer.shutdown() would otherwise wait forever on an event only
+    serve_forever() sets)."""
+    _, _, _, _, svc = small_service()
+    server = ServingServer(svc, port=0)
+    t0 = time.time()
+    server.stop()
+    assert time.time() - t0 < 5.0
+
+
+def test_oversized_body_rejected():
+    """A huge Content-Length must be refused up front (413), not buffered
+    into memory."""
+    import socket as _socket
+
+    _, _, _, _, svc = small_service()
+    server = ServingServer(svc, port=0)
+    server.start()
+    try:
+        s = _socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        s.sendall(b"POST /translate HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: 10737418240\r\n\r\n")
+        s.settimeout(30)
+        reply = s.recv(4096).decode("utf-8", "replace")
+        assert " 413 " in reply.splitlines()[0]
+        s.close()
+    finally:
+        server.stop()
+
+
+def test_dispatcher_import_stays_modelfree():
+    """The MP dispatcher target module must not drag the model stack in via
+    package __init__ imports ('jax' is preloaded by the environment here,
+    so assert on the framework's own heavy modules instead)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys\n"
+        "import variational_mmt_tpu.serve.frontend\n"
+        "bad = [m for m in sys.modules if m.startswith('variational_mmt_tpu')\n"
+        "       and any(k in m for k in ('service', 'translator', 'models', 'prng'))]\n"
+        "assert not bad, bad\n"
+        "import variational_mmt_tpu.utils.platform\n"
+        "assert 'variational_mmt_tpu.utils.prng' not in sys.modules\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0 and "clean" in out.stdout, out.stderr

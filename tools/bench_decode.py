@@ -30,7 +30,10 @@ def main():
                     help="N>1: decode an N-member checkpoint ensemble "
                          "(independent random param trees of the same "
                          "flagship shape) to measure the combination cost")
+    ap.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"])
     opt = ap.parse_args()
+    if opt.ensemble < 1:
+        ap.error(f"-ensemble must be >= 1, got {opt.ensemble}")
 
     on_tpu = jax.default_backend() == "tpu"
     B, S = (64, 24) if on_tpu else (8, 16)
@@ -39,9 +42,10 @@ def main():
         emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2, latent_dim=128,
         img_feat_dim=2048, compute_dtype="bfloat16" if on_tpu else "float32",
     )
-    dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20, batch_size=B)
+    dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20,
+                        batch_size=B, ensemble_mode=opt.ensemble_mode)
     model = build_model(cfg)
-    M = max(1, opt.ensemble)
+    M = opt.ensemble
     if M > 1:
         params = tuple(init_params(model, jax.random.PRNGKey(i))
                        for i in range(M))

@@ -20,6 +20,8 @@ import os
 from dataclasses import dataclass, field
 from typing import List
 
+from variational_mmt_tpu.config import consumes_decode_feats  # noqa: F401 (re-export)
+
 
 @dataclass
 class LoadedModels:
@@ -69,7 +71,12 @@ def load_model_spec(spec: str) -> LoadedModels:
     out = LoadedModels()
     for path in raw_paths:
         if not os.path.exists(os.path.join(path, "state.msgpack")):
-            path = latest_checkpoint(path) or path
+            resolved = latest_checkpoint(path)
+            if resolved is None:
+                raise SystemExit(
+                    f"-model: no checkpoint at {path!r} (neither a "
+                    "state.msgpack dir nor a run root with step_* dirs)")
+            path = resolved
         state, cfg, model, sv_m, tv_m = load_checkpoint(path)
         print(f"loaded {path} (step {int(state.step)}, {cfg.model.model_type})")
         if out.src_vocab is None:
@@ -92,8 +99,7 @@ def load_model_spec(spec: str) -> LoadedModels:
         # (vmmt_f/nmt members ignore v at decode and may mix freely)
         ifaces = {
             (c.model.img_feat_dim, c.model.img_feat_type)
-            for c in out.cfgs
-            if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0
+            for c in out.cfgs if consumes_decode_feats(c.model)
         }
         if len(ifaces) > 1:
             raise SystemExit(

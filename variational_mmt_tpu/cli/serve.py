@@ -110,12 +110,16 @@ def main(argv=None) -> None:
         buckets=cfg.data.buckets or [16, 24, 32, 48, 64], scfg=scfg, bpe=bpe,
         mesh=mesh,
     )
+    # keep 'step' an int and 'model_type' a string for monitoring clients
+    # that predate ensembles; per-member detail rides the plural fields
     info = {"model_type": ",".join(c.model.model_type for c in lm.cfgs)
             if lm.ensemble else cfg.model.model_type,
-            "step": ",".join(str(s) for s in lm.steps)
-            if lm.ensemble else lm.steps[0],
+            "step": lm.steps[0],
             "beam_size": opt.beam_size,
             "ensemble": len(lm.models) if lm.ensemble else 0}
+    if lm.ensemble:
+        info["steps"] = list(lm.steps)
+        info["model_types"] = [c.model.model_type for c in lm.cfgs]
     if opt.procs > 0:
         server = MPServingServer(service, opt.host, opt.port,
                                  procs=opt.procs, info=info)

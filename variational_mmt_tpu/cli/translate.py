@@ -23,7 +23,7 @@ from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus
 from variational_mmt_tpu.decode.translator import Translator
 from variational_mmt_tpu.evals.bleu import corpus_bleu
 from variational_mmt_tpu.evals.meteor import meteor_score
-from variational_mmt_tpu.cli.loading import load_model_spec
+from variational_mmt_tpu.cli.loading import consumes_decode_feats, load_model_spec
 
 
 def add_args(p: argparse.ArgumentParser) -> None:
@@ -83,10 +83,8 @@ def main(argv=None) -> None:
     add_args(p)
     opt = p.parse_args(argv)
 
-    lm = load_model_spec(opt.model)
-    model, cfg, sv, tv = lm.model, lm.cfg, lm.src_vocab, lm.tgt_vocab
-    params = lm.params[0]
-    if lm.ensemble:
+    if "," in opt.model:
+        # decidable from argv alone — fail BEFORE minutes of checkpoint IO
         incompatible = [
             ("-iw_eval", opt.iw_eval > 0),
             ("-verbose", opt.verbose),
@@ -99,6 +97,9 @@ def main(argv=None) -> None:
                 f"{', '.join(bad)}: not supported with an ensemble "
                 "(force-decode scoring, the IW bound and TP sharding are "
                 "defined per model) — pass a single -model")
+    lm = load_model_spec(opt.model)
+    model, cfg, sv, tv = lm.model, lm.cfg, lm.src_vocab, lm.tgt_vocab
+    params = lm.params[0]
 
     lower = not opt.no_lower
     with open(opt.src, encoding="utf-8") as f:
@@ -115,8 +116,7 @@ def main(argv=None) -> None:
     feats = load_features(opt.img_feats) if opt.img_feats else None
     if feats is not None:
         assert len(feats) == len(src_tok), "feature rows must align to src lines"
-    needs_feats = [c for c in lm.cfgs
-                   if c.model.model_type == "vmmt_c" and c.model.img_feat_dim > 0]
+    needs_feats = [c for c in lm.cfgs if consumes_decode_feats(c.model)]
     if feats is None and needs_feats:
         # the conditional prior p(z|x,v) needs v at decode time; without this
         # guard the failure is a cryptic flax shape error inside the prior

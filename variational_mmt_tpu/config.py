@@ -17,6 +17,16 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 
+def consumes_decode_feats(mcfg: "ModelConfig") -> bool:
+    """True when DECODE needs the image tensor: only the conditional prior
+    p(z|x,v) (vmmt_c) reads v at decode time; vmmt_f substitutes the N(0,I)
+    prior mean and nmt has no latent (SURVEY §2.4). The single home for this
+    rule — the translate CLI's missing-features guard, the ensemble
+    interface check (cli/loading.py) and serving's feature-shape selection
+    (serve/service.py) all call it."""
+    return mcfg.model_type == "vmmt_c" and mcfg.img_feat_dim > 0
+
+
 @dataclass
 class ModelConfig:
     """Architecture hyperparameters.

@@ -34,7 +34,9 @@ def corpus_bleu(
     total = [0] * max_n
     hyp_len = 0
     ref_len = 0
-    for hyp, refs in zip(hypotheses, references):
+    for i, (hyp, refs) in enumerate(zip(hypotheses, references)):
+        if not refs:
+            raise ValueError(f"sentence {i}: empty reference list")
         hyp = list(hyp)
         hyp_len += len(hyp)
         # closest reference length (ties -> shorter), multi-bleu semantics

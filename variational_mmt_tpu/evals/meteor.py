@@ -306,6 +306,12 @@ class MeteorScorer:
         as meteor-1.5 computes it — the mean of sentence scores (also
         returned, as ``meteor_macro``) is a different, non-comparable
         number."""
+        if len(hypotheses) != len(references):
+            # zip would silently truncate to the shorter list and publish a
+            # valid-looking score over the wrong segment count
+            raise ValueError(
+                f"{len(hypotheses)} hypotheses vs {len(references)} "
+                "reference lists")
         agg = dict(wm_hyp=0.0, wm_ref=0.0, w_hyp=0.0, w_ref=0.0, chunks=0, m=0)
         sent_scores = []
         for h, r in zip(hypotheses, references):

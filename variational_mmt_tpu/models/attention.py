@@ -60,9 +60,29 @@ class GlobalAttention(nn.Module):
             q = self.linear_in(query) if self.attn_type == "general" else query
             return jnp.einsum("bth,bsh->bts", q, memory)
         # mlp (Bahdanau): v^T tanh(Wq q + Wk m); Wk m may be pre-projected
-        q = self.linear_query(query)[:, :, None, :]  # (B,T,1,H)
-        k = (keys if keys is not None else self.linear_context(memory))[:, None, :, :]
-        return self.v(jnp.tanh(q + k)).squeeze(-1)
+        q = self.linear_query(query)  # (B,T,H)
+        k = keys if keys is not None else self.linear_context(memory)  # (B,S,H)
+        T = q.shape[1]
+        if T <= 8:  # decode step / tiny sequences: one broadcast is fine
+            return self.v(jnp.tanh(q[:, :, None, :] + k[:, None, :, :])).squeeze(-1)
+        # full-sequence mode: the (B,T,S,H) tanh broadcast is O(T·S·H) HBM
+        # per example AND saved for backward (gigabytes at training shapes)
+        # — chunk the query axis so only (B,8,S,H) is ever live
+        if self.is_initializing():
+            self.v(q[:, :1, None, :])  # materialize v's lazy params
+        vk = self.v.variables["params"]["kernel"].astype(q.dtype)  # (H,1)
+        c = 8
+        pad = (-T) % c
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))) if pad else q
+        qc = qp.reshape(q.shape[0], -1, c, q.shape[-1]).swapaxes(0, 1)
+
+        def chunk(_, q_c):  # q_c (B,c,H)
+            s = jnp.tanh(q_c[:, :, None, :] + k[:, None, :, :]) @ vk
+            return 0, s[..., 0]  # (B,c,S)
+
+        _, sc = jax.lax.scan(chunk, 0, qc)
+        sc = sc.swapaxes(0, 1).reshape(q.shape[0], -1, k.shape[1])
+        return sc[:, :T]
 
     def __call__(
         self, query: jax.Array, memory: jax.Array, src_mask: jax.Array, keys=None

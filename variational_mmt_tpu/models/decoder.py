@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from variational_mmt_tpu.models.attention import GlobalAttention
-from variational_mmt_tpu.models.gru import gru_gates, lstm_gates, n_gates
+from variational_mmt_tpu.models.gru import (cell_layer_scan, gru_gates,
+                                             lstm_gates, n_gates)
 
 Dtype = Any
 
@@ -168,26 +169,9 @@ class GRUDecoder(nn.Module):
                     interpret = jax.default_backend() != "tpu"
                     outs_l, _ = gru_layer_scan_ad(x_proj, ones, h0, wh, bh, False, interpret)
                     outs_l = outs_l.astype(self.dtype)
-                elif self.cell_type == "lstm":
-                    def lbody(hc, xp_t):
-                        h, c = jnp.split(hc, 2, axis=-1)
-                        h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
-                        hc = jnp.concatenate([h_new, c_new], axis=-1)
-                        return hc, h_new
-
-                    _, outs_l = jax.lax.scan(
-                        lbody, h0, x_proj.swapaxes(0, 1), unroll=self.unroll
-                    )
-                    outs_l = outs_l.swapaxes(0, 1)
                 else:
-                    def body(h, xp_t):
-                        h = gru_gates(xp_t, h @ wh + bh, h)
-                        return h, h
-
-                    _, outs_l = jax.lax.scan(
-                        body, h0, x_proj.swapaxes(0, 1), unroll=self.unroll
-                    )
-                    outs_l = outs_l.swapaxes(0, 1)
+                    outs_l, _ = cell_layer_scan(
+                        x_proj, h0, wh, bh, self.cell_type, self.unroll)
                 top = outs_l
                 if l + 1 < self.layers:
                     x_proj = self.step.ih_mid[l](

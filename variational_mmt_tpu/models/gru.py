@@ -111,6 +111,42 @@ class GRUCell(nn.Module):
         return gru_gates(x_proj, h_proj, h)
 
 
+def cell_layer_scan(x_proj, carry0, wh, bh, cell_type="gru", unroll=1,
+                    mask=None, reverse=False):
+    """Scan ONE recurrent layer over pre-projected inputs x_proj (B,T,G·H).
+
+    ``carry0``: (B,H) for GRU, (B,2H) [h;c] for LSTM. Returns
+    (outs (B,T,H), final carry). With ``mask`` (B,T), masked steps pass the
+    carry through (variable-length encoder sequences); ``mask=None`` is the
+    mask-free decoder fast path. The single home for the gate-step/scan
+    idiom — UniGRU and the input_feed=False decoder both run through here.
+    """
+    xs = x_proj.swapaxes(0, 1)
+    args = xs if mask is None else (xs, mask.swapaxes(0, 1))
+
+    if cell_type == "lstm":
+        H = carry0.shape[-1] // 2
+
+        def step(hc, xs_t):
+            xp_t, m_t = xs_t if mask is not None else (xs_t, None)
+            h, c = jnp.split(hc, 2, axis=-1)
+            h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
+            hc_new = jnp.concatenate([h_new, c_new], axis=-1)
+            if m_t is not None:
+                hc_new = jnp.where(m_t[:, None] > 0, hc_new, hc)
+            return hc_new, hc_new[..., :H]
+    else:
+        def step(h, xs_t):
+            xp_t, m_t = xs_t if mask is not None else (xs_t, None)
+            h_new = gru_gates(xp_t, h @ wh + bh, h)
+            if m_t is not None:
+                h_new = jnp.where(m_t[:, None] > 0, h_new, h)
+            return h_new, h_new
+
+    final, outs = jax.lax.scan(step, carry0, args, reverse=reverse, unroll=unroll)
+    return outs.swapaxes(0, 1), final
+
+
 class UniGRU(nn.Module):
     """One direction, one layer. Returns (outputs (B,T,H), final state).
 
@@ -154,35 +190,10 @@ class UniGRU(nn.Module):
         wh = wh.astype(self.dtype)
         bh = bh.astype(self.dtype)
         m = mask.astype(self.dtype)
-
-        if self.cell_type == "lstm":
-            hc0 = jnp.concatenate([h0, h0], axis=-1)
-
-            def lstep(hc, xs):
-                xp_t, m_t = xs
-                h, c = jnp.split(hc, 2, axis=-1)
-                h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
-                hc_new = jnp.concatenate([h_new, c_new], axis=-1)
-                hc = jnp.where(m_t[:, None] > 0, hc_new, hc)
-                return hc, hc[..., :H]
-
-            final, outs = jax.lax.scan(
-                lstep, hc0, (x_proj.swapaxes(0, 1), m.swapaxes(0, 1)),
-                reverse=self.reverse, unroll=self.unroll,
-            )
-            return outs.swapaxes(0, 1), final
-
-        def step(h, xs):
-            xp_t, m_t = xs
-            h_new = gru_gates(xp_t, h @ wh + bh, h)
-            h = jnp.where(m_t[:, None] > 0, h_new, h)
-            return h, h
-
-        final, outs = jax.lax.scan(
-            step, h0, (x_proj.swapaxes(0, 1), m.swapaxes(0, 1)),
-            reverse=self.reverse, unroll=self.unroll,
-        )
-        return outs.swapaxes(0, 1), final
+        carry0 = (jnp.concatenate([h0, h0], axis=-1)
+                  if self.cell_type == "lstm" else h0)
+        return cell_layer_scan(x_proj, carry0, wh, bh, self.cell_type,
+                               self.unroll, mask=m, reverse=self.reverse)
 
 
 class BiGRUEncoder(nn.Module):

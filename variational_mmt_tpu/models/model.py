@@ -271,7 +271,14 @@ class VMMTModel(nn.Module):
             if c.use_img_predict:
                 out["img_pred"] = self.predict_img(z)
                 if v_in is not None:
-                    out["img_target"] = v_in
+                    # the target must be a CONSTANT for the image loss: with
+                    # img_pool=attn, v_in is parameter-dependent
+                    # (region_pool over src_summary) and an un-stopped
+                    # gradient would let the target chase the prediction —
+                    # collapsing the region attention onto whatever is
+                    # easiest to reconstruct instead of grounding z.
+                    # region_pool still learns through q/prior consumption.
+                    out["img_target"] = jax.lax.stop_gradient(v_in)
 
         if (not deterministic) and c.word_dropout > 0.0:
             keep = jax.random.bernoulli(

@@ -27,15 +27,26 @@ _SRCS = [
 
 
 def _build(out_path: str) -> bool:
+    # compile to a per-pid temp path then atomically rename: concurrent
+    # processes (MP serving dispatchers on a cold cache) would otherwise
+    # CDLL a half-written .so another builder is still emitting
+    tmp_path = f"{out_path}.{os.getpid()}.tmp"
     for extra in (["-march=native"], []):  # -march may be unsupported
         try:
             subprocess.run(
-                ["g++", "-O3", *extra, "-shared", "-fPIC", *_SRCS, "-o", out_path],
+                ["g++", "-O3", *extra, "-shared", "-fPIC", *_SRCS, "-o", tmp_path],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp_path, out_path)
             return True
         except Exception:
             continue
+        finally:
+            if os.path.exists(tmp_path):
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
     return False
 
 
@@ -75,10 +86,19 @@ def _load() -> Optional[ctypes.CDLL]:
     cache = _user_cache_dir()
     if cache is not None:
         candidates.append(os.path.join(cache, "_native_batcher.so"))
-    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    srcs = [s for s in _SRCS if os.path.exists(s)]
+    if len(srcs) < len(_SRCS):
+        # sources missing (e.g. a deploy shipping only the prebuilt .so):
+        # never rebuild, but a shipped library is still loadable — and with
+        # nothing to load we must degrade to Python, not crash available()
+        newest_src = 0.0
+        can_build = False
+    else:
+        newest_src = max(os.path.getmtime(s) for s in srcs)
+        can_build = True
     for path in candidates:
         if not os.path.exists(path) or os.path.getmtime(path) < newest_src:
-            if not _build(path):
+            if not (can_build and _build(path)):
                 continue
         if not _safe_to_load(path):
             continue

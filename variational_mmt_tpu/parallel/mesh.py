@@ -52,6 +52,3 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     sh = batch_sharding(mesh, axis)
     return jax.device_put(batch, sh)
 
-
-def pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m

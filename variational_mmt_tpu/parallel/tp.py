@@ -43,6 +43,10 @@ TP_RULES = (
     ("tgt_embed/embedding", P(MODEL_AXIS, None)),
     ("generator/kernel", P(None, MODEL_AXIS)),
     ("generator/bias", P(MODEL_AXIS)),
+    # tied generator (share_decoder_embeddings): the standalone (V,) bias
+    # must shard like generator/bias, or the tied layout diverges from the
+    # untied one on the vocab axis
+    ("gen_bias", P(MODEL_AXIS)),
 )
 
 

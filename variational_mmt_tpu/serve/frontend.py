@@ -27,6 +27,7 @@ Endpoints (same surface for both servers):
 from __future__ import annotations
 
 import json
+import os
 import socket
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
@@ -58,6 +59,10 @@ class Backend:
 def make_http_handler(backend: Backend):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # largest accepted request body; without a cap every handler thread
+        # buffers an attacker-controlled Content-Length in full (OOM). 64 MB
+        # comfortably fits batch_size x conv-region f32 features.
+        MAX_BODY = int(os.environ.get("VMMT_SERVE_MAX_BODY", 64 * 1024 * 1024))
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -88,6 +93,16 @@ def make_http_handler(backend: Backend):
 
         def do_POST(self):
             binary = "msgpack" in (self.headers.get("Content-Type") or "")
+            try:
+                n_body = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n_body = -1
+            if n_body < 0 or n_body > self.MAX_BODY:
+                # too large to drain for keep-alive — close the connection
+                self.close_connection = True
+                self._json(413, {"error": f"request body exceeds "
+                                          f"{self.MAX_BODY} bytes"})
+                return
             if binary and msgpack is None:
                 # must still drain the body: leftover bytes desync keep-alive
                 self.rfile.read(int(self.headers.get("Content-Length", 0)))

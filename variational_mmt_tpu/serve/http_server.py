@@ -66,16 +66,21 @@ class ServingServer:
         return self.httpd.server_address[1]
 
     def start(self) -> None:
+        self._serving = True
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True, name="vmmt-http"
         )
         self._thread.start()
 
     def serve_forever(self) -> None:
+        self._serving = True
         self.httpd.serve_forever()
 
     def stop(self) -> None:
-        self.httpd.shutdown()
+        # shutdown() blocks on an event only serve_forever() ever sets —
+        # calling it on a never-started server would hang forever
+        if getattr(self, "_serving", False):
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

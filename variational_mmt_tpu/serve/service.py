@@ -96,14 +96,15 @@ class TranslationService:
         # The caller (cli/serve.py) enforces vocab/feature-interface match.
         self.models = list(model) if isinstance(model, (list, tuple)) else [model]
         self.model = self.models[0]
-        # the interface member must be a vmmt_c when one exists: conditional
-        # priors are the only decode-time feature consumers, and the CLI
-        # guard only enforces agreement among vmmt_c members (a vmmt_f
-        # trained on wider features may legally share an ensemble with a
-        # narrower vmmt_c — its v is ignored at decode)
+        # the interface member must be a decode-time feature consumer when
+        # one exists (the shared rule in cli/loading.py, which the ensemble
+        # guard enforces agreement over); a vmmt_f trained on wider features
+        # may legally share an ensemble with a narrower vmmt_c — its v is
+        # ignored at decode
+        from variational_mmt_tpu.config import consumes_decode_feats
+
         img_members = [
-            m for m in self.models
-            if m.cfg.model_type == "vmmt_c" and m.cfg.img_feat_dim > 0
+            m for m in self.models if consumes_decode_feats(m.cfg)
         ] or [
             m for m in self.models
             if (m.is_latent or m.cfg.use_img_predict) and m.cfg.img_feat_dim > 0
@@ -149,6 +150,12 @@ class TranslationService:
         """Apply the over-length policy and image defaults/shape check;
         raises ClientError without side effects so multi-sentence callers
         can validate a whole request before enqueuing any of it."""
+        if not tokens:
+            # an all-PAD source row has fully-masked attention (uniform
+            # softmax over NEG_INF scores) and decodes to confident garbage
+            raise ClientError(
+                "empty source: the text contains no tokens after "
+                "tokenization")
         if len(tokens) > self._src_cap:
             if self.scfg.over_length == "truncate":
                 tokens = tokens[: self._src_cap]
@@ -276,13 +283,16 @@ class TranslationService:
                 nxt = self._q.get(timeout=max(0.0, remain)) if remain > 0 else self._q.get_nowait()
             except queue.Empty:
                 break
-            if nxt is None:  # stop sentinel: re-post for the outer loop
-                self._q.put(None)
+            if nxt is None:  # stop sentinel: flag for the outer loop
+                # (re-posting with a blocking put() could deadlock the sole
+                # consumer against a full queue of producers)
+                self._stop_seen = True
                 break
             group.append(nxt)
         return group
 
     def _run(self) -> None:
+        self._stop_seen = False
         while True:
             group = self._collect()
             if group is None:
@@ -315,3 +325,5 @@ class TranslationService:
                 if len(group) > 1:
                     self.stats["batched_requests"] += len(group)
                 self.stats["busy_s"] += time.monotonic() - t0
+            if self._stop_seen:
+                return
