@@ -267,3 +267,22 @@ def test_ensemble_shifts_distribution():
     # regression that returns member 0's distribution verbatim)
     assert ids(out_a) != ids(out_b)
     assert ids(out_e) != ids(out_a) and ids(out_e) != ids(out_b)
+
+
+def test_ensemble_supports_dump_beam_and_coverage():
+    """Beam-level features (raw search trace, coverage penalty) are defined
+    on the COMBINED distribution and must work with an ensemble (unlike the
+    per-model flags the CLI rejects)."""
+    cfg, model_a, state_a, vocab = small_setup(seed=61)
+    _, model_b, state_b, _ = small_setup(seed=62)
+    dcfg = DecodeConfig(beam_size=2, max_length=8, batch_size=4,
+                        coverage_beta=0.2, dump_beam=True)
+    tr = Translator([model_a, model_b], [state_a.params, state_b.params],
+                    vocab, vocab, dcfg, buckets=[8])
+    out = tr.translate_ids(SRC, _feats())
+    assert len(out) == 3
+    # one raw search tree per corpus index, each step carrying (parent,
+    # token) pairs for every beam slot
+    assert sorted(tr.beam_traces) == [0, 1, 2]
+    for trace in tr.beam_traces.values():
+        assert len(trace) >= 1
