@@ -261,10 +261,12 @@ def test_serve_cli_args_parse():
     add_args(p)
     opt = p.parse_args(["-model", "x", "-port", "0", "-max_wait_ms", "2.5",
                         "-max_src_tokens", "96", "-over_length", "truncate",
-                        "-ensemble_mode", "logprob"])
+                        "-ensemble_mode", "logprob",
+                        "-infer_dtype", "bfloat16"])
     assert opt.port == 0 and opt.max_wait_ms == 2.5
     assert opt.max_src_tokens == 96 and opt.over_length == "truncate"
     assert opt.ensemble_mode == "logprob"
+    assert opt.infer_dtype == "bfloat16"
 
 
 def test_http_msgpack_binary_wire_matches_json():

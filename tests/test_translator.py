@@ -323,3 +323,44 @@ def test_greedy_scores_are_real_logprobs():
     assert all(np.isfinite(s) for s in scores)
     assert any(s != 0.0 for s in scores)
     assert all(s <= 0.0 for s in scores)  # log-probs of emitted tokens
+
+
+def test_infer_dtype_bf16_casts_and_decodes():
+    """-infer_dtype bfloat16: float param leaves are cast at load (halved
+    HBM weight traffic on the bandwidth-bound decode step); decode still
+    produces finite log-prob scores (logits/latent heads upcast to f32)."""
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.infer_dtype = "bfloat16"
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16
+    feats = np.random.default_rng(0).standard_normal((2, 8)).astype(np.float32)
+    out = tr.translate_tokens([["w1", "w2"], ["w3"]], feats)
+    assert len(out) == 2
+    for nbest in out:
+        score, text = nbest[0]
+        assert np.isfinite(score)
+        assert isinstance(text, str)
+
+
+def test_infer_dtype_bf16_ensemble_members_cast():
+    cfg, model, state, vocab = small_setup()
+    cfg2, model2, state2, _ = small_setup()
+    cfg.decode.infer_dtype = "bfloat16"
+    tr = Translator([model, model2], (state.params, state2.params),
+                    vocab, vocab, cfg.decode, buckets=[8])
+    for tree in tr.params:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.bfloat16
+    feats = np.zeros((1, 8), np.float32)
+    out = tr.translate_ids([[5, 6, 7]], feats)
+    assert len(out) == 1 and np.isfinite(out[0][0][0])
+
+
+def test_infer_dtype_invalid_rejected():
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.infer_dtype = "float16"
+    with pytest.raises(ValueError, match="infer_dtype"):
+        Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])

@@ -31,6 +31,8 @@ def main():
                          "(independent random param trees of the same "
                          "flagship shape) to measure the combination cost")
     ap.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"])
+    ap.add_argument("-infer_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     opt = ap.parse_args()
     if opt.ensemble < 1:
         ap.error(f"-ensemble must be >= 1, got {opt.ensemble}")
@@ -43,17 +45,29 @@ def main():
         img_feat_dim=2048, compute_dtype="bfloat16" if on_tpu else "float32",
     )
     dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20,
-                        batch_size=B, ensemble_mode=opt.ensemble_mode)
+                        batch_size=B, ensemble_mode=opt.ensemble_mode,
+                        infer_dtype=opt.infer_dtype)
     model = build_model(cfg)
     M = opt.ensemble
+    # this tool calls make_translate_fn directly (no Translator), so the
+    # -infer_dtype weight cast Translator.__init__ would do is applied here
+    from variational_mmt_tpu.decode.translator import cast_params_for_inference
     if M > 1:
-        params = tuple(init_params(model, jax.random.PRNGKey(i))
-                       for i in range(M))
+        params = tuple(
+            cast_params_for_inference(
+                init_params(model, jax.random.PRNGKey(i)), opt.infer_dtype)
+            for i in range(M))
         fn = jax.jit(make_translate_fn([model] * M, dcfg))
         print(f"{M}-member ensemble ({dcfg.ensemble_mode})")
     else:
-        params = init_params(model, jax.random.PRNGKey(0))
+        params = cast_params_for_inference(
+            init_params(model, jax.random.PRNGKey(0)), opt.infer_dtype)
         fn = jax.jit(make_translate_fn(model, dcfg))
+
+    leaves = jax.tree_util.tree_leaves(params)
+    pbytes = sum(l.size * l.dtype.itemsize for l in leaves)
+    print(f"infer_dtype={opt.infer_dtype}  param leaf dtype "
+          f"{leaves[0].dtype}  total {pbytes/1e6:.1f} MB")
 
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, 10000, (B, S)), jnp.int32)

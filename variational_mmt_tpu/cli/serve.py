@@ -23,6 +23,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
                    help="ensemble combination of per-step distributions: "
                         "mean probability (prob) or mean log-prob (logprob)")
+    p.add_argument("-infer_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="decode-time weight precision: bfloat16 halves HBM "
+                        "weight traffic on the bandwidth-bound decode step")
     p.add_argument("-host", default="127.0.0.1")
     p.add_argument("-port", type=int, default=8080)
     p.add_argument("-beam_size", type=int, default=4)
@@ -84,6 +88,7 @@ def main(argv=None) -> None:
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         coverage_beta=opt.coverage_beta, ensemble_mode=opt.ensemble_mode,
+        infer_dtype=opt.infer_dtype,
     )
     scfg = ServeConfig(
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,

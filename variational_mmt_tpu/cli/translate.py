@@ -30,6 +30,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-model", required=True,
                    help="checkpoint dir (or specific step dir); "
                         "comma-separate several for an ensemble decode")
+    p.add_argument("-infer_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="decode-time weight precision: bfloat16 halves HBM "
+                        "weight traffic on the bandwidth-bound decode step")
     p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
                    help="how ensemble members' next-token distributions are "
                         "combined: mean probability (prob) or mean log-prob "
@@ -132,6 +136,7 @@ def main(argv=None) -> None:
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
         dump_beam=bool(opt.dump_beam), ensemble_mode=opt.ensemble_mode,
+        infer_dtype=opt.infer_dtype,
     )
     mesh = None
     if opt.tensor_parallel > 1:

@@ -205,6 +205,10 @@ class DecodeConfig:
     # next-token distributions in probability space (logsumexp - log M, the
     # standard NMT ensemble); "logprob" averages log-probs (geometric mean)
     ensemble_mode: str = "prob"
+    # decode-time weight precision: "bfloat16" casts float param leaves at
+    # load (halves HBM weight traffic on the bandwidth-bound decode step);
+    # logits/latent heads still compute in f32 (beyond-reference)
+    infer_dtype: str = "float32"
 
 
 @dataclass
