@@ -12,13 +12,120 @@ to the measurement); default drives the service queue directly.
 import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
+
+
+def _make_workload(requests: int, src_len: int):
+    """Deterministic (seed 0) so out-of-process clients regenerate the exact
+    texts/imgs the single-process mode uses."""
+    rng = np.random.default_rng(0)
+    texts = [
+        " ".join(f"w{k}" for k in rng.integers(0, 9000, src_len))
+        for _ in range(requests)
+    ]
+    imgs = rng.standard_normal((requests, 2048)).astype(np.float32)
+    return texts, imgs
+
+
+def _http_client_loop(port, texts, imgs, lo, hi, wire, req_batch, lat, lock):
+    # one keep-alive connection per client thread (urllib reconnects
+    # per request, which alone costs ~2x at this request size)
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    if wire == "msgpack":
+        import msgpack
+
+        def encode(i, j):
+            block = np.ascontiguousarray(imgs[i:j])
+            return msgpack.packb({
+                "texts": texts[i:j],
+                "imgs": {"shape": list(block.shape), "data": block.tobytes()},
+                "timeout": 600,  # match direct mode (server default is 60s)
+            }), {"Content-Type": "application/x-msgpack"}
+    else:
+        def encode(i, j):
+            return (json.dumps({"texts": texts[i:j],
+                                "imgs": imgs[i:j].tolist(),
+                                "timeout": 600}).encode(),
+                    {"Content-Type": "application/json"})
+
+    i = lo
+    while i < hi:
+        j = min(i + req_batch, hi)
+        body, headers = encode(i, j)
+        t0 = time.monotonic()
+        conn.request("POST", "/translate", body=body, headers=headers)
+        resp = conn.getresponse()
+        resp.read()
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}")
+        with lock:
+            # per-sentence latency entries keep the percentile math and
+            # the completion check comparable across req_batch settings
+            lat.extend([time.monotonic() - t0] * (j - i))
+        i = j
+    conn.close()
+
+
+def _run_threads(n_threads, lo, hi, run_range):
+    """Split [lo, hi) across n_threads; run_range(lo, hi) per thread.
+    Returns (latencies, errors)."""
+    lat: list = []
+    errors: list = []
+    lock = threading.Lock()
+    total = hi - lo
+
+    def client(clo, chi):
+        # a silently-dead thread would make the throughput/percentile math
+        # lie (requests counted but never completed); record and fail loudly
+        try:
+            run_range(clo, chi, lat, lock)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(repr(e))
+
+    chunk = (total + n_threads - 1) // n_threads
+    threads = [
+        threading.Thread(target=client,
+                         args=(lo + c * chunk, min(lo + (c + 1) * chunk, hi)))
+        for c in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return lat, errors
+
+
+def _client_proc_main(args) -> None:
+    """Entry for an out-of-process load generator (--_client_port): pure
+    HTTP client, never imports jax, so it steals no GIL time from the
+    device-owning process being measured."""
+    texts, imgs = _make_workload(args.requests, args.src_len)
+
+    def run_range(lo, hi, lat, lock):
+        _http_client_loop(args._client_port, texts, imgs, lo, hi,
+                          args.wire, args.req_batch, lat, lock)
+
+    start = time.time()
+    lat, errors = _run_threads(args.clients, args._client_lo, args._client_hi,
+                               run_range)
+    end = time.time()
+    np.savez(args._client_out, lat=np.array(lat), start=start, end=end,
+             n_errors=len(errors))
+    if errors:
+        print(f"client proc errors: {errors[:3]}", file=sys.stderr)
+        sys.exit(1)
+    sys.exit(0)
 
 
 def main():
@@ -40,7 +147,21 @@ def main():
     p.add_argument("-req_batch", type=int, default=1,
                    help="sentences per HTTP request (the server's texts:[...] "
                         "schema; amortizes per-request transport cost)")
+    p.add_argument("-client_procs", type=int, default=0,
+                   help="with -http: run the load generators in N separate "
+                        "processes (-clients threads EACH) instead of as "
+                        "threads inside the device-owning process. In-process "
+                        "clients steal GIL time from the service and cap the "
+                        "measurement; this mode measures the server itself")
+    # hidden: out-of-process load-generator mode (spawned by -client_procs)
+    p.add_argument("--_client_port", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--_client_lo", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--_client_hi", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--_client_out", default="", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args._client_port:
+        _client_proc_main(args)  # exits; never touches jax
 
     import jax  # before honor_env_platform so the compile cache engages
 
@@ -85,84 +206,67 @@ def main():
             server = ServingServer(svc, port=0)
         server.start()
 
-    rng = np.random.default_rng(0)
-    texts = [
-        " ".join(f"w{k}" for k in rng.integers(0, 9000, args.src_len))
-        for _ in range(args.requests)
-    ]
-    imgs = rng.standard_normal((args.requests, 2048)).astype(np.float32)
-    lat = []
-    errors = []
-    lock = threading.Lock()
+    texts, imgs = _make_workload(args.requests, args.src_len)
 
-    def direct_client(lo, hi):
-        for i in range(lo, hi):
-            t0 = time.monotonic()
-            svc.submit_text(texts[i], imgs[i]).result(timeout=600)
-            with lock:
-                lat.append(time.monotonic() - t0)
+    if args.client_procs > 0:
+        if not args.http:
+            p.error("-client_procs requires -http (direct mode shares the "
+                    "process by definition)")
+        # spawn P pure-client processes; each regenerates the workload and
+        # drives its own contiguous request range. Wall = span from the
+        # earliest client start to the latest client end (epoch clocks).
+        outs, procs = [], []
+        P = args.client_procs
+        chunk = (args.requests + P - 1) // P
+        for c in range(P):
+            lo, hi = c * chunk, min((c + 1) * chunk, args.requests)
+            if lo >= hi:
+                continue
+            out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
+            outs.append(out)
+            procs.append(subprocess.Popen([
+                sys.executable, os.path.abspath(__file__),
+                "-requests", str(args.requests), "-src_len", str(args.src_len),
+                "-clients", str(args.clients), "-req_batch", str(args.req_batch),
+                "-wire", args.wire,
+                "--_client_port", str(server.port), "--_client_lo", str(lo),
+                "--_client_hi", str(hi), "--_client_out", out,
+            ]))
+        rcs = [q.wait() for q in procs]
+        lat, errors, starts, ends = [], [], [], []
+        for rc, out in zip(rcs, outs):
+            if rc != 0:
+                errors.append(f"client proc rc={rc}")
+                continue
+            z = np.load(out)
+            lat.extend(z["lat"].tolist())
+            starts.append(float(z["start"]))
+            ends.append(float(z["end"]))
+            if int(z["n_errors"]):
+                errors.append(f"{int(z['n_errors'])} request errors")
+        for out in outs:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
+        wall = (max(ends) - min(starts)) if starts else 0.0
+    else:
+        def direct_range(lo, hi, lat, lock):
+            for i in range(lo, hi):
+                t0 = time.monotonic()
+                svc.submit_text(texts[i], imgs[i]).result(timeout=600)
+                with lock:
+                    lat.append(time.monotonic() - t0)
 
-    def http_client(lo, hi):
-        # one keep-alive connection per client thread (urllib reconnects
-        # per request, which alone costs ~2x at this request size)
-        import http.client
+        def http_range(lo, hi, lat, lock):
+            _http_client_loop(server.port, texts, imgs, lo, hi,
+                              args.wire, args.req_batch, lat, lock)
 
-        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=600)
-        if args.wire == "msgpack":
-            import msgpack
-
-            def encode(i, j):
-                block = np.ascontiguousarray(imgs[i:j])
-                return msgpack.packb({
-                    "texts": texts[i:j],
-                    "imgs": {"shape": list(block.shape), "data": block.tobytes()},
-                    "timeout": 600,  # match direct mode (server default is 60s)
-                }), {"Content-Type": "application/x-msgpack"}
-        else:
-            def encode(i, j):
-                return (json.dumps({"texts": texts[i:j],
-                                    "imgs": imgs[i:j].tolist(),
-                                    "timeout": 600}).encode(),
-                        {"Content-Type": "application/json"})
-
-        i = lo
-        while i < hi:
-            j = min(i + args.req_batch, hi)
-            body, headers = encode(i, j)
-            t0 = time.monotonic()
-            conn.request("POST", "/translate", body=body, headers=headers)
-            resp = conn.getresponse()
-            resp.read()
-            if resp.status != 200:
-                raise RuntimeError(f"HTTP {resp.status}")
-            with lock:
-                # per-sentence latency entries keep the percentile math and
-                # the completion check comparable across req_batch settings
-                lat.extend([time.monotonic() - t0] * (j - i))
-            i = j
-        conn.close()
-
-    inner = http_client if args.http else direct_client
-
-    def client(lo, hi):
-        # a silently-dead thread would make the throughput/percentile math
-        # lie (requests counted but never completed); record and fail loudly
-        try:
-            inner(lo, hi)
-        except Exception as e:  # noqa: BLE001
-            with lock:
-                errors.append(repr(e))
-    chunk = (args.requests + args.clients - 1) // args.clients
-    threads = [
-        threading.Thread(target=client, args=(c * chunk, min((c + 1) * chunk, args.requests)))
-        for c in range(args.clients)
-    ]
-    t0 = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        lat, errors = _run_threads(
+            args.clients, 0, args.requests,
+            http_range if args.http else direct_range)
+        wall = time.monotonic() - t0
 
     # stop FIRST (joins the worker): the last batch's stats update happens
     # after its futures resolve, so snapshotting before the join races it
@@ -181,10 +285,11 @@ def main():
         "value": round(len(lat) / wall, 1),
         "unit": "sent/s",
         "platform": jax.default_backend(),
-        "clients": args.clients,
+        "clients": args.clients * max(1, args.client_procs),
         "transport": (f"http-{args.wire}"
                       + (f"-mp{args.procs}" if args.procs else "")
                       + (f"-rb{args.req_batch}" if args.req_batch > 1 else "")
+                      + (f"-cp{args.client_procs}" if args.client_procs else "")
                       if args.http else "direct"),
         "latency_ms_p50": round(1000 * float(np.percentile(lat_a, 50)), 1),
         "latency_ms_p99": round(1000 * float(np.percentile(lat_a, 99)), 1),
