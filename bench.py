@@ -264,6 +264,10 @@ def _train_phase():
     result = {
         "platform": platform,
         "n_devices": n_dev,
+        # host cores gate the Python side of the decode line (beam
+        # postprocessing) and any serving numbers taken the same day —
+        # rounds run on heterogeneous driver boxes (round 3c saw 1 core)
+        "host_cpus": os.cpu_count(),
         "global_batch": cfg.train.batch_size,
         "seq_len": L,
         "per_chip": per_chip,

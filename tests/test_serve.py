@@ -343,7 +343,7 @@ def test_stop_drains_racing_submissions():
 
     _, _, _, _, svc = small_service()
     svc.stop()  # worker gone
-    req = _Request(tokens=["w1"], img=None)
+    req = _Request(ids=[5], img=None)
     svc._q.put(req)  # simulates the submit-vs-stop race losing the race
     svc.stop()  # idempotent; must drain and fail the straggler
     import pytest as _pytest
@@ -520,3 +520,83 @@ def test_dispatcher_import_stays_modelfree():
     out = subprocess.run([_sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=120)
     assert out.returncode == 0 and "clean" in out.stdout, out.stderr
+
+
+def test_submit_ids_batch_matches_tokens_path():
+    """The id-level submit path (the MP dispatchers' wire) returns the same
+    hypotheses as the text path, as raw ids — and never builds text in the
+    service process."""
+    cfg, model, state, vocab, svc = small_service()
+    try:
+        texts = ["w1 w2 w3", "w4 w5", "w6 w7 w8 w9"]
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((3, 8)).astype(np.float32)
+        toks = [t.split() for t in texts]
+        ids = [vocab.encode(t) for t in toks]
+        raw = [f.result(timeout=120)
+               for f in svc.submit_ids_batch(ids, imgs)]
+        text_out = svc.translate_text(texts, imgs)
+        for nbest_ids, nbest_text in zip(raw, text_out):
+            assert [s for s, _ in nbest_ids] == pytest.approx(
+                [s for s, _ in nbest_text])
+            rebuilt = [" ".join(vocab.decode(i, strip_special=False))
+                       for _, i in nbest_ids]
+            # the small vocab has no BPE continuations, so join == detok
+            assert rebuilt == [t for _, t in nbest_text]
+    finally:
+        svc.stop()
+
+
+def test_pipelined_worker_many_groups_in_order():
+    """Sustained load forces the two-deep pipeline (group N+1 dispatched
+    before group N finalizes); every future must still resolve to its own
+    sentence's translation."""
+    cfg, model, state, vocab, svc = small_service(max_wait_ms=1.0, batch_size=2)
+    try:
+        texts = [f"w{1 + (i % 19)} w{1 + ((i * 7) % 19)}" for i in range(24)]
+        futs = [svc.submit_text(t) for t in texts]
+        got = [f.result(timeout=120)[0][1] for f in futs]
+
+        # the service zero-fills missing features; match that offline
+        imgs = np.zeros((len(texts), 8), np.float32)
+        tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+        want = [nb[0][1]
+                for nb in tr.translate_tokens([t.split() for t in texts], imgs)]
+        assert got == want
+        # with batch cap 2 and 24 requests the worker must have run many
+        # groups — i.e. the pipeline really cycled
+        assert svc.stats["batches"] >= 12
+    finally:
+        svc.stop()
+
+
+def test_rpc_translate_ids_refused_with_replace_unk():
+    """replace_unk needs source tokens + attention; the id-level RPC op must
+    refuse (and MPServingServer ships no vocab in that case) rather than
+    silently dropping UNK replacement."""
+    from variational_mmt_tpu.serve.rpc import RPCServer
+
+    cfg = Config(
+        model=ModelConfig(
+            model_type="nmt", src_vocab_size=24, tgt_vocab_size=24, emb_dim=16,
+            hidden_dim=32, enc_layers=1, dec_layers=1, dropout=0.0,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(seed=7),
+        decode=DecodeConfig(beam_size=2, max_length=8, batch_size=2,
+                            replace_unk=True),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(20)])
+    svc = TranslationService(model, state.params, vocab, vocab, cfg.decode,
+                             buckets=[8],
+                             scfg=ServeConfig(max_wait_ms=1.0, warmup=False))
+    try:
+        srv = RPCServer.__new__(RPCServer)  # no socket: test _dispatch only
+        srv.service = svc
+        srv.info = {}
+        with pytest.raises(ValueError, match="replace_unk"):
+            srv._dispatch({"op": "translate_ids", "ids": [[5, 6]]})
+    finally:
+        svc.stop()

@@ -260,11 +260,21 @@ class Translator:
         # (the reference's -dump_beam); see ops/beam.py return_trace
         self.beam_traces: dict = {}
 
-    def translate_ids(
+    def dispatch_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
-    ) -> List[List[Tuple[float, List[int]]]]:
-        """Returns, per input sentence, the n-best list [(score, token_ids)].
-        With ``replace_unk``, entries are (score, token_ids, attn_positions)."""
+    ) -> "PendingTranslation":
+        """Enqueue the device work for a corpus WITHOUT waiting for it.
+
+        JAX dispatch is asynchronous: every ``self._fn`` call below returns
+        device futures immediately, so a caller (e.g. the serving worker)
+        can overlap the host-side postprocessing of one group with the
+        device compute of the next — pass the returned handle to
+        :meth:`finalize_ids` to block and build results.
+
+        Not pipeline-safe with ``dump_beam`` (the trace dict is keyed by
+        per-call corpus indices on ``self``); offline callers that dump
+        beams go through :meth:`translate_ids`, which is dispatch+finalize
+        back-to-back."""
         if self.dcfg.dump_beam:
             # corpus indices key this dict: stale entries from a previous
             # corpus must not leak into this call's dump
@@ -278,8 +288,7 @@ class Translator:
             ds, batch_size=self.dcfg.batch_size, buckets=buckets,
             img_feats=img_feats, shuffle=False,
         )
-        n_best = self.dcfg.n_best  # <= beam_size, validated in __init__
-        results: dict = {}
+        pending = []
         for batch in it.epoch(0):
             img = jnp.asarray(batch.img) if batch.img is not None else None
             src = jnp.asarray(batch.src)
@@ -287,7 +296,18 @@ class Translator:
                 src = jax.device_put(src, self._batch_sh)
                 if img is not None:
                     img = jax.device_put(img, self._batch_sh)
-            out = self._fn(self.params, src, img)
+            pending.append((batch, self._fn(self.params, src, img)))
+        return PendingTranslation(pending, len(src_ids))
+
+    def finalize_ids(
+        self, pending: "PendingTranslation"
+    ) -> List[List[Tuple[float, List[int]]]]:
+        """Block on a :meth:`dispatch_ids` handle and build per-sentence
+        n-best lists [(score, token_ids)] in original corpus order. With
+        ``replace_unk``, entries are (score, token_ids, attn_positions)."""
+        n_best = self.dcfg.n_best  # <= beam_size, validated in __init__
+        results: dict = {}
+        for batch, out in pending.batches:
             tokens = np.asarray(out[0])
             scores = np.asarray(out[1])
             # variable arity: [tokens, scores, attn?, trace?] — the trace
@@ -319,7 +339,46 @@ class Translator:
                     else:
                         nbest.append((float(scores[row, k]), ids))
                 results[i] = nbest
-        return [results[i] for i in range(len(src_ids))]
+        return [results[i] for i in range(pending.n)]
+
+    def translate_ids(
+        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
+    ) -> List[List[Tuple[float, List[int]]]]:
+        """Returns, per input sentence, the n-best list [(score, token_ids)].
+        With ``replace_unk``, entries are (score, token_ids, attn_positions)."""
+        return self.finalize_ids(self.dispatch_ids(src_ids, img_feats))
+
+    def nbest_to_text(
+        self,
+        nbest: List[tuple],
+        src_tokens: Optional[List[str]] = None,
+        debpe: bool = True,
+        keep_ids: bool = False,
+    ) -> List[tuple]:
+        """One sentence's n-best [(score, ids[, attn])] -> [(score, text)]
+        (the reference TranslationBuilder's per-sentence role: vocab decode,
+        ``replace_unk`` via max-attention source token + phrase table,
+        BPE removal). Factored out so serving postprocessing can run it per
+        request off the device-owning worker thread."""
+        pt = self.phrase_table
+        sent = []
+        for entry in nbest:
+            score, ids = entry[0], entry[1]
+            toks = self.tgt_vocab.decode(ids, strip_special=False)
+            if len(entry) == 3 and src_tokens is not None:
+                # replace_unk: the max-attention source token, looked up
+                # in the phrase table first when one is loaded (the
+                # reference Translator's -phrase_table behavior)
+                toks = [
+                    pt.get(s := src_tokens[min(entry[2][j], len(src_tokens) - 1)], s)
+                    if t == UNK_TOK and src_tokens else t
+                    for j, t in enumerate(toks)
+                ]
+            if debpe:
+                toks = remove_bpe(toks)
+            text = " ".join(toks)
+            sent.append((score, text, ids) if keep_ids else (score, text))
+        return sent
 
     def translate_tokens(
         self,
@@ -336,29 +395,35 @@ class Translator:
         to skip a second full-corpus vocab encode)."""
         if src_ids is None:
             src_ids = [self.src_vocab.encode(t) for t in src_tokens]
-        pt = self.phrase_table
-        out = []
-        for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats)):
-            sent = []
-            for entry in nbest:
-                score, ids = entry[0], entry[1]
-                toks = self.tgt_vocab.decode(ids, strip_special=False)
-                if len(entry) == 3:
-                    # replace_unk: the max-attention source token, looked up
-                    # in the phrase table first when one is loaded (the
-                    # reference Translator's -phrase_table behavior)
-                    src_toks = src_tokens[sent_i]
-                    toks = [
-                        pt.get(s := src_toks[min(entry[2][j], len(src_toks) - 1)], s)
-                        if t == UNK_TOK and src_toks else t
-                        for j, t in enumerate(toks)
-                    ]
-                if debpe:
-                    toks = remove_bpe(toks)
-                text = " ".join(toks)
-                sent.append((score, text, ids) if keep_ids else (score, text))
-            out.append(sent)
-        return out
+        return [
+            self.nbest_to_text(nbest, src_tokens[sent_i], debpe=debpe,
+                               keep_ids=keep_ids)
+            for sent_i, nbest in enumerate(self.translate_ids(src_ids, img_feats))
+        ]
+
+
+class PendingTranslation:
+    """In-flight device work from :meth:`Translator.dispatch_ids`: the
+    per-batch (host Batch metadata, device output arrays) pairs plus the
+    corpus size. Opaque to callers; pass to :meth:`Translator.finalize_ids`."""
+
+    __slots__ = ("batches", "n")
+
+    def __init__(self, batches: List[tuple], n: int):
+        self.batches = batches
+        self.n = n
+
+    def ready(self) -> bool:
+        """True once the device work has completed (non-blocking probe).
+        A single device (or GSPMD program group) executes dispatches in
+        order, so the LAST dispatched batch's scores array is the
+        representative leaf; used by the serving worker to size the next
+        dynamic batch to the in-flight compute window."""
+        if not self.batches:
+            return True
+        scores = self.batches[-1][1][1]
+        is_ready = getattr(scores, "is_ready", None)
+        return bool(is_ready()) if is_ready is not None else True
 
 
 def _strip(ids: np.ndarray) -> List[int]:

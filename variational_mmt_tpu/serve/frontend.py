@@ -169,9 +169,15 @@ class ReuseportHTTPServer(ThreadingHTTPServer):
 class _DispatcherBackend(Backend):
     """Runs in a dispatcher process: tokenize/BPE locally (each dispatcher
     burns its own GIL, in parallel across processes), forward token lists +
-    binary features over the unix-socket RPC."""
+    binary features over the unix-socket RPC.
 
-    def __init__(self, rpc_client, bpe_merges, lower: bool):
+    When the server ships its vocab tables (``vocabs``), the dispatcher
+    upgrades to the id-level wire: it vocab-encodes sources and decodes/
+    detoks the returned hypothesis ids itself, so the device-owning process
+    touches no text at all — its GIL budget goes entirely to padding and
+    device dispatch (docs/perf_notes.md serving ladder)."""
+
+    def __init__(self, rpc_client, bpe_merges, lower: bool, vocabs=None):
         from variational_mmt_tpu.data.tokenizer import tokenize
 
         self._rpc = rpc_client
@@ -182,6 +188,24 @@ class _DispatcherBackend(Backend):
             from variational_mmt_tpu.data.bpe import BPE
 
             self._bpe = BPE([tuple(m) for m in bpe_merges])
+        self._src_vocab = self._tgt_vocab = None
+        if vocabs is not None:
+            from variational_mmt_tpu.data.vocab import Vocab
+
+            self._src_vocab = Vocab(vocabs[0])
+            self._tgt_vocab = Vocab(vocabs[1])
+
+    def _call(self, payload, timeout):
+        resp = self._rpc.call(payload, timeout)
+        if "error" in resp:
+            if resp["error"].startswith("ClientError:"):
+                # re-raise as the client-error type so the handler maps it
+                # to a 400 exactly like the in-process backend; server-side
+                # ValueErrors deliberately do NOT match (they are bugs, and
+                # must surface as 500s, not as the client's fault)
+                raise ClientError(resp["error"].split(": ", 1)[1])
+            raise RuntimeError(resp["error"])
+        return resp
 
     def translate(self, texts, imgs, timeout):
         tokens = []
@@ -194,19 +218,28 @@ class _DispatcherBackend(Backend):
         if imgs is not None:
             a = np.ascontiguousarray(imgs, dtype="<f4")
             wire = {"shape": list(a.shape), "data": a.tobytes()}
-        resp = self._rpc.call(
+        if self._src_vocab is not None:
+            from variational_mmt_tpu.data.bpe import remove_bpe
+
+            ids = [self._src_vocab.encode(toks) for toks in tokens]
+            resp = self._call(
+                {"op": "translate_ids", "ids": ids, "imgs": wire,
+                 "timeout": timeout},
+                timeout,
+            )
+            # mirror Translator.nbest_to_text (no replace_unk on this wire:
+            # the server refuses the ids op when replace_unk is configured)
+            return [
+                [(s, " ".join(remove_bpe(
+                    self._tgt_vocab.decode(out_ids, strip_special=False))))
+                 for s, out_ids in nbest]
+                for nbest in resp["results"]
+            ]
+        resp = self._call(
             {"op": "translate_tokens", "tokens": tokens, "imgs": wire,
              "timeout": timeout},
             timeout,
         )
-        if "error" in resp:
-            if resp["error"].startswith("ClientError:"):
-                # re-raise as the client-error type so the handler maps it
-                # to a 400 exactly like the in-process backend; server-side
-                # ValueErrors deliberately do NOT match (they are bugs, and
-                # must surface as 500s, not as the client's fault)
-                raise ClientError(resp["error"].split(": ", 1)[1])
-            raise RuntimeError(resp["error"])
         return [[(s, t) for s, t in nbest] for nbest in resp["results"]]
 
     def healthz(self):
@@ -217,13 +250,16 @@ class _DispatcherBackend(Backend):
 
 
 def run_dispatcher(host: str, port: int, rpc_path: str, bpe_merges,
-                   lower: bool, ready) -> None:
+                   lower: bool, ready, vocabs=None) -> None:
     """multiprocessing-spawn entry point for one HTTP dispatcher process.
     Signals readiness (the bound port) through the ``ready`` pipe end, then
-    serves forever; the parent terminates the process on shutdown."""
+    serves forever; the parent terminates the process on shutdown.
+    ``vocabs``: optional (src_itos, tgt_itos) token tables — when present
+    the dispatcher runs the id-level wire (see _DispatcherBackend)."""
     from variational_mmt_tpu.serve.rpc import RPCClient
 
-    backend = _DispatcherBackend(RPCClient(rpc_path), bpe_merges, lower)
+    backend = _DispatcherBackend(RPCClient(rpc_path), bpe_merges, lower,
+                                 vocabs=vocabs)
     httpd = ReuseportHTTPServer((host, port), make_http_handler(backend))
     try:
         ready.send(httpd.server_address[1])

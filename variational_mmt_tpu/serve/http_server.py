@@ -119,6 +119,14 @@ class MPServingServer:
         # device-runtime state (remote-TPU client threads, fds)
         ctx = mp.get_context("spawn")
         merges = service.bpe.merges if service.bpe is not None else None
+        # ship the vocab tables so dispatchers run the id-level wire (all
+        # text work in THEIR interpreters) — unless the decode config needs
+        # replace_unk, whose attention/source-token plumbing only the
+        # token-level op carries
+        vocabs = None
+        if not service.dcfg.replace_unk:
+            vocabs = (service.translator.src_vocab.itos,
+                      service.translator.tgt_vocab.itos)
         self._procs = []
         self._ready = []
         for _ in range(max(1, procs)):
@@ -126,7 +134,7 @@ class MPServingServer:
             p = ctx.Process(
                 target=run_dispatcher,
                 args=(host, self.port, self._rpc_path, merges,
-                      service.scfg.lower, wr),
+                      service.scfg.lower, wr, vocabs),
                 daemon=True,
             )
             p.start()

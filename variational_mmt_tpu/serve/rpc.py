@@ -16,6 +16,13 @@ Ops:
 - ``{"op": "translate_tokens", "tokens": [[tok,...],...],
      "imgs": {"shape": [n,d...], "data": <f32-LE bytes>} | None,
      "timeout": 60}``                        -> ``{"results": [[[score, text],...],...]}``
+- ``{"op": "translate_ids", "ids": [[int,...],...], "imgs": ..., "timeout": 60}``
+                                             -> ``{"results": [[[score, [id,...]],...],...]}``
+  The id-level op keeps ALL text work (vocab encode, decode, detok) in the
+  dispatcher processes; the device-owning process only pads and dispatches.
+  Dispatchers use it whenever the server ships them the vocab tables
+  (healthz advertises ``ids_wire``); the token op remains for callers
+  that do not hold the vocab.
 
 This module is jax-free on the client side (dispatchers must never touch
 the device runtime); the server side only duck-types the service object.
@@ -159,18 +166,33 @@ class RPCServer:
         if op == "stats":
             with self.service._stats_lock:
                 return dict(self.service.stats)
-        if op == "translate_tokens":
-            tokens = req["tokens"]
+        if op in ("translate_tokens", "translate_ids"):
+            rows = req["ids"] if op == "translate_ids" else req["tokens"]
             imgs: Optional[np.ndarray] = None
             wire = req.get("imgs")
             if wire is not None:
                 imgs = np.frombuffer(wire["data"], dtype="<f4").reshape(wire["shape"])
-                if len(imgs) != len(tokens):
+                if len(imgs) != len(rows):
                     raise ClientError("'imgs' must align to 'texts'")
             timeout = float(req.get("timeout", 60.0))
             # batch submit: the whole request is validated before anything
             # is enqueued, so a rejected sentence costs no device work
-            futs = self.service.submit_tokens_batch(tokens, imgs)
+            if op == "translate_ids":
+                if self.service.dcfg.replace_unk:
+                    # replace_unk needs attention positions + source TOKENS;
+                    # the id-level wire carries neither — callers must use
+                    # the token op (MPServingServer ships no vocab then)
+                    raise ValueError(
+                        "translate_ids op unavailable: replace_unk needs the "
+                        "token-level op")
+                futs = self.service.submit_ids_batch(rows, imgs)
+                return {
+                    "results": [
+                        [[float(s), list(ids)] for s, ids in f.result(timeout=timeout)]
+                        for f in futs
+                    ]
+                }
+            futs = self.service.submit_tokens_batch(rows, imgs)
             return {
                 "results": [
                     [[float(s), t] for s, t in f.result(timeout=timeout)]

@@ -64,8 +64,12 @@ class ServeConfig:
 
 @dataclass
 class _Request:
-    tokens: List[str]
+    ids: List[int]  # vocab-encoded source (encoding runs on the CALLER's thread)
     img: Optional[np.ndarray]
+    # maps the raw n-best [(score, out_ids[, attn])] to the caller's payload
+    # (text requests decode/detok here); None -> the future resolves to the
+    # raw id-level n-best, which is what the MP dispatchers want on the wire
+    postproc: Optional[callable] = None
     future: Future = field(default_factory=Future)
 
 
@@ -177,21 +181,36 @@ class TranslationService:
                     f"img features must have shape {want}, got {img.shape}")
         return tokens, img
 
-    def _enqueue(self, tokens: List[str], img: Optional[np.ndarray]) -> Future:
-        req = _Request(tokens=tokens, img=img)
+    def _enqueue(
+        self, ids: List[int], img: Optional[np.ndarray], postproc=None
+    ) -> Future:
+        req = _Request(ids=ids, img=img, postproc=postproc)
         self._q.put(req)
         with self._stats_lock:
             self.stats["requests"] += 1
         return req.future
 
+    def _text_postproc(self, src_tokens: List[str]):
+        """Postprocessing closure for a text-mode request: vocab decode +
+        replace_unk + BPE removal, exactly Translator.translate_tokens'
+        per-sentence path (bit-identical to the offline CLI)."""
+        def pp(nbest):
+            return self.translator.nbest_to_text(nbest, src_tokens)
+        return pp
+
     def submit_tokens(
         self, tokens: List[str], img: Optional[np.ndarray] = None
     ) -> Future:
         """Enqueue one pre-tokenized sentence; resolves to the n-best list
-        [(score, text), ...] (same payload as Translator.translate_tokens)."""
+        [(score, text), ...] (same payload as Translator.translate_tokens).
+        Vocab encoding runs here, on the caller's thread — the worker thread
+        owns the device and must spend its time dispatching, not on dict
+        lookups."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
-        return self._enqueue(*self._validated(tokens, img))
+        tokens, img = self._validated(tokens, img)
+        return self._enqueue(self.translator.src_vocab.encode(tokens), img,
+                             self._text_postproc(tokens))
 
     def submit_tokens_batch(
         self, tokens_list: Sequence[List[str]], imgs: Optional[np.ndarray] = None
@@ -205,7 +224,28 @@ class TranslationService:
             self._validated(toks, None if imgs is None else imgs[i])
             for i, toks in enumerate(tokens_list)
         ]
-        return [self._enqueue(toks, img) for toks, img in pairs]
+        return [
+            self._enqueue(self.translator.src_vocab.encode(toks), img,
+                          self._text_postproc(toks))
+            for toks, img in pairs
+        ]
+
+    def submit_ids_batch(
+        self, ids_list: Sequence[List[int]], imgs: Optional[np.ndarray] = None
+    ) -> List[Future]:
+        """Id-level twin of :meth:`submit_tokens_batch`: sources arrive
+        already vocab-encoded and futures resolve to the RAW n-best
+        [(score, out_ids), ...] — no text materializes in this process.
+        This is the MP dispatchers' path (serve/rpc.py): tokenize/BPE/vocab
+        work happens in their interpreters, so the device-owning process
+        spends its GIL only on padding and dispatch."""
+        if self._stopped.is_set():
+            raise RuntimeError("service stopped")
+        pairs = [
+            self._validated(list(ids), None if imgs is None else imgs[i])
+            for i, ids in enumerate(ids_list)
+        ]
+        return [self._enqueue(ids, img) for ids, img in pairs]
 
     def _text_to_tokens(self, text: str) -> List[str]:
         toks = tokenize(text, lower=self.scfg.lower)
@@ -269,12 +309,14 @@ class TranslationService:
             return (self.scfg.conv_regions, self._img_dim)
         return (self._img_dim,)
 
-    def _collect(self) -> Optional[List[_Request]]:
-        """Block for the first request, then drain up to batch_size within
-        the max_wait_ms window."""
+    def _collect(self) -> List[_Request]:
+        """Gather one dynamic batch when the device is idle: block for the
+        first request, then drain up to batch_size within the max_wait_ms
+        window. Sets ``_stop_seen`` when the stop sentinel surfaces."""
         first = self._q.get()
         if first is None:
-            return None
+            self._stop_seen = True
+            return []
         group = [first]
         deadline = time.monotonic() + self.scfg.max_wait_ms / 1000.0
         while len(group) < self.dcfg.batch_size:
@@ -291,39 +333,107 @@ class TranslationService:
             group.append(nxt)
         return group
 
-    def _run(self) -> None:
-        self._stop_seen = False
-        while True:
-            group = self._collect()
-            if group is None:
-                return
-            t0 = time.monotonic()
+    def _collect_fill(self, in_flight_ready) -> List[_Request]:
+        """Gather the NEXT batch while the previous one is still computing
+        on the device: keep draining the queue until the batch is full or
+        ``in_flight_ready()`` turns true (then ship whatever has gathered —
+        possibly nothing). The in-flight compute window, not max_wait_ms,
+        is the fill deadline here: dispatching early would under-fill a
+        batch the device pads to the full static batch_size anyway (one
+        measured regression: eager dispatch cost 2x throughput via fill
+        32 -> 23), while waiting past device-idle would waste the chip."""
+        group: List[_Request] = []
+        while len(group) < self.dcfg.batch_size:
             try:
-                imgs = None
-                if self._img_dim:
-                    imgs = np.stack(
-                        [r.img for r in group]
-                    )  # submit guaranteed presence+shape
-                out = self.translator.translate_tokens([r.tokens for r in group], imgs)
-                for r, nbest in zip(group, out):
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                if in_flight_ready():
+                    break
+                try:  # nap briefly, bounded so readiness is re-checked
+                    nxt = self._q.get(timeout=0.001)
+                except queue.Empty:
+                    continue
+            if nxt is None:
+                self._stop_seen = True
+                break
+            group.append(nxt)
+        return group
+
+    def _fail_group(self, group: List[_Request], e: Exception) -> None:
+        for r in group:
+            if not r.future.done():
+                try:
+                    r.future.set_exception(e)
+                except Exception:  # noqa: BLE001 — cancelled race
+                    pass
+
+    def _finish(self, group: List[_Request], pending) -> None:
+        """Block on a dispatched group's device work, postprocess, resolve
+        futures, and account stats."""
+        t0 = time.monotonic()
+        try:
+            out = self.translator.finalize_ids(pending)
+            for r, nbest in zip(group, out):
+                if r.future.done():
                     # a client may have cancel()ed while queued; its
                     # InvalidStateError must not poison the REST of the batch
-                    if not r.future.done():
-                        try:
-                            r.future.set_result(nbest)
-                        except Exception:  # noqa: BLE001 — cancelled race
-                            pass
-            except Exception as e:  # propagate to every caller in the group
-                for r in group:
-                    if not r.future.done():
-                        try:
-                            r.future.set_exception(e)
-                        except Exception:  # noqa: BLE001
-                            pass
-            with self._stats_lock:
-                self.stats["batches"] += 1
-                if len(group) > 1:
-                    self.stats["batched_requests"] += len(group)
-                self.stats["busy_s"] += time.monotonic() - t0
+                    continue
+                try:
+                    payload = r.postproc(nbest) if r.postproc is not None else nbest
+                except Exception as e:  # noqa: BLE001 — per-request postproc bug
+                    try:
+                        r.future.set_exception(e)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    continue
+                try:
+                    r.future.set_result(payload)
+                except Exception:  # noqa: BLE001 — cancelled race
+                    pass
+        except Exception as e:  # device/transfer error: the whole group
+            self._fail_group(group, e)
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            if len(group) > 1:
+                self.stats["batched_requests"] += len(group)
+            self.stats["busy_s"] += time.monotonic() - t0
+
+    def _run(self) -> None:
+        """Two-deep pipelined worker. While group N computes on the device,
+        the worker gathers group N+1 from the queue (``_collect_fill``: the
+        in-flight compute window IS the batching window) and dispatches it
+        the moment N's outputs are ready or N+1 fills — JAX's async
+        dispatch makes Translator.dispatch_ids return immediately, so N's
+        host-side postprocessing (vocab decode, detok, future resolution)
+        then overlaps N+1's device compute. Under sustained load the device
+        never idles on host text work; with an idle queue the in-flight
+        group finalizes immediately (no added latency)."""
+        self._stop_seen = False
+        prev: Optional[Tuple[List[_Request], object]] = None
+        while True:
             if self._stop_seen:
+                group = []
+            elif prev is None:
+                group = self._collect()
+            else:
+                group = self._collect_fill(prev[1].ready)
+            nxt = None
+            if group:
+                t0 = time.monotonic()
+                try:
+                    imgs = None
+                    if self._img_dim:
+                        imgs = np.stack(
+                            [r.img for r in group]
+                        )  # submit guaranteed presence+shape
+                    nxt = (group,
+                           self.translator.dispatch_ids([r.ids for r in group], imgs))
+                except Exception as e:  # bad dispatch: fail just this group
+                    self._fail_group(group, e)
+                with self._stats_lock:
+                    self.stats["busy_s"] += time.monotonic() - t0
+            if prev is not None:
+                self._finish(*prev)
+            prev = nxt
+            if prev is None and self._stop_seen:
                 return
