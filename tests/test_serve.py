@@ -600,3 +600,21 @@ def test_rpc_translate_ids_refused_with_replace_unk():
             srv._dispatch({"op": "translate_ids", "ids": [[5, 6]]})
     finally:
         svc.stop()
+
+
+def test_pipeline_depth1_matches_depth2():
+    """The A/B baseline worker (pipeline_depth=1, classic serial loop)
+    resolves every request to exactly what the pipelined worker returns."""
+    texts = [f"w{1 + (i % 19)} w{1 + ((i * 5) % 19)} w{1 + ((i * 11) % 19)}"
+             for i in range(17)]
+    outs = {}
+    for depth in (1, 2):
+        _, _, _, _, svc = small_service(max_wait_ms=1.0, batch_size=4,
+                                        pipeline_depth=depth)
+        try:
+            futs = [svc.submit_text(t) for t in texts]
+            outs[depth] = [f.result(timeout=120) for f in futs]
+            assert svc.stats["batches"] >= 2  # both modes really batched
+        finally:
+            svc.stop()
+    assert outs[1] == outs[2]

@@ -147,6 +147,10 @@ def main():
     p.add_argument("-req_batch", type=int, default=1,
                    help="sentences per HTTP request (the server's texts:[...] "
                         "schema; amortizes per-request transport cost)")
+    p.add_argument("-pipeline_depth", type=int, default=2,
+                   help="service worker pipeline depth (2 = overlap host "
+                        "postprocessing with device compute; 1 = classic "
+                        "serial loop, the A/B baseline)")
     p.add_argument("-client_procs", type=int, default=0,
                    help="with -http: run the load generators in N separate "
                         "processes (-clients threads EACH) instead of as "
@@ -194,7 +198,8 @@ def main():
     svc = TranslationService(
         model, state.params, vocab, vocab, dcfg,
         buckets=[args.src_len + 2],
-        scfg=ServeConfig(max_wait_ms=args.max_wait_ms),
+        scfg=ServeConfig(max_wait_ms=args.max_wait_ms,
+                         pipeline_depth=args.pipeline_depth),
     )
     server = None
     if args.http:

@@ -52,6 +52,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-tensor_parallel", type=int, default=1,
                    help=">1: serve decode on a 2-D (data, model) mesh with "
                         "vocab-parallel embeddings+generator")
+    p.add_argument("-pipeline_depth", type=int, default=2, choices=[1, 2],
+                   help="worker pipeline depth: 2 overlaps host "
+                        "postprocessing with device compute (default); "
+                        "1 is the classic serial loop")
     p.add_argument("-procs", type=int, default=0,
                    help="HTTP dispatcher processes sharing the port via "
                         "SO_REUSEPORT (0 = single-process threaded server); "
@@ -93,7 +97,7 @@ def main(argv=None) -> None:
     scfg = ServeConfig(
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,
         lower=not opt.no_lower, max_src_tokens=opt.max_src_tokens,
-        over_length=opt.over_length,
+        over_length=opt.over_length, pipeline_depth=opt.pipeline_depth,
     )
     bpe = BPE.load(opt.bpe_codes) if opt.bpe_codes else None
     mesh = None

@@ -60,6 +60,13 @@ class ServeConfig:
     # warmup must stay exhaustive for the shapes live traffic can produce
     max_src_tokens: int = 0
     over_length: str = "reject"  # "reject" -> client error | "truncate"
+    # 2 = two-deep pipelined worker (gather/dispatch group N+1 while N
+    # computes on the device; host postprocessing overlaps device work);
+    # 1 = classic collect -> dispatch -> finalize, one group at a time.
+    # Depth 1 exists as the A/B baseline for measuring the pipeline win
+    # on a given host (tools/bench_serve.py -pipeline_depth) and as a
+    # safety valve; results are identical either way (tested).
+    pipeline_depth: int = 2
 
 
 @dataclass
@@ -432,6 +439,11 @@ class TranslationService:
                     self._fail_group(group, e)
                 with self._stats_lock:
                     self.stats["busy_s"] += time.monotonic() - t0
+            if self.scfg.pipeline_depth <= 1 and nxt is not None:
+                # A/B baseline: finalize immediately, never carry in-flight
+                # work across iterations (classic one-group-at-a-time loop)
+                self._finish(*nxt)
+                nxt = None
             if prev is not None:
                 self._finish(*prev)
             prev = nxt
