@@ -11,6 +11,7 @@ in original corpus order.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -275,6 +276,13 @@ class Translator:
         per-call corpus indices on ``self``); offline callers that dump
         beams go through :meth:`translate_ids`, which is dispatch+finalize
         back-to-back."""
+        return PendingTranslation(
+            list(self._dispatch_iter(src_ids, img_feats)), len(src_ids))
+
+    def _dispatch_iter(self, src_ids, img_feats):
+        """Yield (host Batch, device output) pairs, dispatching lazily —
+        each ``self._fn`` call returns device futures immediately, so how
+        far the consumer iterates bounds how many batches are in flight."""
         if self.dcfg.dump_beam:
             # corpus indices key this dict: stale entries from a previous
             # corpus must not leak into this call's dump
@@ -288,7 +296,6 @@ class Translator:
             ds, batch_size=self.dcfg.batch_size, buckets=buckets,
             img_feats=img_feats, shuffle=False,
         )
-        pending = []
         for batch in it.epoch(0):
             img = jnp.asarray(batch.img) if batch.img is not None else None
             src = jnp.asarray(batch.src)
@@ -296,8 +303,7 @@ class Translator:
                 src = jax.device_put(src, self._batch_sh)
                 if img is not None:
                     img = jax.device_put(img, self._batch_sh)
-            pending.append((batch, self._fn(self.params, src, img)))
-        return PendingTranslation(pending, len(src_ids))
+            yield batch, self._fn(self.params, src, img)
 
     def finalize_ids(
         self, pending: "PendingTranslation"
@@ -305,48 +311,75 @@ class Translator:
         """Block on a :meth:`dispatch_ids` handle and build per-sentence
         n-best lists [(score, token_ids)] in original corpus order. With
         ``replace_unk``, entries are (score, token_ids, attn_positions)."""
-        n_best = self.dcfg.n_best  # <= beam_size, validated in __init__
         results: dict = {}
         for batch, out in pending.batches:
-            tokens = np.asarray(out[0])
-            scores = np.asarray(out[1])
-            # variable arity: [tokens, scores, attn?, trace?] — the trace
-            # dict is always last when dump_beam is on
-            trace = None
-            if self.dcfg.dump_beam:
-                # ONE device->host transfer per array, then slice on host
-                # (per-row device slicing would add ~3 dispatches/sentence)
-                trace = {k: np.asarray(v) for k, v in out[-1].items()}
-            has_attn = len(out) == (4 if self.dcfg.dump_beam else 3)
-            attn = np.asarray(out[2]) if has_attn else None
-            for row in range(batch.batch_size):
-                if batch.example_mask[row] == 0:
-                    continue
-                i = int(batch.indices[row])
-                if trace is not None:
-                    n = int(trace["n_steps"])
-                    self.beam_traces[i] = {
-                        "parents": trace["parents"][row, :, :n].tolist(),
-                        "tokens": trace["tokens"][row, :, :n].tolist(),
-                        "scores": trace["scores"][row, :, :n].tolist(),
-                        "order": trace["order"][row].tolist(),
-                    }
-                nbest = []
-                for k in range(n_best):
-                    ids = _strip(tokens[row, k])
-                    if attn is not None:
-                        nbest.append((float(scores[row, k]), ids, attn[row, k, : len(ids)].tolist()))
-                    else:
-                        nbest.append((float(scores[row, k]), ids))
-                results[i] = nbest
+            self._finalize_batch(batch, out, results)
         return [results[i] for i in range(pending.n)]
+
+    def _finalize_batch(self, batch, out, results: dict) -> None:
+        """Host-side postprocessing of one dispatched batch: blocks on its
+        device arrays and writes per-sentence n-best lists into ``results``
+        keyed by corpus index."""
+        n_best = self.dcfg.n_best  # <= beam_size, validated in __init__
+        tokens = np.asarray(out[0])
+        scores = np.asarray(out[1])
+        # variable arity: [tokens, scores, attn?, trace?] — the trace
+        # dict is always last when dump_beam is on
+        trace = None
+        if self.dcfg.dump_beam:
+            # ONE device->host transfer per array, then slice on host
+            # (per-row device slicing would add ~3 dispatches/sentence)
+            trace = {k: np.asarray(v) for k, v in out[-1].items()}
+        has_attn = len(out) == (4 if self.dcfg.dump_beam else 3)
+        attn = np.asarray(out[2]) if has_attn else None
+        for row in range(batch.batch_size):
+            if batch.example_mask[row] == 0:
+                continue
+            i = int(batch.indices[row])
+            if trace is not None:
+                n = int(trace["n_steps"])
+                self.beam_traces[i] = {
+                    "parents": trace["parents"][row, :, :n].tolist(),
+                    "tokens": trace["tokens"][row, :, :n].tolist(),
+                    "scores": trace["scores"][row, :, :n].tolist(),
+                    "order": trace["order"][row].tolist(),
+                }
+            nbest = []
+            for k in range(n_best):
+                ids = _strip(tokens[row, k])
+                if attn is not None:
+                    nbest.append((float(scores[row, k]), ids, attn[row, k, : len(ids)].tolist()))
+                else:
+                    nbest.append((float(scores[row, k]), ids))
+            results[i] = nbest
+
+    # offline corpus path: how many dispatched batches may be in flight at
+    # once. 2+ overlaps this batch's host postprocessing with the next
+    # batch's device compute; the bound keeps every in-flight batch's
+    # device OUTPUT buffers (tokens/scores and, with replace_unk or
+    # dump_attn, (B,K,L,S) attention) from accumulating corpus-wide —
+    # a 29k-sentence corpus at batch 64 is ~450 batches, which unbounded
+    # dispatch would hold on the chip simultaneously.
+    MAX_INFLIGHT_BATCHES = 4
 
     def translate_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
     ) -> List[List[Tuple[float, List[int]]]]:
         """Returns, per input sentence, the n-best list [(score, token_ids)].
-        With ``replace_unk``, entries are (score, token_ids, attn_positions)."""
-        return self.finalize_ids(self.dispatch_ids(src_ids, img_feats))
+        With ``replace_unk``, entries are (score, token_ids, attn_positions).
+
+        Pipelined: dispatches up to MAX_INFLIGHT_BATCHES ahead of the batch
+        being postprocessed on the host, so device compute and host result-
+        building overlap without holding the whole corpus's outputs in HBM."""
+        results: dict = {}
+        window: deque = deque()
+        for pair in self._dispatch_iter(src_ids, img_feats):
+            window.append(pair)
+            if len(window) >= self.MAX_INFLIGHT_BATCHES:
+                self._finalize_batch(*window.popleft(), results)
+        while window:
+            self._finalize_batch(*window.popleft(), results)
+        return [results[i] for i in range(len(src_ids))]
 
     def nbest_to_text(
         self,
