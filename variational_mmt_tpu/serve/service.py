@@ -316,15 +316,18 @@ class TranslationService:
             return (self.scfg.conv_regions, self._img_dim)
         return (self._img_dim,)
 
-    def _collect(self) -> List[_Request]:
+    def _collect(self, group: Optional[List[_Request]] = None) -> List[_Request]:
         """Gather one dynamic batch when the device is idle: block for the
-        first request, then drain up to batch_size within the max_wait_ms
-        window. Sets ``_stop_seen`` when the stop sentinel surfaces."""
-        first = self._q.get()
-        if first is None:
-            self._stop_seen = True
-            return []
-        group = [first]
+        first request (unless ``group`` already holds a partial batch to
+        top up), then drain up to batch_size within the max_wait_ms window.
+        Sets ``_stop_seen`` when the stop sentinel surfaces."""
+        group = list(group or ())
+        if not group:
+            first = self._q.get()
+            if first is None:
+                self._stop_seen = True
+                return []
+            group = [first]
         deadline = time.monotonic() + self.scfg.max_wait_ms / 1000.0
         while len(group) < self.dcfg.batch_size:
             remain = deadline - time.monotonic()
@@ -342,22 +345,32 @@ class TranslationService:
 
     def _collect_fill(self, in_flight_ready) -> List[_Request]:
         """Gather the NEXT batch while the previous one is still computing
-        on the device: keep draining the queue until the batch is full or
-        ``in_flight_ready()`` turns true (then ship whatever has gathered —
-        possibly nothing). The in-flight compute window, not max_wait_ms,
-        is the fill deadline here: dispatching early would under-fill a
-        batch the device pads to the full static batch_size anyway (one
-        measured regression: eager dispatch cost 2x throughput via fill
-        32 -> 23), while waiting past device-idle would waste the chip."""
+        on the device: drain the queue until the batch is FULL (dispatch it
+        early — that is the pipeline win) or ``in_flight_ready()`` turns
+        true (return whatever has gathered — possibly nothing — for the
+        caller to decide). A partial group is NOT dispatched from here:
+        under closed-loop traffic most clients are blocked on the in-flight
+        group, so dispatching at device-idle ships under-filled batches the
+        device pads to full batch_size anyway (measured on TPU: 138 sent/s
+        at fill 17.5 vs 343 at fill 32) — the caller finalizes the
+        in-flight group first and tops the partial batch up within the
+        classic max_wait_ms window instead."""
         group: List[_Request] = []
         while len(group) < self.dcfg.batch_size:
             try:
                 nxt = self._q.get_nowait()
             except queue.Empty:
+                if not group:
+                    # empty queue, nothing gathered: no pressure — return
+                    # now so the caller does a BLOCKING finalize instead of
+                    # sitting here polling ready() (each probe is a runtime
+                    # RPC; at 1 ms cadence it measurably starved the
+                    # remote-device stream: 303 vs 382 sent/s on TPU)
+                    break
                 if in_flight_ready():
                     break
                 try:  # nap briefly, bounded so readiness is re-checked
-                    nxt = self._q.get(timeout=0.001)
+                    nxt = self._q.get(timeout=0.002)
                 except queue.Empty:
                     continue
             if nxt is None:
@@ -407,14 +420,19 @@ class TranslationService:
 
     def _run(self) -> None:
         """Two-deep pipelined worker. While group N computes on the device,
-        the worker gathers group N+1 from the queue (``_collect_fill``: the
-        in-flight compute window IS the batching window) and dispatches it
-        the moment N's outputs are ready or N+1 fills — JAX's async
-        dispatch makes Translator.dispatch_ids return immediately, so N's
-        host-side postprocessing (vocab decode, detok, future resolution)
-        then overlaps N+1's device compute. Under sustained load the device
-        never idles on host text work; with an idle queue the in-flight
-        group finalizes immediately (no added latency)."""
+        the worker gathers group N+1 from the queue (``_collect_fill``) and
+        dispatches it early ONLY if it fills completely during N's flight —
+        JAX's async dispatch makes Translator.dispatch_ids return
+        immediately, so N's host-side postprocessing (vocab decode, detok,
+        future resolution) then overlaps N+1's device compute. The full-
+        batch gate matters: under closed-loop traffic the clients that
+        would fill N+1 are mostly blocked on N, so the worker instead
+        finalizes N first (unblocking them) and tops the partial batch up
+        within the classic max_wait_ms window. The pipeline therefore
+        engages exactly when there is genuine queue pressure (arrivals
+        beyond one batch per compute window) and degrades to the serial
+        loop otherwise; with an idle queue the in-flight group finalizes
+        the moment the device is done (no added latency)."""
         self._stop_seen = False
         prev: Optional[Tuple[List[_Request], object]] = None
         while True:
@@ -424,6 +442,14 @@ class TranslationService:
                 group = self._collect()
             else:
                 group = self._collect_fill(prev[1].ready)
+                if (group and len(group) < self.dcfg.batch_size
+                        and not self._stop_seen):
+                    # device idle, partial gather: no queue pressure —
+                    # resolve the in-flight group so its callers can
+                    # resubmit, then top up within the normal window
+                    self._finish(*prev)
+                    prev = None
+                    group = self._collect(group)
             nxt = None
             if group:
                 t0 = time.monotonic()
