@@ -618,3 +618,39 @@ def test_pipeline_depth1_matches_depth2():
         finally:
             svc.stop()
     assert outs[1] == outs[2]
+
+
+def test_collect_fill_contract():
+    """The pipeline's fill rules, pinned: (a) empty queue + nothing gathered
+    -> return [] immediately WITHOUT probing device readiness (each probe is
+    a runtime RPC; measured ~20% serving cost when polled at 1ms); (b) a
+    full batch returns without probing (early dispatch); (c) a partial
+    gather waits on readiness and is returned for the caller to top up."""
+    from variational_mmt_tpu.serve.service import _Request
+
+    _, _, _, _, svc = small_service(batch_size=3)
+    svc.stop()  # detach the worker; drive _collect_fill directly
+    svc._stop_seen = False  # the worker flagged the stop sentinel on exit
+    probes = []
+
+    def never_ready():
+        probes.append(1)
+        return False
+
+    assert svc._collect_fill(never_ready) == []
+    assert not probes  # (a) no readiness probe on an idle queue
+
+    for _ in range(3):
+        svc._q.put(_Request(ids=[5], img=None))
+    assert len(svc._collect_fill(never_ready)) == 3
+    assert not probes  # (b) full fill never needed the probe
+
+    svc._q.put(_Request(ids=[5], img=None))
+    calls = []
+
+    def ready_on_second():
+        calls.append(1)
+        return len(calls) >= 2
+
+    assert len(svc._collect_fill(ready_on_second)) == 1  # (c) partial
+    assert svc._stop_seen is False
