@@ -654,3 +654,60 @@ def test_collect_fill_contract():
 
     assert len(svc._collect_fill(ready_on_second)) == 1  # (c) partial
     assert svc._stop_seen is False
+
+
+def test_expired_requests_shed_not_computed():
+    """A request whose caller-stated timeout has already passed when the
+    worker reaches it is failed with TimeoutError (load shedding) — device
+    work never runs for answers nobody is waiting for — while live requests
+    in the same gather succeed untouched."""
+    _, _, _, _, svc = small_service(max_wait_ms=20.0, batch_size=4)
+    try:
+        dead = svc.submit_text("w1 w2", timeout_s=-1.0)  # already expired
+        live = svc.submit_text("w3 w4")  # no deadline
+        out = live.result(timeout=120)
+        assert out and isinstance(out[0][1], str)
+        with pytest.raises(TimeoutError, match="shed"):
+            dead.result(timeout=120)
+        assert svc.stats["shed"] == 1
+    finally:
+        svc.stop()
+
+
+def test_http_maps_shed_to_503():
+    """The HTTP front end maps TimeoutError (shed/overload) to 503, for
+    both the in-process backend and the MP dispatchers' RPC-wire string."""
+    from variational_mmt_tpu.serve.frontend import make_http_handler, Backend
+
+    class _SheddingBackend(Backend):
+        def __init__(self):
+            pass
+
+        def translate(self, texts, imgs, timeout):
+            raise TimeoutError("request deadline expired (shed under load)")
+
+        def healthz(self):
+            return {"ok": True}
+
+        def stats(self):
+            return {}
+
+    import http.server
+    import socketserver
+
+    handler = make_http_handler(_SheddingBackend())
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"texts": ["hi"]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/translate", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert "overloaded" in json.loads(ei.value.read())["error"]
+    finally:
+        httpd.shutdown()

@@ -17,6 +17,11 @@ Endpoints (same surface for both servers):
 
   -> ``{"results": [[{"score": s, "text": t}, ...n-best...], ...]}``
 
+  ``timeout`` is both the result wait AND the shed deadline: a request
+  still queued past it is failed server-side (503 "overloaded") instead
+  of computed — under overload the queue drains at dispatch speed rather
+  than dragging every later request past its own deadline too.
+
 - ``POST /translate`` with ``Content-Type: application/x-msgpack``: the
   same map, but ``imgs`` is ``{"shape": [n, d], "data": <raw float32
   little-endian bytes>}`` and the response is msgpack too. JSON-encoding
@@ -145,6 +150,11 @@ def make_http_handler(backend: Backend):
             except ClientError as e:  # bad request (e.g. over-length source)
                 reply(400, {"error": str(e)})
                 return
+            except TimeoutError as e:  # overloaded: queued past the client's
+                # own timeout and shed (or the result wait expired) — a
+                # retryable server condition, not a bug
+                reply(503, {"error": f"overloaded: {e}"})
+                return
             except Exception as e:  # noqa: BLE001 — surface to the client
                 reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -204,6 +214,9 @@ class _DispatcherBackend(Backend):
                 # ValueErrors deliberately do NOT match (they are bugs, and
                 # must surface as 500s, not as the client's fault)
                 raise ClientError(resp["error"].split(": ", 1)[1])
+            if resp["error"].startswith("TimeoutError:"):
+                # shed/expired under load -> 503 (same as in-process)
+                raise TimeoutError(resp["error"].split(": ", 1)[1])
             raise RuntimeError(resp["error"])
         return resp
 

@@ -185,14 +185,16 @@ class RPCServer:
                     raise ValueError(
                         "translate_ids op unavailable: replace_unk needs the "
                         "token-level op")
-                futs = self.service.submit_ids_batch(rows, imgs)
+                futs = self.service.submit_ids_batch(rows, imgs,
+                                                     timeout_s=timeout)
                 return {
                     "results": [
                         [[float(s), list(ids)] for s, ids in f.result(timeout=timeout)]
                         for f in futs
                     ]
                 }
-            futs = self.service.submit_tokens_batch(rows, imgs)
+            futs = self.service.submit_tokens_batch(rows, imgs,
+                                                    timeout_s=timeout)
             return {
                 "results": [
                     [[float(s), t] for s, t in f.result(timeout=timeout)]

@@ -77,6 +77,10 @@ class _Request:
     # (text requests decode/detok here); None -> the future resolves to the
     # raw id-level n-best, which is what the MP dispatchers want on the wire
     postproc: Optional[callable] = None
+    # absolute time.monotonic() past which the caller has stopped waiting
+    # (its stated result timeout); the worker SHEDS expired requests at
+    # dispatch time — device work on them could never be answered in time
+    deadline: Optional[float] = None
     future: Future = field(default_factory=Future)
 
 
@@ -143,6 +147,7 @@ class TranslationService:
             "requests": 0,
             "batches": 0,
             "batched_requests": 0,  # requests that shared a device call
+            "shed": 0,  # expired before dispatch (caller's timeout passed)
             "busy_s": 0.0,
         }
         self._stats_lock = threading.Lock()
@@ -189,9 +194,11 @@ class TranslationService:
         return tokens, img
 
     def _enqueue(
-        self, ids: List[int], img: Optional[np.ndarray], postproc=None
+        self, ids: List[int], img: Optional[np.ndarray], postproc=None,
+        timeout_s: Optional[float] = None,
     ) -> Future:
-        req = _Request(ids=ids, img=img, postproc=postproc)
+        deadline = time.monotonic() + timeout_s if timeout_s is not None else None
+        req = _Request(ids=ids, img=img, postproc=postproc, deadline=deadline)
         self._q.put(req)
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -206,21 +213,24 @@ class TranslationService:
         return pp
 
     def submit_tokens(
-        self, tokens: List[str], img: Optional[np.ndarray] = None
+        self, tokens: List[str], img: Optional[np.ndarray] = None,
+        timeout_s: Optional[float] = None,
     ) -> Future:
         """Enqueue one pre-tokenized sentence; resolves to the n-best list
         [(score, text), ...] (same payload as Translator.translate_tokens).
         Vocab encoding runs here, on the caller's thread — the worker thread
         owns the device and must spend its time dispatching, not on dict
-        lookups."""
+        lookups. ``timeout_s``: how long the caller will wait for the
+        result; a request still queued past that is shed, not computed."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
         tokens, img = self._validated(tokens, img)
         return self._enqueue(self.translator.src_vocab.encode(tokens), img,
-                             self._text_postproc(tokens))
+                             self._text_postproc(tokens), timeout_s=timeout_s)
 
     def submit_tokens_batch(
-        self, tokens_list: Sequence[List[str]], imgs: Optional[np.ndarray] = None
+        self, tokens_list: Sequence[List[str]], imgs: Optional[np.ndarray] = None,
+        timeout_s: Optional[float] = None,
     ) -> List[Future]:
         """Validate EVERY sentence of a multi-sentence request, then enqueue
         all of them. A rejection (e.g. one over-length source) therefore
@@ -233,12 +243,13 @@ class TranslationService:
         ]
         return [
             self._enqueue(self.translator.src_vocab.encode(toks), img,
-                          self._text_postproc(toks))
+                          self._text_postproc(toks), timeout_s=timeout_s)
             for toks, img in pairs
         ]
 
     def submit_ids_batch(
-        self, ids_list: Sequence[List[int]], imgs: Optional[np.ndarray] = None
+        self, ids_list: Sequence[List[int]], imgs: Optional[np.ndarray] = None,
+        timeout_s: Optional[float] = None,
     ) -> List[Future]:
         """Id-level twin of :meth:`submit_tokens_batch`: sources arrive
         already vocab-encoded and futures resolve to the RAW n-best
@@ -252,7 +263,8 @@ class TranslationService:
             self._validated(list(ids), None if imgs is None else imgs[i])
             for i, ids in enumerate(ids_list)
         ]
-        return [self._enqueue(ids, img) for ids, img in pairs]
+        return [self._enqueue(ids, img, timeout_s=timeout_s)
+                for ids, img in pairs]
 
     def _text_to_tokens(self, text: str) -> List[str]:
         toks = tokenize(text, lower=self.scfg.lower)
@@ -260,16 +272,20 @@ class TranslationService:
             toks = self.bpe.segment(toks)
         return toks
 
-    def submit_text(self, text: str, img: Optional[np.ndarray] = None) -> Future:
-        return self.submit_tokens(self._text_to_tokens(text), img)
+    def submit_text(self, text: str, img: Optional[np.ndarray] = None,
+                    timeout_s: Optional[float] = None) -> Future:
+        return self.submit_tokens(self._text_to_tokens(text), img,
+                                  timeout_s=timeout_s)
 
     def translate_text(
         self, texts: Sequence[str], imgs: Optional[np.ndarray] = None, timeout: float = 120.0
     ) -> List[List]:
         """Synchronous convenience: submit all, wait for all (all-or-nothing
-        at submit time — see submit_tokens_batch)."""
+        at submit time — see submit_tokens_batch). ``timeout`` doubles as
+        the shed deadline: a sentence still queued after it is failed, not
+        computed (the caller below has already raised by then)."""
         futs = self.submit_tokens_batch(
-            [self._text_to_tokens(t) for t in texts], imgs)
+            [self._text_to_tokens(t) for t in texts], imgs, timeout_s=timeout)
         return [f.result(timeout=timeout) for f in futs]
 
     # ------------------------------------------------------------------
@@ -379,6 +395,25 @@ class TranslationService:
             group.append(nxt)
         return group
 
+    def _shed_expired(self, group: List[_Request]) -> List[_Request]:
+        """Drop requests whose caller-stated result timeout has already
+        passed while they sat in the queue: their futures fail with
+        TimeoutError (what the caller has already raised on its own side),
+        and the device never computes answers nobody is waiting for. Load
+        shedding under overload: the queue drains at dispatch speed instead
+        of dragging every later request past ITS deadline too."""
+        now = time.monotonic()
+        live: List[_Request] = []
+        dead: List[_Request] = []
+        for r in group:
+            (dead if r.deadline is not None and r.deadline < now else live).append(r)
+        if dead:
+            self._fail_group(dead, TimeoutError(
+                "request deadline expired before dispatch (shed under load)"))
+            with self._stats_lock:
+                self.stats["shed"] += len(dead)
+        return live
+
     def _fail_group(self, group: List[_Request], e: Exception) -> None:
         for r in group:
             if not r.future.done():
@@ -451,6 +486,8 @@ class TranslationService:
                     prev = None
                     group = self._collect(group)
             nxt = None
+            if group:
+                group = self._shed_expired(group)
             if group:
                 t0 = time.monotonic()
                 try:
