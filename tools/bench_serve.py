@@ -106,6 +106,77 @@ def _run_threads(n_threads, lo, hi, run_range):
     return lat, errors
 
 
+def _run_open_loop(args, svc, texts, imgs) -> None:
+    """Open-loop load: submit on a Poisson schedule at -arrival_rate
+    regardless of completions (closed-loop clients self-throttle to the
+    server's speed and can never overload it; production traffic does not).
+    With -req_timeout, requests queued past their deadline are shed
+    server-side — the goodput/shed split at rates beyond capacity is the
+    load-shedding behavior under overload."""
+    n = args.requests
+    rng = np.random.default_rng(1)
+    sched = np.cumsum(rng.exponential(1.0 / args.arrival_rate, n))
+    done_t = [None] * n
+    futs = [None] * n
+    sub_t = [None] * n
+
+    def mk_cb(i):
+        def cb(_f):
+            done_t[i] = time.monotonic()
+        return cb
+
+    t_start = time.monotonic()
+    late = 0.0
+    for i in range(n):
+        lag = t_start + sched[i] - time.monotonic()
+        if lag > 0:
+            time.sleep(lag)
+        else:
+            late = max(late, -lag)
+        sub_t[i] = time.monotonic()
+        futs[i] = svc.submit_text(texts[i], imgs[i],
+                                  timeout_s=args.req_timeout or None)
+        futs[i].add_done_callback(mk_cb(i))
+
+    ok_lat, shed, failed = [], 0, []
+    for i, f in enumerate(futs):
+        try:
+            f.result(timeout=600)
+            ok_lat.append(done_t[i] - sub_t[i])
+        except TimeoutError:
+            shed += 1
+        except Exception as e:  # noqa: BLE001
+            failed.append(repr(e))
+    wall = max(t for t in done_t if t is not None) - t_start
+    svc.stop()
+    stats = dict(svc.stats)
+    if failed:
+        print(json.dumps({"error": f"{len(failed)} failed: {failed[:3]}"}))
+        sys.exit(1)
+    lat_a = np.array(ok_lat) if ok_lat else np.array([float("nan")])
+    import jax
+
+    print(json.dumps({
+        "metric": "serve_goodput_sent_per_sec",
+        "value": round(len(ok_lat) / wall, 1),
+        "unit": "sent/s",
+        "platform": jax.default_backend(),
+        "mode": "open-loop",
+        "target_rate": args.arrival_rate,
+        "req_timeout_s": args.req_timeout,
+        "completed": len(ok_lat),
+        "shed": shed,
+        "shed_frac": round(shed / n, 3),
+        "latency_ms_p50": round(1000 * float(np.percentile(lat_a, 50)), 1),
+        "latency_ms_p99": round(1000 * float(np.percentile(lat_a, 99)), 1),
+        "max_submit_lag_s": round(late, 3),  # >0.1: the generator, not the
+        # server, failed to sustain the target rate — result not comparable
+        "device_batches": stats["batches"],
+        "mean_batch_fill": round(stats["requests"] / max(stats["batches"], 1), 1),
+        "device_busy_frac": round(stats["busy_s"] / wall, 3),
+    }))
+
+
 def _client_proc_main(args) -> None:
     """Entry for an out-of-process load generator (--_client_port): pure
     HTTP client, never imports jax, so it steals no GIL time from the
@@ -147,6 +218,16 @@ def main():
     p.add_argument("-req_batch", type=int, default=1,
                    help="sentences per HTTP request (the server's texts:[...] "
                         "schema; amortizes per-request transport cost)")
+    p.add_argument("-arrival_rate", type=float, default=0.0,
+                   help="open-loop mode (direct transport only): submit "
+                        "requests on a Poisson schedule at this rate "
+                        "(sent/s) regardless of completions — the "
+                        "production regime. Reports goodput, shed count "
+                        "and completion-latency percentiles at that rate")
+    p.add_argument("-req_timeout", type=float, default=2.0,
+                   help="open-loop per-request deadline in seconds; queued "
+                        "requests older than this are shed server-side "
+                        "(0 = no deadline)")
     p.add_argument("-pipeline_depth", type=int, default=2,
                    help="service worker pipeline depth (2 = overlap host "
                         "postprocessing with device compute; 1 = classic "
@@ -166,6 +247,10 @@ def main():
 
     if args._client_port:
         _client_proc_main(args)  # exits; never touches jax
+
+    if args.arrival_rate > 0 and (args.http or args.client_procs):
+        p.error("-arrival_rate is direct-transport only (open-loop HTTP "
+                "would measure the client threads, not the server)")
 
     import jax  # before honor_env_platform so the compile cache engages
 
@@ -255,6 +340,9 @@ def main():
             except OSError:
                 pass
         wall = (max(ends) - min(starts)) if starts else 0.0
+    elif args.arrival_rate > 0:
+        _run_open_loop(args, svc, texts, imgs)
+        return
     else:
         def direct_range(lo, hi, lat, lock):
             for i in range(lo, hi):
