@@ -172,7 +172,9 @@ def _run_open_loop(args, svc, texts, imgs) -> None:
         "max_submit_lag_s": round(late, 3),  # >0.1: the generator, not the
         # server, failed to sustain the target rate — result not comparable
         "device_batches": stats["batches"],
-        "mean_batch_fill": round(stats["requests"] / max(stats["batches"], 1), 1),
+        # shed requests never dispatch; only computed ones can fill batches
+        "mean_batch_fill": round((stats["requests"] - stats["shed"])
+                                 / max(stats["batches"], 1), 1),
         "device_busy_frac": round(stats["busy_s"] / wall, 3),
     }))
 
