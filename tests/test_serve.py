@@ -369,6 +369,9 @@ def test_mp_server_roundtrip_matches_in_process():
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             health = json.loads(r.read())
         assert health["ok"] and health["model_type"] == "vmmt_c"
+        # the documented wire contract: healthz advertises the id-level op
+        # when the dispatchers hold the vocab (no replace_unk configured)
+        assert health["ids_wire"] is True
 
         texts = ["w1 w2 w3", "w4", "w5 w6"]
         imgs = np.random.default_rng(3).standard_normal((3, 8)).astype(np.float32)

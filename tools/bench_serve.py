@@ -142,18 +142,27 @@ def _run_open_loop(args, svc, texts, imgs) -> None:
     for i, f in enumerate(futs):
         try:
             f.result(timeout=600)
+            if done_t[i] is None:
+                # result() waiters wake BEFORE done-callbacks run; if we
+                # lost that race the resolution was this instant — stamp it
+                done_t[i] = time.monotonic()
             ok_lat.append(done_t[i] - sub_t[i])
         except TimeoutError:
             shed += 1
         except Exception as e:  # noqa: BLE001
             failed.append(repr(e))
-    wall = max(t for t in done_t if t is not None) - t_start
+        if done_t[i] is None:
+            done_t[i] = time.monotonic()  # same race on the exception path
+    wall = max(done_t) - t_start
     svc.stop()
     stats = dict(svc.stats)
     if failed:
         print(json.dumps({"error": f"{len(failed)} failed: {failed[:3]}"}))
         sys.exit(1)
-    lat_a = np.array(ok_lat) if ok_lat else np.array([float("nan")])
+    # all-shed runs have no completion latencies: emit null, not NaN (NaN is
+    # not valid JSON and breaks strict parsers downstream)
+    pct = (lambda q: round(1000 * float(np.percentile(np.array(ok_lat), q)), 1)) \
+        if ok_lat else (lambda q: None)
     import jax
 
     print(json.dumps({
@@ -167,8 +176,8 @@ def _run_open_loop(args, svc, texts, imgs) -> None:
         "completed": len(ok_lat),
         "shed": shed,
         "shed_frac": round(shed / n, 3),
-        "latency_ms_p50": round(1000 * float(np.percentile(lat_a, 50)), 1),
-        "latency_ms_p99": round(1000 * float(np.percentile(lat_a, 99)), 1),
+        "latency_ms_p50": pct(50),
+        "latency_ms_p99": pct(99),
         "max_submit_lag_s": round(late, 3),  # >0.1: the generator, not the
         # server, failed to sustain the target rate — result not comparable
         "device_batches": stats["batches"],

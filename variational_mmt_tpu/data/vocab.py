@@ -87,6 +87,17 @@ class Vocab:
             out.append(self.itos[i] if 0 <= i < len(self.itos) else UNK_TOK)
         return out
 
+    def ids_to_text(self, ids: Sequence[int], debpe: bool = True) -> str:
+        """Hypothesis ids -> final text: vocab decode (specials kept for
+        positional fidelity with attention) then BPE-joiner removal. THE
+        single definition of output detokenization — Translator.nbest_to_text
+        and the jax-free MP dispatchers (serve/frontend.py id-level wire)
+        both call it, so online answers cannot drift from the offline CLI."""
+        from variational_mmt_tpu.data.bpe import remove_bpe
+
+        toks = self.decode(ids, strip_special=False)
+        return " ".join(remove_bpe(toks) if debpe else toks)
+
     # -- persistence -------------------------------------------------
     def save(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:

@@ -397,19 +397,21 @@ class Translator:
         sent = []
         for entry in nbest:
             score, ids = entry[0], entry[1]
-            toks = self.tgt_vocab.decode(ids, strip_special=False)
             if len(entry) == 3 and src_tokens is not None:
                 # replace_unk: the max-attention source token, looked up
                 # in the phrase table first when one is loaded (the
                 # reference Translator's -phrase_table behavior)
+                toks = self.tgt_vocab.decode(ids, strip_special=False)
                 toks = [
                     pt.get(s := src_tokens[min(entry[2][j], len(src_tokens) - 1)], s)
                     if t == UNK_TOK and src_tokens else t
                     for j, t in enumerate(toks)
                 ]
-            if debpe:
-                toks = remove_bpe(toks)
-            text = " ".join(toks)
+                text = " ".join(remove_bpe(toks) if debpe else toks)
+            else:
+                # the shared detok definition (also used by the jax-free MP
+                # dispatchers' id-level wire — serve/frontend.py)
+                text = self.tgt_vocab.ids_to_text(ids, debpe)
             sent.append((score, text, ids) if keep_ids else (score, text))
         return sent
 
@@ -451,12 +453,23 @@ class PendingTranslation:
         A single device (or GSPMD program group) executes dispatches in
         order, so the LAST dispatched batch's scores array is the
         representative leaf; used by the serving worker to size the next
-        dynamic batch to the in-flight compute window."""
+        dynamic batch to the in-flight compute window.
+
+        Never raises: the probe is a runtime RPC on remote devices, and a
+        transient probe failure must not kill the probing thread (the
+        serving worker calls this outside its guarded dispatch/finalize
+        paths) — report ready and let the BLOCKING finalize surface any
+        real device error through the guarded path."""
         if not self.batches:
             return True
         scores = self.batches[-1][1][1]
         is_ready = getattr(scores, "is_ready", None)
-        return bool(is_ready()) if is_ready is not None else True
+        if is_ready is None:
+            return True
+        try:
+            return bool(is_ready())
+        except Exception:  # noqa: BLE001 — see docstring
+            return True
 
 
 def _strip(ids: np.ndarray) -> List[int]:

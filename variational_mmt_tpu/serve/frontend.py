@@ -232,20 +232,17 @@ class _DispatcherBackend(Backend):
             a = np.ascontiguousarray(imgs, dtype="<f4")
             wire = {"shape": list(a.shape), "data": a.tobytes()}
         if self._src_vocab is not None:
-            from variational_mmt_tpu.data.bpe import remove_bpe
-
             ids = [self._src_vocab.encode(toks) for toks in tokens]
             resp = self._call(
                 {"op": "translate_ids", "ids": ids, "imgs": wire,
                  "timeout": timeout},
                 timeout,
             )
-            # mirror Translator.nbest_to_text (no replace_unk on this wire:
-            # the server refuses the ids op when replace_unk is configured)
+            # Vocab.ids_to_text IS Translator.nbest_to_text's detok (no
+            # replace_unk on this wire: the server refuses the ids op when
+            # replace_unk is configured)
             return [
-                [(s, " ".join(remove_bpe(
-                    self._tgt_vocab.decode(out_ids, strip_special=False))))
-                 for s, out_ids in nbest]
+                [(s, self._tgt_vocab.ids_to_text(out_ids)) for s, out_ids in nbest]
                 for nbest in resp["results"]
             ]
         resp = self._call(

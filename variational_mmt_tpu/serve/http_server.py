@@ -109,7 +109,19 @@ class MPServingServer:
         self._rpc_path = os.path.join(
             tempfile.mkdtemp(prefix="vmmt-rpc-"), "rpc.sock"
         )
-        self.rpc = RPCServer(service, {**(info or {})}, self._rpc_path)
+        # ship the vocab tables so dispatchers run the id-level wire (all
+        # text work in THEIR interpreters) — unless the decode config needs
+        # replace_unk, whose attention/source-token plumbing only the
+        # token-level op carries
+        vocabs = None
+        if not service.dcfg.replace_unk:
+            vocabs = (service.translator.src_vocab.itos,
+                      service.translator.tgt_vocab.itos)
+        # advertised on healthz (the rpc.py wire contract): whether this
+        # server's dispatchers run the id-level op
+        self.rpc = RPCServer(
+            service, {**(info or {}), "ids_wire": vocabs is not None},
+            self._rpc_path)
         self._reserve = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._reserve.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
         self._reserve.bind((host, port))
@@ -119,14 +131,6 @@ class MPServingServer:
         # device-runtime state (remote-TPU client threads, fds)
         ctx = mp.get_context("spawn")
         merges = service.bpe.merges if service.bpe is not None else None
-        # ship the vocab tables so dispatchers run the id-level wire (all
-        # text work in THEIR interpreters) — unless the decode config needs
-        # replace_unk, whose attention/source-token plumbing only the
-        # token-level op carries
-        vocabs = None
-        if not service.dcfg.replace_unk:
-            vocabs = (service.translator.src_vocab.itos,
-                      service.translator.tgt_vocab.itos)
         self._procs = []
         self._ready = []
         for _ in range(max(1, procs)):

@@ -422,12 +422,17 @@ class TranslationService:
                 except Exception:  # noqa: BLE001 — cancelled race
                     pass
 
-    def _finish(self, group: List[_Request], pending) -> None:
+    def _finish(self, group: List[_Request], pending, dispatched_at: float) -> None:
         """Block on a dispatched group's device work, postprocess, resolve
-        futures, and account stats."""
-        t0 = time.monotonic()
+        futures, and account stats. ``busy_s`` accrues the de-overlapped
+        union of [dispatch, drain-complete] windows (``_busy_mark`` is the
+        previous window's end), so it approximates DEVICE busy time whether
+        or not the pipeline overlapped this group with host work — the old
+        per-call wall bracketing read near-zero for windows the worker
+        spent in _collect_fill while the device was 100% busy."""
         try:
             out = self.translator.finalize_ids(pending)
+            drained = time.monotonic()
             for r, nbest in zip(group, out):
                 if r.future.done():
                     # a client may have cancel()ed while queued; its
@@ -447,11 +452,17 @@ class TranslationService:
                     pass
         except Exception as e:  # device/transfer error: the whole group
             self._fail_group(group, e)
+            drained = time.monotonic()
+        busy = drained - max(dispatched_at, self._busy_mark)
+        self._busy_mark = max(self._busy_mark, drained)
+        self._account_batch(group, busy)
+
+    def _account_batch(self, group: List[_Request], busy: float) -> None:
         with self._stats_lock:
             self.stats["batches"] += 1
             if len(group) > 1:
                 self.stats["batched_requests"] += len(group)
-            self.stats["busy_s"] += time.monotonic() - t0
+            self.stats["busy_s"] += max(0.0, busy)
 
     def _run(self) -> None:
         """Two-deep pipelined worker. While group N computes on the device,
@@ -469,7 +480,8 @@ class TranslationService:
         loop otherwise; with an idle queue the in-flight group finalizes
         the moment the device is done (no added latency)."""
         self._stop_seen = False
-        prev: Optional[Tuple[List[_Request], object]] = None
+        self._busy_mark = time.monotonic()
+        prev: Optional[Tuple[List[_Request], object, float]] = None
         while True:
             if self._stop_seen:
                 group = []
@@ -497,11 +509,13 @@ class TranslationService:
                             [r.img for r in group]
                         )  # submit guaranteed presence+shape
                     nxt = (group,
-                           self.translator.dispatch_ids([r.ids for r in group], imgs))
+                           self.translator.dispatch_ids([r.ids for r in group], imgs),
+                           t0)
                 except Exception as e:  # bad dispatch: fail just this group
                     self._fail_group(group, e)
-                with self._stats_lock:
-                    self.stats["busy_s"] += time.monotonic() - t0
+                    # still a consumed gather: count it so mean_batch_fill
+                    # (requests/batches) stays honest on error paths
+                    self._account_batch(group, time.monotonic() - t0)
             if self.scfg.pipeline_depth <= 1 and nxt is not None:
                 # A/B baseline: finalize immediately, never carry in-flight
                 # work across iterations (classic one-group-at-a-time loop)
