@@ -364,3 +364,73 @@ def test_infer_dtype_invalid_rejected():
     cfg.decode.infer_dtype = "float16"
     with pytest.raises(ValueError, match="infer_dtype"):
         Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+
+
+def test_int8_quant_dequant_error_bound():
+    """Per-output-channel symmetric int8: reconstruction error per element
+    is bounded by the channel's quantization step (max|x|/127, + bf16
+    rounding slack)."""
+    from variational_mmt_tpu.decode.translator import (
+        dequantize_params, quantize_params_int8)
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((64, 48)) * rng.lognormal(0, 1, 48)).astype(
+        np.float32)  # per-column magnitude spread exercises the per-channel scale
+    q = quantize_params_int8({"w": x})
+    assert q["w"]["int8"].dtype == jnp.int8
+    assert q["w"]["scale"].shape == (48,)
+    deq = np.asarray(dequantize_params(q)["w"], np.float32)
+    step = np.abs(x).max(axis=0) / 127.0
+    assert (np.abs(deq - x) <= step * 1.05 + 1e-12).all()
+
+
+def test_int8_grid_weights_roundtrip_exact():
+    """Weights already on the int8 grid (int multiples of a power-of-two
+    channel scale, so every product is bf16-exact) reconstruct EXACTLY —
+    pins that the scale math introduces no systematic bias."""
+    from variational_mmt_tpu.decode.translator import (
+        dequantize_params, quantize_params_int8)
+
+    rng = np.random.default_rng(1)
+    ints = rng.integers(-127, 128, (32, 16)).astype(np.float32)
+    ints[0, :] = 127  # channel max attained -> scale recovers exactly
+    x = ints * (2.0 ** -6)
+    deq = np.asarray(
+        dequantize_params(quantize_params_int8({"w": x}))["w"], np.float32)
+    assert (deq == x).all()
+
+
+def test_infer_dtype_int8_decodes_and_quarters_footprint():
+    """-infer_dtype int8: 2-D float leaves become int8+scale pairs, 1-D
+    leaves stay float, and beam decode still produces finite-scored,
+    well-formed output. This tiny model is bias-heavy, so the footprint
+    lands near 31% of f32 (the matrix-dominated flagship approaches 25%)."""
+    cfg, model, state, vocab = small_setup()
+
+    def nbytes(tree):
+        return sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(tree))
+
+    full = nbytes(state.params)
+    cfg.decode.infer_dtype = "int8"
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    assert nbytes(tr.params) < 0.35 * full
+    feats = np.random.default_rng(0).standard_normal((2, 8)).astype(np.float32)
+    out = tr.translate_tokens([["w1", "w2"], ["w3"]], feats)
+    assert len(out) == 2
+    for nbest in out:
+        score, text = nbest[0]
+        assert np.isfinite(score) and isinstance(text, str)
+
+
+def test_int8_rejected_with_tensor_parallel():
+    from variational_mmt_tpu.parallel.tp import make_mesh_2d
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg, model, state, vocab = small_setup()
+    cfg.decode.infer_dtype = "int8"
+    cfg.decode.batch_size = 4
+    mesh = make_mesh_2d(len(jax.devices()) // 2, 2)
+    with pytest.raises(ValueError, match="int8"):
+        Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8],
+                   mesh=mesh)

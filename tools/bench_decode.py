@@ -32,7 +32,7 @@ def main():
                          "flagship shape) to measure the combination cost")
     ap.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"])
     ap.add_argument("-infer_dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"])
     opt = ap.parse_args()
     if opt.ensemble < 1:
         ap.error(f"-ensemble must be >= 1, got {opt.ensemble}")

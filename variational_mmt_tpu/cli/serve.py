@@ -24,9 +24,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="ensemble combination of per-step distributions: "
                         "mean probability (prob) or mean log-prob (logprob)")
     p.add_argument("-infer_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="decode-time weight precision: bfloat16 halves HBM "
-                        "weight traffic on the bandwidth-bound decode step")
+                        "weight traffic on the bandwidth-bound decode step; "
+                        "int8 (weight-only, per-channel) quarters the "
+                        "persistent weight footprint for serving density")
     p.add_argument("-host", default="127.0.0.1")
     p.add_argument("-port", type=int, default=8080)
     p.add_argument("-beam_size", type=int, default=4)

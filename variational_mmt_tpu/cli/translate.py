@@ -31,9 +31,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="checkpoint dir (or specific step dir); "
                         "comma-separate several for an ensemble decode")
     p.add_argument("-infer_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="decode-time weight precision: bfloat16 halves HBM "
-                        "weight traffic on the bandwidth-bound decode step")
+                        "weight traffic on the bandwidth-bound decode step; "
+                        "int8 (weight-only, per-channel) quarters the "
+                        "persistent weight footprint for serving density")
     p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
                    help="how ensemble members' next-token distributions are "
                         "combined: mean probability (prob) or mean log-prob "
