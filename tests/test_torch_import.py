@@ -250,6 +250,70 @@ def test_cli_end_to_end(tmp_path):
         assert np.isfinite(score) and isinstance(text, str)
 
 
+def test_bridgeless_refused_without_allow_partial(tmp_path, capsys):
+    """A source checkpoint with no bridge tensors (OpenNMT-py's default
+    decoder-init behavior, unrepresentable here) is refused unless
+    -allow_partial (ADVICE r3: silent decode divergence)."""
+    from import_torch_checkpoint import main
+
+    _, sd = _onmt_state_dict("gru", seed=3)
+    sd = {k: v for k, v in sd.items() if "bridge" not in k}
+    itos = SPECIALS + [f"w{i}" for i in range(V - 4)]
+    ckpt = {"model": sd, "vocab": {"src": itos, "tgt": itos}}
+    pt = tmp_path / "nobridge.pt"
+    torch.save(ckpt, pt)
+    cli = ["-ckpt", str(pt), "-out", str(tmp_path / "o")]
+    with pytest.raises(SystemExit) as ei:
+        main(cli)
+    assert "bridge" in str(ei.value) and "-allow_partial" in str(ei.value)
+    capsys.readouterr()
+    # opt-in writes (with the loud unfilled report)
+    main(cli + ["-allow_partial"])
+    assert "fresh init" in capsys.readouterr().out
+
+
+def test_imported_config_defaults_to_float32(tmp_path, capsys):
+    """The torch-equality guarantee was validated at f32; the CLI must not
+    silently bake the framework's bfloat16 default into imported configs."""
+    from import_torch_checkpoint import main
+
+    from variational_mmt_tpu.train.checkpoint import (latest_checkpoint,
+                                                      load_checkpoint)
+
+    _, sd = _onmt_state_dict("gru", seed=4)
+    itos = SPECIALS + [f"w{i}" for i in range(V - 4)]
+    torch.save({"model": sd, "vocab": {"src": itos, "tgt": itos}},
+               tmp_path / "up.pt")
+    main(["-ckpt", str(tmp_path / "up.pt"), "-out", str(tmp_path / "o")])
+    _, cfg, _, _, _ = load_checkpoint(latest_checkpoint(str(tmp_path / "o")))
+    assert cfg.model.compute_dtype == "float32"
+    capsys.readouterr()
+
+
+def test_merge_into_structure_disagreement():
+    """A -map rule landing a tensor on an interior node (or a subtree on a
+    leaf) is classified as an unknown target, not an AttributeError."""
+    params = {"decoder": {"step": {"k": np.zeros((2, 2), np.float32)}},
+              "leafy": np.zeros(3, np.float32)}
+    updates = {"decoder": np.ones((2, 2), np.float32),      # tensor -> subtree
+               "leafy": {"sub": np.ones(3, np.float32)}}    # subtree -> leaf
+    filled, mismatched, unknown = merge_into(params, updates)
+    assert not filled and not mismatched
+    assert len(unknown) == 2
+    assert any("decoder" in u for u in unknown)
+    assert any("leafy" in u for u in unknown)
+
+
+def test_noncontiguous_vocab_refused(tmp_path):
+    """Legacy idxToLabel with gaps must refuse (compaction silently shifts
+    ids) instead of producing a wrong vocab."""
+    from import_torch_checkpoint import _vocab_itos
+
+    with pytest.raises(SystemExit) as ei:
+        _vocab_itos(type("D", (), {"idxToLabel": {0: "a", 1: "b", 5: "c"}})())
+    assert "non-contiguous" in str(ei.value)
+
+
 def test_strict_flags_unmapped(tmp_path, capsys):
     """-strict refuses a checkpoint with an unconsumed (fork-specific)
     tensor; without -strict it imports with a loud report. Runs main()

@@ -31,9 +31,18 @@ What it does
    ``load_checkpoint`` / ``translate`` / ``-train_from``.
 
 Caveats (honest):
+- SECURITY: a ``.pt`` is a pickle; loading one can execute embedded code.
+  A restricted (weights_only) load is tried first, but legacy checkpoints
+  need the permissive fallback — only import files from trusted sources.
 - Upstream module names are reconstructed from the OpenNMT-py lineage
   [U-MED]; with the real fork unavailable offline, alias lists cover the
   known naming generations and ``-map`` covers the rest.
+- Bridge-less upstream models (OpenNMT-py default: decoder init = raw
+  encoder finals) cannot be represented by the native per-layer tanh
+  bridge; the import refuses unless ``-allow_partial`` (decode will
+  differ from the source model).
+- The numerical torch-equality guarantee holds at ``-compute_dtype
+  float32`` (the default); bfloat16 is faster on TPU but not bit-equal.
 - The LSTM forget-gate bias: models/gru.py bakes a structural +1 into the
   preactivation, torch learns it — the importer subtracts 1 from the
   imported forget-quarter of ``bias_hh`` so the math is identical.
@@ -105,8 +114,26 @@ class _StubPickleModule:
 
 
 def load_torch_file(path: str):
+    """Load the ``.pt``, restricted-first.
+
+    SECURITY: a legacy torch checkpoint is a pickle — unpickling can execute
+    arbitrary code, and the stub unpickler only replaces classes that FAIL
+    to import (an importable reducer like ``os.system`` would still run).
+    We therefore try torch's restricted ``weights_only=True`` loader first;
+    only when that fails (legacy checkpoints carry vocab/opt objects it
+    rejects) do we fall back to the permissive stub unpickler, with a loud
+    warning. Only import ``.pt`` files from sources you trust.
+    """
     import torch
 
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        pass
+    print("WARNING: restricted (weights_only) load failed — falling back to "
+          "the permissive unpickler. Unpickling a legacy checkpoint can "
+          "execute code embedded in the file; only proceed if you trust "
+          "its source.", file=sys.stderr)
     try:
         return torch.load(path, map_location="cpu",
                           pickle_module=_StubPickleModule, weights_only=False)
@@ -170,10 +197,24 @@ def _vocab_itos(obj):
         return list(itos)
     i2l = getattr(obj, "idxToLabel", None)
     if isinstance(i2l, dict) and i2l:
+        # compacting a gappy index map would silently shift every token
+        # after the gap to a wrong id (embedding rows are positional)
+        if sorted(i2l) != list(range(len(i2l))):
+            sys.exit(
+                f"checkpoint vocab has non-contiguous indices (e.g. a pruned "
+                f"legacy Dict): {len(i2l)} entries, max index {max(i2l)}. "
+                f"Remap it to dense 0..N-1 ids (and reorder the embedding "
+                f"rows identically), then pass it via -src_vocab/-tgt_vocab.")
         return [i2l[i] for i in sorted(i2l)]
     if isinstance(obj, dict) and obj and all(
             isinstance(v, int) for v in obj.values()):
         inv = {v: k for k, v in obj.items()}
+        if sorted(inv) != list(range(len(inv))):
+            sys.exit(
+                f"checkpoint stoi vocab has non-contiguous (or duplicate) "
+                f"indices: {len(obj)} entries, {len(inv)} distinct ids, max "
+                f"id {max(inv)}. Remap to dense 0..N-1 ids and pass via "
+                f"-src_vocab/-tgt_vocab.")
         return [inv[i] for i in sorted(inv)]
     # torchtext Field wraps the vocab
     inner = getattr(obj, "vocab", None)
@@ -441,6 +482,15 @@ def merge_into(params, updates, prefix=""):
         if k not in params:
             unknown.append(path)
             continue
+        # a -map rule can land an array on an interior node (or a subtree on
+        # a leaf); classify instead of crashing on dict.shape / recursing
+        # into an ndarray
+        if isinstance(v, dict) != isinstance(params[k], dict):
+            unknown.append(
+                f"{path} ({'subtree' if isinstance(v, dict) else 'tensor'} "
+                f"mapped onto a "
+                f"{'subtree' if isinstance(params[k], dict) else 'leaf'})")
+            continue
         if isinstance(v, dict):
             f2, m2, u2 = merge_into(params[k], v, path + "/")
             filled += f2
@@ -488,6 +538,22 @@ def main(argv=None):
     ap.add_argument("-strict", action="store_true",
                     help="error on unconsumed source tensors or unfilled "
                          "target leaves")
+    ap.add_argument("-allow_partial", action="store_true",
+                    help="write the checkpoint even when load-bearing "
+                         "target leaves (encoder->decoder bridge) stayed at "
+                         "fresh init. Default: refuse — a bridge-less "
+                         "upstream model (OpenNMT-py's default passes "
+                         "encoder finals straight through) cannot be "
+                         "represented faithfully by the native per-layer "
+                         "tanh bridge, and random bridge kernels silently "
+                         "change every decode")
+    ap.add_argument("-compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype baked into the imported config. "
+                         "Default float32: the 'forward logits equal to "
+                         "torch' guarantee (tests/test_torch_import.py) "
+                         "holds at f32; bfloat16 decodes faster but may "
+                         "not reproduce upstream outputs bit-for-bit")
     opt = ap.parse_args(argv)
 
     # conversion is host work: respect JAX_PLATFORMS (the axon TPU plugin
@@ -534,6 +600,7 @@ def main(argv=None):
         latent_dim=opt.latent_dim or 128,
         img_feat_dim=(opt.img_feat_dim if opt.img_feat_dim is not None
                       else (2048 if model_type != "nmt" else 0)),
+        compute_dtype=opt.compute_dtype,
     )
     print(f"inferred config: {model_type} E={mcfg.emb_dim} H={mcfg.hidden_dim} "
           f"enc={mcfg.enc_layers} dec={mcfg.dec_layers} rnn={mcfg.rnn_type} "
@@ -565,6 +632,22 @@ def main(argv=None):
         sys.exit("shape mismatches / unknown targets — refusing to write")
     if opt.strict and (unconsumed or unfilled):
         sys.exit("-strict: unmapped tensors remain (see report above)")
+    # decode INIT depends on the bridge: leaving it at random init silently
+    # diverges every translation from the source model. Bridge-less upstream
+    # models (OpenNMT-py default: encoder finals passed through, LSTM cell
+    # state carried) cannot be represented by the native per-layer tanh
+    # bridge at all — refuse rather than write a lookalike checkpoint.
+    unfilled_bridge = [p for p in unfilled if p.startswith("bridge")]
+    if unfilled_bridge and not opt.allow_partial:
+        sys.exit(
+            f"no bridge tensors found in the source but the native model "
+            f"has {len(unfilled_bridge)} bridge leaves "
+            f"({', '.join(unfilled_bridge[:4])}{'...' if len(unfilled_bridge) > 4 else ''}). "
+            f"A bridge-less upstream model cannot be imported faithfully "
+            f"(its decoder init is the raw encoder finals; ours applies a "
+            f"learned tanh Linear). Re-run with -allow_partial to write "
+            f"anyway (decode WILL differ from the source model), or supply "
+            f"-map rules if the fork stores its bridge under another name.")
 
     def _load_vocab(flag, size, side):
         if flag:
