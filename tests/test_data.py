@@ -122,6 +122,37 @@ def test_synthetic_corpus():
     assert UNK not in ids
 
 
+def test_stochastic_corpus():
+    """make_stochastic_corpus (round-4 IW study): the image SHIFTS the
+    sense distribution without determining it, and the analytic NLL floors
+    match the construction."""
+    src, tgt, feats, sv, tv, c_img, c_real, amb = \
+        synthetic.make_stochastic_corpus(
+            400, vocab_size=40, n_senses=4, sense_flip=0.25, img_dim=16,
+            seed=7)
+    assert len(src) == len(tgt) == 400 and feats.shape == (400, 16)
+    # flip rate realized near its nominal value -> genuinely stochastic
+    agree = float((c_img == c_real).mean())
+    assert 0.65 < agree < 0.85, agree
+    # the realized target matches the ideal hypothesis for c_real
+    hyp = synthetic.ideal_hypotheses(src[:20], c_real[:20], amb, 40)
+    assert hyp == tgt[:20]
+    # ...and differs from c_img's hypothesis exactly when flipped (given
+    # the sentence contains an ambiguous type)
+    hyp_img = synthetic.ideal_hypotheses(src[:400], c_img[:400], amb, 40)
+    for i in range(400):
+        has_amb = any(amb[int(t[1:])] for t in src[i])
+        if c_img[i] == c_real[i] or not has_amb:
+            assert hyp_img[i] == tgt[i]
+        else:
+            assert hyp_img[i] != tgt[i]
+    tf, imf = synthetic.stochastic_nll_floors(src, amb, 4, 0.25, 40)
+    assert 0 < imf < tf <= np.log(4) + 1e-9
+    # flip=0 would make the image floor 0 (conditionally deterministic)
+    _, imf0 = synthetic.stochastic_nll_floors(src, amb, 4, 1e-12, 40)
+    assert imf0 < 1e-9
+
+
 def test_features_roundtrip(tmp_path):
     from variational_mmt_tpu.data.features import load_features, save_features
 

@@ -158,6 +158,102 @@ def make_ambiguous_corpus(
     return src_lines, tgt_lines, feats, src_vocab, tgt_vocab, senses, amb
 
 
+# ---------------------------------------------------------------------------
+# Stochastic corpus (round-4: the IW-ELBO model-selection instrument)
+#
+# The ambiguous corpus above is conditionally DETERMINISTIC: given (x, image)
+# there is exactly one correct target, so held-out likelihood and BLEU rank
+# models identically and the K-sample IW bound (SURVEY.md §2.4 config 5) has
+# nothing to discriminate. This variant makes the target genuinely
+# stochastic — the image shifts the target *distribution* without
+# determining it:
+#
+#   c_img  ~ Uniform(S)                      (what the image depicts)
+#   v      = content + strength·emb[c_img] + noise
+#   c_real = c_img           with prob 1-flip
+#          = Uniform(others) with prob flip   (the annotator "saw it
+#                                              differently")
+#   y      = sense_map(x, c_real)             (no token noise)
+#
+# The same (x, v) therefore has multiple valid targets; held-out NLL — not
+# BLEU — is the honest discriminator, with ANALYTIC floors:
+#   text-only models:  H(c_real | x)      = ln S        per ambiguous sent
+#   image-aware models: H(c_real | c_img) = H(1-flip, flip/(S-1), ...)
+# (sentences with no ambiguous type cost 0 extra nats for both). vmmt_c's
+# conditional prior p(z|x,v) can route the image into p(y|x,v); nmt and
+# vmmt_f (fixed prior: p(y|x) marginalizes z without seeing v) share the
+# text-only floor.
+# ---------------------------------------------------------------------------
+
+
+def make_stochastic_corpus(
+    n: int,
+    vocab_size: int = 200,
+    n_senses: int = 4,
+    p_ambiguous: float = 0.5,
+    sense_flip: float = 0.25,
+    min_len: int = 6,
+    max_len: int = 24,
+    img_dim: int = 512,
+    sense_strength: float = 3.0,
+    img_noise: float = 0.5,
+    seed: int = 0,
+):
+    """Returns (src_lines, tgt_lines, feats, src_vocab, tgt_vocab, c_img,
+    c_real, amb_mask)."""
+    rng = np.random.default_rng(seed)
+    n_words = vocab_size - len(SPECIALS)
+    src_words = [f"s{i}" for i in range(n_words)]
+    tgt_words = [f"t{i}" for i in range(n_words)]
+    amb = np.zeros(n_words, np.int64)
+    amb[rng.permutation(n_words)[: int(round(p_ambiguous * n_words))]] = 1
+    word_emb = rng.standard_normal((n_words, img_dim)).astype(np.float32)
+    sense_emb = rng.standard_normal((n_senses, img_dim)).astype(np.float32)
+
+    src_lines, tgt_lines = [], []
+    feats = np.zeros((n, img_dim), np.float32)
+    c_img = rng.integers(0, n_senses, size=n)
+    flip = rng.random(n) < sense_flip
+    c_real = c_img.copy()
+    for i in np.flatnonzero(flip):
+        others = [c for c in range(n_senses) if c != c_img[i]]
+        c_real[i] = others[int(rng.integers(len(others)))]
+    for i in range(n):
+        L = int(rng.integers(min_len, max_len + 1))
+        ids = rng.integers(0, n_words, size=L)
+        tids = _local_reorder(_sense_map(ids, int(c_real[i]), n_words, amb))
+        src_lines.append([src_words[k] for k in ids])
+        tgt_lines.append([tgt_words[k] for k in tids])
+        feats[i] = (word_emb[ids].mean(axis=0)
+                    + sense_strength * sense_emb[int(c_img[i])]
+                    + img_noise * rng.standard_normal(img_dim).astype(np.float32))
+    src_vocab = Vocab(SPECIALS + src_words)
+    tgt_vocab = Vocab(SPECIALS + tgt_words)
+    return src_lines, tgt_lines, feats, src_vocab, tgt_vocab, c_img, c_real, amb
+
+
+def stochastic_nll_floors(src_lines, amb, n_senses: int, sense_flip: float,
+                          vocab_size: int = 200):
+    """(text_floor, image_floor): analytic per-SENTENCE extra nats a perfect
+    text-only / image-aware model must pay on this split (the deterministic
+    part of the mapping costs 0 for a perfect model; EOS/len modeling is
+    shared by both families and excluded).
+
+    c_img is uniform and the flip is symmetric, so p(c_real | x) is uniform:
+    the text-only floor is ln(S) per sense-revealing sentence. The image
+    floor is H(c_real | c_img) = H(1-flip, flip/(S-1), ...).
+    """
+    n_words = vocab_size - len(SPECIALS)
+    has_amb = np.array(
+        [any(amb[int(t[1:])] for t in toks) for toks in src_lines], bool)
+    frac = float(has_amb.mean())
+    h_text = float(np.log(n_senses))
+    p = np.full(n_senses, sense_flip / (n_senses - 1))
+    p[0] = 1.0 - sense_flip
+    h_img = float(-(p * np.log(p)).sum())
+    return frac * h_text, frac * h_img
+
+
 def ideal_hypotheses(src_lines, senses, amb, vocab_size=200, fixed_sense=None):
     """Noise-free model translations of ``src_lines``: with the TRUE sense
     (oracle / multimodal asymptote) or with a single ``fixed_sense`` (the
