@@ -36,6 +36,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
                         "weight traffic on the bandwidth-bound decode step; "
                         "int8 (weight-only, per-channel) quarters the "
                         "persistent weight footprint for serving density")
+    p.add_argument("-pallas_step", type=int, default=0,
+                   help="1: fused Pallas decode-step kernel on TPU for "
+                        "flagship-structure models (2-layer GRU, general "
+                        "attention, input_feed); auto-skipped off-TPU "
+                        "(interpret mode is slower than XLA there)")
     p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
                    help="how ensemble members' next-token distributions are "
                         "combined: mean probability (prob) or mean log-prob "
@@ -139,6 +144,7 @@ def main(argv=None) -> None:
         replace_unk=opt.replace_unk, coverage_beta=opt.coverage_beta,
         dump_beam=bool(opt.dump_beam), ensemble_mode=opt.ensemble_mode,
         infer_dtype=opt.infer_dtype,
+        pallas_step=bool(opt.pallas_step) and jax.default_backend() == "tpu",
     )
     mesh = None
     if opt.tensor_parallel > 1:

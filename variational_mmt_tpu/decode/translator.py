@@ -147,7 +147,15 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
                 z = m.apply({"params": p}, summary, img, method=VMMTModel.prior_latent)
             init_hs = m.apply({"params": p}, finals, z, method=VMMTModel.init_decoder_state)
             carry0.append(m.apply({"params": p}, init_hs, method=VMMTModel.init_decode_carry))
-            keys = m.apply({"params": p}, memory, method=VMMTModel.project_memory)
+            # fused Pallas decode step: pre-project mem_v too; one_step
+            # dispatches on the (keys, mem_v) tuple
+            fused_step = (dcfg.pallas_step
+                          and m.cfg.dec_layers == 2
+                          and m.cfg.attn_type == "general"
+                          and m.cfg.rnn_type == "gru"
+                          and m.cfg.input_feed)
+            keys = m.apply({"params": p}, memory, fused_step,
+                           method=VMMTModel.project_memory)
             members.append((m, p, memory, z, keys))
         track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
         single = len(models) == 1
@@ -178,7 +186,8 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
             (m, p,
              jnp.repeat(memory, K, axis=0),
              jnp.repeat(z, K, axis=0) if z is not None else None,
-             jnp.repeat(keys, K, axis=0))
+             # keys is a (keys, mem_v) tuple on the fused-step path
+             jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), keys))
             for (m, p, memory, z, keys) in members
         ]
 

@@ -248,10 +248,29 @@ class GRUDecoder(nn.Module):
         _, (outs, aligns) = scan(self.step, carry0, emb_proj)
         return self.out_drop(outs, deterministic=deterministic), aligns
 
-    def project_memory(self, memory: jax.Array) -> jax.Array:
+    def project_memory(self, memory: jax.Array, with_values: bool = False):
         """Pre-projected attention keys for repeated one_step decoding
-        (compute once per sequence, pass to every one_step call)."""
-        return self.step.attn.project_memory(memory)
+        (compute once per sequence, pass to every one_step call).
+
+        ``with_values``: additionally hoist the context half of linear_out
+        (``mem_v = memory @ Wc_ctx``, the models/fused_decoder.py
+        decomposition) and return ``(keys, mem_v)`` — the layout the fused
+        Pallas decode-step kernel consumes (one_step dispatches on the
+        tuple). Requires the flagship structure (2-layer GRU, general
+        attention, input_feed)."""
+        keys = self.step.attn.project_memory(memory)
+        if not with_values:
+            return keys
+        if not (self.layers == 2 and self.attn_type == "general"
+                and self.cell_type == "gru" and self.input_feed):
+            raise ValueError(
+                "project_memory(with_values=True) (fused decode step) "
+                "requires 2-layer GRU + general attention + input_feed; "
+                f"got layers={self.layers} attn={self.attn_type} "
+                f"cell={self.cell_type} input_feed={self.input_feed}")
+        p_out = self.step.attn.linear_out.variables["params"]["kernel"]
+        mem_v = memory @ p_out[: self.hidden].astype(memory.dtype)
+        return keys, mem_v
 
     def one_step(
         self,
@@ -262,9 +281,39 @@ class GRUDecoder(nn.Module):
         extra_input_proj: jax.Array = None,
         keys: jax.Array = None,
     ):
-        """Single decode step (greedy/beam). Deterministic (inference)."""
+        """Single decode step (greedy/beam). Deterministic (inference).
+
+        ``keys`` may be the plain pre-projected keys (XLA step) or the
+        ``(keys, mem_v)`` tuple from ``project_memory(with_values=True)``,
+        which routes through the fused Pallas decode-step kernel
+        (ops/pallas/decode_step.py) — one launch for the whole
+        GRU0->GRU1->attention chain with VMEM-resident weights."""
         emb_proj = self.ih_emb(tok_emb)
         if extra_input_proj is not None:
             emb_proj = emb_proj + extra_input_proj
+        if isinstance(keys, tuple):
+            from variational_mmt_tpu.ops.pallas.decode_step import decode_step_pallas
+
+            k, mem_v = keys
+            step = self.step
+            p_feed = step.ih_feed.variables["params"]["kernel"].astype(self.dtype)
+            p_mid = step.ih_mid[0].variables["params"]
+            p_out = step.attn.linear_out.variables["params"]["kernel"].astype(self.dtype)
+            hs, feed = carry
+            mask_bias = (1.0 - src_mask.astype(jnp.float32)) * -1e9
+            interpret = jax.default_backend() != "tpu"
+            h0n, h1n, attn_h, probs = decode_step_pallas(
+                emb_proj, hs[0], hs[1], feed,
+                p_feed,
+                step.hh_kernels[0].astype(self.dtype),
+                step.hh_biases[0].astype(self.dtype),
+                p_mid["kernel"].astype(self.dtype),
+                p_mid["bias"].astype(self.dtype),
+                step.hh_kernels[1].astype(self.dtype),
+                step.hh_biases[1].astype(self.dtype),
+                k, mem_v, p_out[self.hidden:], mask_bias,
+                interpret=interpret,
+            )
+            return ((h0n, h1n), attn_h), (attn_h, probs)
         new_carry, (attn_h, align) = self.step(carry, emb_proj, memory, src_mask, True, keys)
         return new_carry, (attn_h, align)

@@ -216,8 +216,8 @@ class VMMTModel(nn.Module):
         logits = self._gen(attn_h)
         return carry, logits, align
 
-    def project_memory(self, memory):
-        return self.decoder.project_memory(memory)
+    def project_memory(self, memory, with_values: bool = False):
+        return self.decoder.project_memory(memory, with_values)
 
     def init_decode_carry(self, init_hs):
         return self.decoder.init_carry(init_hs)
