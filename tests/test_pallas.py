@@ -413,10 +413,11 @@ def test_pallas_step_beam_equivalence():
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((3, 8)), jnp.float32)
     out = {}
-    for flag in (False, True):
+    for flag in (0, 1, 2):  # off / full fused step / GRU-chain-only
         dcfg = DecodeConfig(beam_size=3, max_length=10, batch_size=3,
                             pallas_step=flag)
         toks, scores = jax.jit(make_translate_fn(model, dcfg))(params, src, img)
         out[flag] = (np.asarray(toks), np.asarray(scores))
-    np.testing.assert_array_equal(out[True][0], out[False][0])
-    np.testing.assert_allclose(out[True][1], out[False][1], rtol=2e-5, atol=2e-5)
+    for flag in (1, 2):
+        np.testing.assert_array_equal(out[flag][0], out[0][0])
+        np.testing.assert_allclose(out[flag][1], out[0][1], rtol=2e-5, atol=2e-5)

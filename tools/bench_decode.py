@@ -34,7 +34,8 @@ def main():
     ap.add_argument("-infer_dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("-pallas_step", type=int, default=0,
-                    help="1: fused Pallas decode-step kernel "
+                    help="1: fused Pallas decode-step kernel (full step); "
+                         "2: fused GRU chain only, attention in XLA "
                          "(ops/pallas/decode_step.py)")
     opt = ap.parse_args()
     if opt.ensemble < 1:
@@ -50,7 +51,7 @@ def main():
     dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 20,
                         batch_size=B, ensemble_mode=opt.ensemble_mode,
                         infer_dtype=opt.infer_dtype,
-                        pallas_step=bool(opt.pallas_step))
+                        pallas_step=opt.pallas_step)
     model = build_model(cfg)
     M = opt.ensemble
     # this tool calls make_translate_fn directly (no Translator), so the

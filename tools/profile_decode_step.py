@@ -38,16 +38,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args, reps=5):
+def _time(fn, *args, reps=5, chain=8):
+    """Median seconds per call. Each timed sample chains ``chain``
+    dispatches before draining — a single call per sample would be
+    dominated by the axon tunnel's per-dispatch RTT (~10-30 ms), which
+    async dispatch pipelines away across consecutive calls."""
     out = fn(*args)
     jax.block_until_ready(out)
     samples = []
     for _ in range(reps):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(chain):
+            out = fn(*args)
         # full drain (axon: scalar block under-reports)
         np.asarray(jax.tree.leaves(out)[0]).sum()
-        samples.append(time.time() - t0)
+        samples.append((time.time() - t0) / chain)
     return float(np.median(samples))
 
 
@@ -141,7 +146,7 @@ def main():
         logits = model.apply({"params": params}, h, method=VMMTModel._gen)
         logp = jax.nn.log_softmax(logits, axis=-1)
         # feed a transform of the output back in to serialize
-        return h + logp[:, :H].astype(h.dtype) * 0.0 + logp.mean() * 0.0
+        return (h + (logp[:, :H] + logp.mean()).astype(h.dtype) * 0).astype(h.dtype)
 
     gen = jax.jit(lambda h: scan_n(gen_body, h))
     results["generator_ms"] = 1000 * _time(gen, h0) / args.iters

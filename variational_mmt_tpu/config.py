@@ -209,12 +209,13 @@ class DecodeConfig:
     # load (halves HBM weight traffic on the bandwidth-bound decode step);
     # logits/latent heads still compute in f32 (beyond-reference)
     infer_dtype: str = "float32"
-    # fused Pallas decode-step kernel (ops/pallas/decode_step.py): one
-    # launch per beam step for the GRU0->GRU1->attention chain. Applies
-    # when the model has the flagship structure (2-layer GRU, general
-    # attention, input_feed); ignored otherwise. Runs in interpret mode
-    # off-TPU (slow — enable there only in tests).
-    pallas_step: bool = False
+    # fused Pallas decode-step kernel (ops/pallas/decode_step.py):
+    # 0 = off; 1 = one launch per beam step for the full
+    # GRU0->GRU1->attention chain; 2 = fused GRU chain only (attention
+    # stays in XLA). Applies when the model has the flagship structure
+    # (2-layer GRU, general attention, input_feed); ignored otherwise.
+    # Runs in interpret mode off-TPU (slow -- enable there only in tests).
+    pallas_step: int = 0
 
 
 @dataclass

@@ -147,15 +147,19 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
                 z = m.apply({"params": p}, summary, img, method=VMMTModel.prior_latent)
             init_hs = m.apply({"params": p}, finals, z, method=VMMTModel.init_decoder_state)
             carry0.append(m.apply({"params": p}, init_hs, method=VMMTModel.init_decode_carry))
-            # fused Pallas decode step: pre-project mem_v too; one_step
-            # dispatches on the (keys, mem_v) tuple
-            fused_step = (dcfg.pallas_step
+            # fused Pallas decode step (mode 1: full step incl. attention,
+            # keys -> (keys, mem_v) 2-tuple; mode 2: GRU chain only,
+            # keys -> 1-tuple); one_step dispatches on the tuple
+            mode = int(dcfg.pallas_step)
+            fused_step = (mode > 0
                           and m.cfg.dec_layers == 2
                           and m.cfg.attn_type == "general"
                           and m.cfg.rnn_type == "gru"
                           and m.cfg.input_feed)
-            keys = m.apply({"params": p}, memory, fused_step,
+            keys = m.apply({"params": p}, memory, fused_step and mode == 1,
                            method=VMMTModel.project_memory)
+            if fused_step and mode == 2:
+                keys = (keys,)
             members.append((m, p, memory, z, keys))
         track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
         single = len(models) == 1

@@ -292,18 +292,15 @@ class GRUDecoder(nn.Module):
         if extra_input_proj is not None:
             emb_proj = emb_proj + extra_input_proj
         if isinstance(keys, tuple):
-            from variational_mmt_tpu.ops.pallas.decode_step import decode_step_pallas
+            from variational_mmt_tpu.ops.pallas.decode_step import (
+                decode_step_pallas, gru_chain_pallas)
 
-            k, mem_v = keys
             step = self.step
             p_feed = step.ih_feed.variables["params"]["kernel"].astype(self.dtype)
             p_mid = step.ih_mid[0].variables["params"]
-            p_out = step.attn.linear_out.variables["params"]["kernel"].astype(self.dtype)
             hs, feed = carry
-            mask_bias = (1.0 - src_mask.astype(jnp.float32)) * -1e9
             interpret = jax.default_backend() != "tpu"
-            h0n, h1n, attn_h, probs = decode_step_pallas(
-                emb_proj, hs[0], hs[1], feed,
+            wargs = (
                 p_feed,
                 step.hh_kernels[0].astype(self.dtype),
                 step.hh_biases[0].astype(self.dtype),
@@ -311,9 +308,22 @@ class GRUDecoder(nn.Module):
                 p_mid["bias"].astype(self.dtype),
                 step.hh_kernels[1].astype(self.dtype),
                 step.hh_biases[1].astype(self.dtype),
-                k, mem_v, p_out[self.hidden:], mask_bias,
-                interpret=interpret,
             )
+            if len(keys) == 1:
+                # chain-only variant: fused GRU chain, attention in XLA
+                h0n, h1n = gru_chain_pallas(
+                    emb_proj, hs[0], hs[1], feed, *wargs,
+                    interpret=interpret)
+                attn_h, probs = step.attn(h1n, memory, src_mask, keys=keys[0])
+            else:
+                k, mem_v = keys
+                p_out = step.attn.linear_out.variables["params"]["kernel"].astype(self.dtype)
+                mask_bias = (1.0 - src_mask.astype(jnp.float32)) * -1e9
+                h0n, h1n, attn_h, probs = decode_step_pallas(
+                    emb_proj, hs[0], hs[1], feed, *wargs,
+                    k, mem_v, p_out[self.hidden:], mask_bias,
+                    interpret=interpret,
+                )
             return ((h0n, h1n), attn_h), (attn_h, probs)
         new_carry, (attn_h, align) = self.step(carry, emb_proj, memory, src_mask, True, keys)
         return new_carry, (attn_h, align)

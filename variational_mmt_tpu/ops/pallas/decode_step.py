@@ -82,6 +82,54 @@ def _step_kernel(
     pr_ref[:] = probs.astype(pr_ref.dtype)
 
 
+def _chain_kernel(
+    ep_ref, h0_ref, h1_ref, f_ref,
+    wf_ref, wh0_ref, bh0_ref, wm_ref, bm_ref, wh1_ref, bh1_ref,
+    h0o_ref, h1o_ref,
+):
+    """GRU chain only (attention stays in XLA): fewer VMEM-resident blocks
+    (~6 MB of weights, no keys/mem_v), so all beam rows fit one chunk."""
+    cdt = wf_ref.dtype
+    h0 = h0_ref[:].astype(f32)
+    h1 = h1_ref[:].astype(f32)
+    feed = f_ref[:].astype(f32)
+    x0 = ep_ref[:].astype(f32) + jnp.dot(
+        feed.astype(cdt), wf_ref[:], preferred_element_type=f32)
+    hp0 = jnp.dot(h0.astype(cdt), wh0_ref[:], preferred_element_type=f32) + bh0_ref[0]
+    h0n = _gru_fwd_math(x0, hp0, h0)
+    x1 = jnp.dot(h0n.astype(cdt), wm_ref[:], preferred_element_type=f32) + bm_ref[0]
+    hp1 = jnp.dot(h1.astype(cdt), wh1_ref[:], preferred_element_type=f32) + bh1_ref[0]
+    h1n = _gru_fwd_math(x1, hp1, h1)
+    h0o_ref[:] = h0n.astype(h0o_ref.dtype)
+    h1o_ref[:] = h1n.astype(h1o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_chain_pallas(
+    emb_proj, h0, h1, feed,
+    Wfeed, Wh0, bh0, Wmid, bmid, Wh1, bh1,
+    interpret: bool = False,
+):
+    """Fused 2-layer input-feed GRU chain for one decode step (no
+    attention). Returns (h0n, h1n) in the carry dtypes."""
+    N, H3 = emb_proj.shape
+    H = H3 // 3
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _chain_kernel,
+        in_specs=[vm()] * 11,
+        out_specs=[vm(), vm()],
+        out_shape=[jax.ShapeDtypeStruct((N, H), h0.dtype),
+                   jax.ShapeDtypeStruct((N, H), h1.dtype)],
+        interpret=interpret,
+    )(
+        emb_proj, h0, h1, feed,
+        Wfeed, Wh0, bh0.astype(f32).reshape(1, H3),
+        Wmid, bmid.astype(f32).reshape(1, H3),
+        Wh1, bh1.astype(f32).reshape(1, H3),
+    )
+
+
 def _rows_per_chunk(H: int, S: int, itemsize: int) -> int:
     """keys+mem_v dominate VMEM at decode shapes; leave ~7 MB for the five
     resident weight blocks (≈6.5 MB bf16 at H=500) plus streams."""
