@@ -239,6 +239,13 @@ def main():
                    help="open-loop per-request deadline in seconds; queued "
                         "requests older than this are shed server-side "
                         "(0 = no deadline)")
+    p.add_argument("-infer_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="serving weight precision (Translator casts at "
+                        "init; int8 = weight-only per-channel)")
+    p.add_argument("-ensemble", type=int, default=1,
+                   help="N>1: serve an N-member checkpoint ensemble "
+                        "(independent random param trees, flagship shape)")
     p.add_argument("-pipeline_depth", type=int, default=2,
                    help="service worker pipeline depth (2 = overlap host "
                         "postprocessing with device compute; 1 = classic "
@@ -287,12 +294,23 @@ def main():
         train=TrainConfig(seed=0),
     )
     model = build_model(cfg.model)
-    state = create_train_state(cfg, model)
     vocab = Vocab(SPECIALS + [f"w{i}" for i in range(9000)])
     dcfg = DecodeConfig(beam_size=args.beam_size, max_length=args.max_length,
-                        batch_size=args.batch)
+                        batch_size=args.batch, infer_dtype=args.infer_dtype)
+    import dataclasses
+
+    if args.ensemble > 1:
+        members = [model] * args.ensemble
+        mparams = []
+        for i in range(args.ensemble):
+            c_i = dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, seed=i))
+            mparams.append(create_train_state(c_i, model).params)
+        model, params = members, mparams
+    else:
+        params = create_train_state(cfg, model).params
     svc = TranslationService(
-        model, state.params, vocab, vocab, dcfg,
+        model, params, vocab, vocab, dcfg,
         buckets=[args.src_len + 2],
         scfg=ServeConfig(max_wait_ms=args.max_wait_ms,
                          pipeline_depth=args.pipeline_depth),
