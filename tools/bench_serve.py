@@ -170,6 +170,12 @@ def _run_open_loop(args, svc, texts, imgs) -> None:
         "value": round(len(ok_lat) / wall, 1),
         "unit": "sent/s",
         "platform": jax.default_backend(),
+        # serving numbers are host-regime-dependent (round-3 verdict #4:
+        # incomparable rows were quoted together) — stamp every row
+        "host_cpus": os.cpu_count(),
+        "infer_dtype": args.infer_dtype,
+        "ensemble": args.ensemble,
+        "pipeline_depth": args.pipeline_depth,
         "mode": "open-loop",
         "target_rate": args.arrival_rate,
         "req_timeout_s": args.req_timeout,
@@ -407,6 +413,12 @@ def main():
         "value": round(len(lat) / wall, 1),
         "unit": "sent/s",
         "platform": jax.default_backend(),
+        # serving numbers are host-regime-dependent (round-3 verdict #4:
+        # incomparable rows were quoted together) — stamp every row
+        "host_cpus": os.cpu_count(),
+        "infer_dtype": args.infer_dtype,
+        "ensemble": args.ensemble,
+        "pipeline_depth": args.pipeline_depth,
         "clients": args.clients * max(1, args.client_procs),
         "transport": (f"http-{args.wire}"
                       + (f"-mp{args.procs}" if args.procs else "")

@@ -56,9 +56,14 @@ def quantize_params_int8(params):
     gains) stay f32 — they are a rounding error of the footprint. The
     decode program dequantizes to bfloat16 on entry (XLA hoists that out of
     the beam loop), so compute and search behavior match the bfloat16 path
-    up to int8 rounding; what changes is the PERSISTENT weight HBM: ~4x
-    smaller than f32, ~2x smaller than bf16 — serving density, e.g. 4x the
-    resident ensemble members per chip."""
+    up to int8 rounding; what changes is the PERSISTENT weight HBM: 4.0x
+    smaller than f32, 2.0x smaller than bf16 — serving density. Measured
+    (docs/perf_notes.md "int8: measured", real v5e): throughput parity with
+    bf16 (4908 vs 4944 sent/s single, 2563 vs 2577 for 3-member ensembles),
+    quality parity on the gate corpus (BLEU 64.76 vs f32's 64.60, 5/150
+    sentence flips; ensemble 66.17 vs 66.02, 3/150), and a 3-member int8
+    ensemble resident+serving in fewer weight bytes (84 MB) than one f32
+    model (111 MB)."""
     def leaf(x):
         x = jnp.asarray(x)
         if x.ndim < 2 or not jnp.issubdtype(x.dtype, jnp.floating):
