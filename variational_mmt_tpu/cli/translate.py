@@ -84,6 +84,18 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-meteor_synonyms", default="", help="synonym table file (meteor hook)")
     p.add_argument("-meteor_paraphrases", default="", help="paraphrase table file (meteor hook)")
     p.add_argument("-seed", type=int, default=1234)
+    p.add_argument("-sampling_temp", type=float, default=0.0,
+                   help="> 0: ancestral sampling instead of search "
+                        "(requires -beam_size 1; 1.0 = untempered)")
+    p.add_argument("-sampling_topk", type=int, default=0,
+                   help="sample from the k highest-probability tokens only")
+    p.add_argument("-sampling_topp", type=float, default=0.0,
+                   help="nucleus sampling: smallest token set with "
+                        "cumulative probability >= p")
+    p.add_argument("-latent_from", default="mean", choices=["mean", "sample"],
+                   help="decode-time z: prior mean (reference behavior) or "
+                        "a per-sentence sample z ~ p(z|x,v) seeded by -seed "
+                        "(different seeds give alternative translations)")
 
 
 def main(argv=None) -> None:
@@ -145,6 +157,9 @@ def main(argv=None) -> None:
         dump_beam=bool(opt.dump_beam), ensemble_mode=opt.ensemble_mode,
         infer_dtype=opt.infer_dtype,
         pallas_step=bool(opt.pallas_step) and jax.default_backend() == "tpu",
+        sampling_temp=opt.sampling_temp, sampling_topk=opt.sampling_topk,
+        sampling_topp=opt.sampling_topp, latent_from=opt.latent_from,
+        decode_seed=opt.seed,
     )
     mesh = None
     if opt.tensor_parallel > 1:
@@ -229,6 +244,11 @@ def main(argv=None) -> None:
         # tracks argmax positions)
         from variational_mmt_tpu.decode.score import score_corpus
 
+        if opt.latent_from == "sample":
+            # the scorer substitutes z = prior mean; the sampled-z decode
+            # that produced these hypotheses used a different z
+            print("note: force-decode scores/attention use z = prior mean, "
+                  "not the sampled z the decode drew (-latent_from sample)")
         pred_ids = [list(nbest[0][2]) for nbest in results]
         pred_lp, pred_nt, attns = score_corpus(
             model, params, src_ids, pred_ids, feats,

@@ -216,6 +216,22 @@ class DecodeConfig:
     # (2-layer GRU, general attention, input_feed); ignored otherwise.
     # Runs in interpret mode off-TPU (slow -- enable there only in tests).
     pallas_step: int = 0
+    # ancestral sampling (the reference lineage's -random_sampling_topk
+    # family): temp > 0 switches decode from search to sampling (requires
+    # beam_size == n_best == 1); 1.0 = untempered. topk/topp truncate the
+    # tempered distribution (0 = off); both imply sampling_temp > 0.
+    sampling_temp: float = 0.0
+    sampling_topk: int = 0
+    sampling_topp: float = 0.0
+    # decode-time latent source for vmmt models: "mean" = the reference's
+    # latent-mean substitution (z = E_p[z|x,v]); "sample" draws
+    # z ~ p(z|x,v) per sentence (reparameterized, seeded by decode_seed +
+    # corpus index) — the paper's generative read of the latent: different
+    # seeds yield different plausible translations
+    latent_from: str = "mean"
+    # PRNG seed for the sampling paths; keys fold in the corpus index, so
+    # outputs are invariant to batch size / bucket composition
+    decode_seed: int = 1234
 
 
 @dataclass

@@ -24,7 +24,8 @@ from variational_mmt_tpu.data.dataset import (BinarizedDataset, BucketIterator,
                                                buckets_with_catchall)
 from variational_mmt_tpu.data.vocab import UNK_TOK, Vocab
 from variational_mmt_tpu.models.model import VMMTModel
-from variational_mmt_tpu.ops.beam import beam_search, greedy_search
+from variational_mmt_tpu.ops.beam import (beam_search, greedy_search,
+                                           sampling_search)
 
 
 def _combine_logps(logps: List[jax.Array], mode: str) -> jax.Array:
@@ -129,8 +130,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
     match (the caller checks that)."""
     models = list(model) if isinstance(model, (list, tuple)) else [model]
     K = dcfg.beam_size
+    needs_rng = dcfg.latent_from == "sample" or dcfg.sampling_temp > 0.0
+    # PRNG discipline: one key per SENTENCE, folded from (decode_seed,
+    # corpus index) — decode output is invariant to batch/bucket
+    # composition. Sub-streams: fold_in(row_key, 0) then member index for
+    # the latent draw; fold_in(row_key, 1) for the token-sampling stream.
+    base_key = jax.random.PRNGKey(dcfg.decode_seed) if needs_rng else None
 
-    def fn(params, src, img):
+    def _fn(params, src, img, idx):
         plist = list(params) if isinstance(params, (list, tuple)) else [params]
         assert len(plist) == len(models), "one param tree per ensemble member"
         # -infer_dtype int8: rebuild bf16 weights from the int8/scale pairs
@@ -138,18 +145,34 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
         # the int8 tensors persist in HBM between calls
         plist = [dequantize_params(p) for p in plist]
         B = src.shape[0]
+        row_keys = None
+        if needs_rng:
+            row_keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idx)
         # per-member encode: (params, memory, z, keys, carry0); src_mask is a
         # function of src alone, identical across members
         src_mask = None
         members = []
         carry0 = []
-        for m, p in zip(models, plist):
+        for j, (m, p) in enumerate(zip(models, plist)):
             memory, finals, src_mask, summary = m.apply(
                 {"params": p}, src, method=VMMTModel.encode
             )
             z = None
             if m.is_latent:
-                z = m.apply({"params": p}, summary, img, method=VMMTModel.prior_latent)
+                if dcfg.latent_from == "sample":
+                    # z ~ p(z|x,v) reparameterized — the generative read of
+                    # the latent (vs the reference's mean substitution)
+                    mu_p, sigma_p = m.apply(
+                        {"params": p}, summary, img,
+                        method=VMMTModel.prior_params)
+                    zk = jax.vmap(lambda k: jax.random.fold_in(
+                        jax.random.fold_in(k, 0), j))(row_keys)
+                    eps = jax.vmap(lambda k: jax.random.normal(
+                        k, (m.cfg.latent_dim,), jnp.float32))(zk)
+                    z = mu_p + sigma_p * eps
+                else:
+                    z = m.apply({"params": p}, summary, img,
+                                method=VMMTModel.prior_latent)
             init_hs = m.apply({"params": p}, finals, z, method=VMMTModel.init_decoder_state)
             carry0.append(m.apply({"params": p}, init_hs, method=VMMTModel.init_decode_carry))
             # fused Pallas decode step (mode 1: full step incl. attention,
@@ -168,11 +191,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
             members.append((m, p, memory, z, keys))
         track_attn = dcfg.replace_unk or dcfg.coverage_beta != 0.0
         single = len(models) == 1
+        sampling = dcfg.sampling_temp > 0.0
 
         # the greedy fast path cannot honor min_length (or produce real
-        # scores/attn/traces) — any of those routes through the K=1 beam
-        if (K == 1 and not track_attn and not dcfg.dump_beam
-                and dcfg.min_length == 0):
+        # scores/attn/traces) — any of those routes through the K=1 beam.
+        # The sampling path shares its step fn and handles min_length itself
+        # (Translator.__init__ rejects attn/trace flags with sampling).
+        if sampling or (K == 1 and not track_attn and not dcfg.dump_beam
+                        and dcfg.min_length == 0):
             def step1(carries, toks):
                 new, logps = [], []
                 for (m, p, memory, z, keys), c in zip(members, carries):
@@ -184,6 +210,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
                     logps.append(jax.nn.log_softmax(logits, axis=-1))
                 return tuple(new), _combine_logps(logps, dcfg.ensemble_mode)
 
+            if sampling:
+                tok_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(row_keys)
+                tokens, s_scores = sampling_search(
+                    step1, tuple(carry0), B, dcfg.max_length, tok_keys,
+                    temperature=dcfg.sampling_temp, topk=dcfg.sampling_topk,
+                    topp=dcfg.sampling_topp, min_length=dcfg.min_length,
+                )
+                return tokens[:, None, :], s_scores[:, None]
             tokens, g_scores = greedy_search(step1, tuple(carry0), B,
                                              dcfg.max_length)
             return tokens[:, None, :], g_scores[:, None]
@@ -228,6 +262,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
             return_trace=dcfg.dump_beam,
         )
 
+    # arity is part of the jit signature: the RNG paths take the (B,)
+    # corpus-index array; the deterministic paths keep the 3-arg form
+    if needs_rng:
+        def fn(params, src, img, idx):
+            return _fn(params, src, img, idx)
+    else:
+        def fn(params, src, img):
+            return _fn(params, src, img, None)
     return fn
 
 
@@ -273,6 +315,36 @@ class Translator:
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.dcfg = dcfg or DecodeConfig()
+        d = self.dcfg
+        if d.latent_from not in ("mean", "sample"):
+            raise ValueError(
+                f"latent_from must be mean | sample, got {d.latent_from!r}")
+        if d.latent_from == "sample" and not any(
+                m.is_latent for m in self.models):
+            raise ValueError(
+                "-latent_from sample: this model has no latent to sample "
+                "(model_type nmt decodes deterministically)")
+        if d.sampling_temp < 0.0:
+            raise ValueError(
+                f"sampling_temp must be >= 0, got {d.sampling_temp}")
+        if (d.sampling_topk or d.sampling_topp) and d.sampling_temp == 0.0:
+            raise ValueError(
+                "-sampling_topk/-sampling_topp imply sampling; set "
+                "-sampling_temp > 0 (1.0 = untempered)")
+        if d.sampling_temp > 0.0:
+            # sampling replaces the search: one hypothesis per sentence,
+            # and the attn/trace machinery lives in the beam only
+            bad = [flag for flag, on in (
+                ("beam_size must be 1", d.beam_size != 1),
+                ("n_best must be 1", d.n_best != 1),
+                ("replace_unk unsupported", d.replace_unk),
+                ("dump_beam unsupported", d.dump_beam),
+                ("coverage_beta unsupported", d.coverage_beta != 0.0),
+            ) if on]
+            if bad:
+                raise ValueError(
+                    "sampling decode (-sampling_temp > 0): " + "; ".join(bad))
+        self._needs_rng = d.latent_from == "sample" or d.sampling_temp > 0.0
         if self.dcfg.n_best > self.dcfg.beam_size:
             # silently clamping would change the n-best block size a
             # downstream output-file parser was promised
@@ -378,7 +450,15 @@ class Translator:
                 src = jax.device_put(src, self._batch_sh)
                 if img is not None:
                     img = jax.device_put(img, self._batch_sh)
-            yield batch, self._fn(self.params, src, img)
+            if self._needs_rng:
+                # corpus indices seed the per-sentence PRNG streams (padded
+                # rows reuse index 0; their output is masked out anyway)
+                idx = jnp.asarray(batch.indices, jnp.int32)
+                if self.mesh is not None:
+                    idx = jax.device_put(idx, self._batch_sh)
+                yield batch, self._fn(self.params, src, img, idx)
+            else:
+                yield batch, self._fn(self.params, src, img)
 
     def finalize_ids(
         self, pending: "PendingTranslation"

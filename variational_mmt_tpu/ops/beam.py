@@ -303,3 +303,95 @@ def greedy_search(
     )
     _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, init)
     return tokens, scores
+
+
+def sampling_search(
+    step_fn: StepFn,
+    init_carry: Any,
+    batch_size: int,
+    max_length: int,
+    row_keys: jax.Array,  # (B,) PRNG keys, one per sentence
+    temperature: float = 1.0,
+    topk: int = 0,
+    topp: float = 0.0,
+    min_length: int = 0,
+    eos_id: int = EOS,
+    bos_id: int = BOS,
+    pad_id: int = PAD,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ancestral sampling in one ``lax.while_loop`` (the reference lineage's
+    ``-random_sampling_topk`` family; upstream restricts it to beam 1, as
+    does the caller here). At each step the next-token distribution is
+    tempered (``log_softmax(logp / temperature)``), optionally truncated to
+    the ``topk`` highest-probability tokens and/or the ``topp`` nucleus
+    (smallest prefix of the sorted distribution with cumulative probability
+    >= topp; ties at the top-k boundary keep all tied tokens), renormalized,
+    and sampled.
+
+    PRNG discipline (batch-composition invariance): ``row_keys`` carries ONE
+    key per sentence — the caller folds the corpus index into a base seed —
+    and the step key is ``fold_in(row_key, t)``, so a sentence's sample path
+    is identical no matter which batch or bucket it lands in.
+
+    Returns (tokens (B, max_length), scores (B,)) where scores accumulate
+    the RAW (untempered, unfiltered) model log-prob of the sampled tokens —
+    the same quantity greedy/beam report, so a sampled hypothesis's score
+    equals its force-decode score."""
+    B, L = batch_size, max_length
+    if temperature <= 0.0:
+        raise ValueError(f"sampling temperature must be > 0, got {temperature}")
+    if topp < 0.0 or topp > 1.0:
+        raise ValueError(f"topp must be in [0, 1], got {topp}")
+
+    def cond(s):
+        t, _, finished, _, _, _ = s
+        return (t < L) & ~jnp.all(finished)
+
+    def body(s):
+        t, tokens, finished, carry, last, score = s
+        carry, logp = step_fn(carry, last)
+        V = logp.shape[-1]
+        # live rows must never emit PAD (same exclusion as greedy/beam)
+        logp = jnp.where(jnp.arange(V)[None, :] == pad_id, NEG_INF, logp)
+        # min-length: EOS unsampleable before min_length tokens emitted
+        filt = jnp.where(
+            (t < min_length) & (jnp.arange(V)[None, :] == eos_id), NEG_INF, logp
+        )
+        if temperature != 1.0:
+            # log_softmax(logp/T) == log_softmax(logits/T): the 1/T shared
+            # normalizer cancels under the re-normalization
+            filt = jax.nn.log_softmax(filt / temperature, axis=-1)
+        if topk and topk > 0:
+            kth = jax.lax.top_k(filt, min(topk, V))[0][:, -1]
+            filt = jnp.where(filt < kth[:, None], NEG_INF, filt)
+            filt = jax.nn.log_softmax(filt, axis=-1)  # renormalize for topp
+        if topp and topp > 0.0:
+            sorted_lp = -jnp.sort(-filt, axis=-1)  # descending
+            probs = jnp.exp(sorted_lp)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep a position iff the mass strictly before it is < topp
+            # (the argmax is always kept: its prefix mass is 0)
+            keep = (cum - probs) < topp
+            thresh = jnp.min(jnp.where(keep, sorted_lp, jnp.inf), axis=-1)
+            filt = jnp.where(filt < thresh[:, None], NEG_INF, filt)
+        step_keys = jax.vmap(lambda k: jax.random.fold_in(k, t))(row_keys)
+        tok = jax.vmap(jax.random.categorical)(step_keys, filt).astype(jnp.int32)
+        # RAW model log-prob of the choice (tok is never PAD on live rows,
+        # so the PAD mask above cannot leak into the score)
+        step_lp = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+        score = jnp.where(finished, score, score + step_lp)
+        tok = jnp.where(finished, pad_id, tok)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], t, axis=1)
+        finished = finished | (tok == eos_id)
+        return (t + 1, tokens, finished, carry, tok, score)
+
+    init = (
+        jnp.int32(0),
+        jnp.full((B, L), pad_id, jnp.int32),
+        jnp.zeros((B,), bool),
+        init_carry,
+        jnp.full((B,), bos_id, jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+    )
+    _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, init)
+    return tokens, scores
