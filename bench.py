@@ -295,7 +295,11 @@ def _decode_phase(params_host, cfg, on_tpu: bool):
     model = build_model(cfg.model)
     params = jax.tree.map(jnp.asarray, params_host)
     rng = np.random.default_rng(1)
-    DB, DS = (64, 24) if on_tpu else (8, 8)
+    # decode batch 256 = the measured throughput knee (perf_notes "Decode
+    # batch scaling": 5250-5340 sent/s at 256 vs 4392 at 64 and 4240 at
+    # 512). Rounds 1-3 benched at 64; decode_batch is stamped in the JSON
+    # so numbers are only compared at the same operating point.
+    DB, DS = (256, 24) if on_tpu else (8, 8)
     dcfg = DecodeConfig(beam_size=4, max_length=60 if on_tpu else 12, batch_size=DB)
     tfn = jax.jit(make_translate_fn(model, dcfg))
     dsrc = jnp.asarray(
@@ -320,6 +324,7 @@ def _decode_phase(params_host, cfg, on_tpu: bool):
         "decode_beam4_sent_per_sec": round(med, 1),
         "decode_iqr": [round(float(q1), 1), round(float(q3), 1)],
         "decode_reps": n_rep,
+        "decode_batch": DB,
     }
 
 

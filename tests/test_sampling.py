@@ -197,3 +197,36 @@ def test_invalid_sampling_configs_rejected(dec, msg):
     cfg, model, state, vocab = setup("vmmt_c", **dec)
     with pytest.raises(ValueError, match=msg):
         Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+
+
+def test_dp_mesh_sampling_matches_single_device():
+    """Sampling decode over the 8-device data mesh == single device: the
+    per-sentence PRNG folds the corpus index, so sharding the batch across
+    devices must not change any draw (exercises the replicated base-key
+    device_put in Translator.dispatch_ids)."""
+    from variational_mmt_tpu.parallel.mesh import make_mesh
+
+    cfg, model, state, vocab = setup("vmmt_c", sampling_temp=0.8,
+                                     latent_from="sample")
+    cfg.decode.batch_size = 8
+    src = [[4 + (i * 3 + j) % 19 for j in range(2 + i % 5)] for i in range(11)]
+    feats = np.random.default_rng(3).standard_normal((11, 8)).astype(np.float32)
+
+    single = Translator(model, state.params, vocab, vocab, cfg.decode,
+                        buckets=[8])
+    dp = Translator(model, state.params, vocab, vocab, cfg.decode,
+                    buckets=[8], mesh=make_mesh())
+    out_s = single.translate_ids(src, feats)
+    out_d = dp.translate_ids(src, feats)
+    for a, b in zip(out_s, out_d):
+        assert [ids for _, ids in a] == [ids for _, ids in b]
+        np.testing.assert_allclose([s for s, _ in a], [s for s, _ in b],
+                                   rtol=2e-5, atol=2e-5)
+
+    # the runtime-seed override threads through the mesh path too
+    out_s9 = single.translate_ids(src, feats, seed=9)
+    out_d9 = dp.translate_ids(src, feats, seed=9)
+    assert [[ids for _, ids in nb] for nb in out_s9] \
+        == [[ids for _, ids in nb] for nb in out_d9]
+    assert [[ids for _, ids in nb] for nb in out_s9] \
+        != [[ids for _, ids in nb] for nb in out_s]

@@ -37,12 +37,19 @@ def main():
                     help="1: fused Pallas decode-step kernel (full step); "
                          "2: fused GRU chain only, attention in XLA "
                          "(ops/pallas/decode_step.py)")
+    ap.add_argument("-batch", type=int, default=0,
+                    help="decode batch size (0 = default: 64 on TPU, 8 off); "
+                         "per-step cost is serial-latency bound, so batch is "
+                         "the throughput lever — see perf_notes 'Decode "
+                         "batch scaling'")
     opt = ap.parse_args()
     if opt.ensemble < 1:
         ap.error(f"-ensemble must be >= 1, got {opt.ensemble}")
 
     on_tpu = jax.default_backend() == "tpu"
     B, S = (64, 24) if on_tpu else (8, 16)
+    if opt.batch > 0:
+        B = opt.batch
     cfg = ModelConfig(
         model_type="vmmt_c", src_vocab_size=10000, tgt_vocab_size=10000,
         emb_dim=500, hidden_dim=500, enc_layers=2, dec_layers=2, latent_dim=128,

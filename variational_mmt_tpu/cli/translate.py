@@ -92,6 +92,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-sampling_topp", type=float, default=0.0,
                    help="nucleus sampling: smallest token set with "
                         "cumulative probability >= p")
+    p.add_argument("-mbr_samples", type=int, default=0,
+                   help="N > 0: minimum-Bayes-risk decode — draw N samples "
+                        "per sentence (requires -sampling_temp > 0) and "
+                        "output the consensus hypothesis (max expected "
+                        "sentence-BLEU against the other samples)")
     p.add_argument("-latent_from", default="mean", choices=["mean", "sample"],
                    help="decode-time z: prior mean (reference behavior) or "
                         "a per-sentence sample z ~ p(z|x,v) seeded by -seed "
@@ -150,6 +155,10 @@ def main(argv=None) -> None:
             "vmmt_c cannot)"
         )
 
+    if opt.mbr_samples > 0 and opt.sampling_temp <= 0.0:
+        raise SystemExit(
+            "-mbr_samples draws from the model: also pass -sampling_temp > 0 "
+            "(e.g. 0.7; add -sampling_topk/-sampling_topp to truncate)")
     dcfg = DecodeConfig(
         beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
@@ -212,11 +221,23 @@ def main(argv=None) -> None:
     # flag combination makes the printed sent/s comparable across runs
     src_ids = [sv.encode(t) for t in src_tok]
     t0 = time.time()
-    results = translator.translate_tokens(
-        src_tok, feats, keep_ids=want_scores, src_ids=src_ids)
+    if opt.mbr_samples > 0:
+        from variational_mmt_tpu.decode.mbr import mbr_translate_ids
+
+        id_results = mbr_translate_ids(
+            translator, src_ids, feats, n_samples=opt.mbr_samples)
+        results = [
+            translator.nbest_to_text(nbest, src_tok[i], keep_ids=want_scores)
+            for i, nbest in enumerate(id_results)
+        ]
+    else:
+        results = translator.translate_tokens(
+            src_tok, feats, keep_ids=want_scores, src_ids=src_ids)
     dt = time.time() - t0
+    mode = (f"mbr {opt.mbr_samples} samples" if opt.mbr_samples > 0 else
+            "sampling" if opt.sampling_temp > 0 else f"beam {opt.beam_size}")
     print(f"translated {len(results)} sentences in {dt:.1f}s "
-          f"({len(results) / max(dt, 1e-9):.1f} sent/s, beam {opt.beam_size})")
+          f"({len(results) / max(dt, 1e-9):.1f} sent/s, {mode})")
 
     with open(opt.output, "w", encoding="utf-8") as f:
         for nbest in results:

@@ -131,13 +131,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
     models = list(model) if isinstance(model, (list, tuple)) else [model]
     K = dcfg.beam_size
     needs_rng = dcfg.latent_from == "sample" or dcfg.sampling_temp > 0.0
-    # PRNG discipline: one key per SENTENCE, folded from (decode_seed,
-    # corpus index) — decode output is invariant to batch/bucket
-    # composition. Sub-streams: fold_in(row_key, 0) then member index for
-    # the latent draw; fold_in(row_key, 1) for the token-sampling stream.
-    base_key = jax.random.PRNGKey(dcfg.decode_seed) if needs_rng else None
+    # PRNG discipline: one key per SENTENCE, folded from (base_key, corpus
+    # index) — decode output is invariant to batch/bucket composition.
+    # base_key is a RUNTIME input (not baked into the trace): changing the
+    # seed — e.g. MBR drawing N samples per sentence — reuses the compiled
+    # program. Sub-streams: fold_in(row_key, 0) then member index for the
+    # latent draw; fold_in(row_key, 1) for the token-sampling stream.
 
-    def _fn(params, src, img, idx):
+    def _fn(params, src, img, idx, base_key):
         plist = list(params) if isinstance(params, (list, tuple)) else [params]
         assert len(plist) == len(models), "one param tree per ensemble member"
         # -infer_dtype int8: rebuild bf16 weights from the int8/scale pairs
@@ -263,13 +264,14 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
         )
 
     # arity is part of the jit signature: the RNG paths take the (B,)
-    # corpus-index array; the deterministic paths keep the 3-arg form
+    # corpus-index array + the base PRNG key; the deterministic paths keep
+    # the 3-arg form
     if needs_rng:
-        def fn(params, src, img, idx):
-            return _fn(params, src, img, idx)
+        def fn(params, src, img, idx, base_key):
+            return _fn(params, src, img, idx, base_key)
     else:
         def fn(params, src, img):
-            return _fn(params, src, img, None)
+            return _fn(params, src, img, None, None)
     return fn
 
 
@@ -379,6 +381,7 @@ class Translator:
                     f"the data-parallel degree {n_data}"
                 )
             self._batch_sh = batch_sharding(self.mesh)
+            self._repl_sh = replicated_sharding(self.mesh)
             if MODEL_AXIS in self.mesh.axis_names:
                 # tensor-parallel decode: vocab-sharded embeddings+generator;
                 # the beam's (K·V) top-k rides GSPMD collectives over V
@@ -409,9 +412,15 @@ class Translator:
         self.beam_traces: dict = {}
 
     def dispatch_ids(
-        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
+        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
     ) -> "PendingTranslation":
         """Enqueue the device work for a corpus WITHOUT waiting for it.
+
+        ``seed`` overrides ``dcfg.decode_seed`` for this call only (sampling
+        / latent-sampling paths; ignored by deterministic decodes). The seed
+        is a runtime input to the compiled program, so varying it — e.g. MBR
+        drawing N samples of the corpus — does NOT recompile.
 
         JAX dispatch is asynchronous: every ``self._fn`` call below returns
         device futures immediately, so a caller (e.g. the serving worker)
@@ -424,9 +433,9 @@ class Translator:
         beams go through :meth:`translate_ids`, which is dispatch+finalize
         back-to-back."""
         return PendingTranslation(
-            list(self._dispatch_iter(src_ids, img_feats)), len(src_ids))
+            list(self._dispatch_iter(src_ids, img_feats, seed)), len(src_ids))
 
-    def _dispatch_iter(self, src_ids, img_feats):
+    def _dispatch_iter(self, src_ids, img_feats, seed=None):
         """Yield (host Batch, device output) pairs, dispatching lazily —
         each ``self._fn`` call returns device futures immediately, so how
         far the consumer iterates bounds how many batches are in flight."""
@@ -454,9 +463,12 @@ class Translator:
                 # corpus indices seed the per-sentence PRNG streams (padded
                 # rows reuse index 0; their output is masked out anyway)
                 idx = jnp.asarray(batch.indices, jnp.int32)
+                key = jax.random.PRNGKey(
+                    self.dcfg.decode_seed if seed is None else seed)
                 if self.mesh is not None:
                     idx = jax.device_put(idx, self._batch_sh)
-                yield batch, self._fn(self.params, src, img, idx)
+                    key = jax.device_put(key, self._repl_sh)
+                yield batch, self._fn(self.params, src, img, idx, key)
             else:
                 yield batch, self._fn(self.params, src, img)
 
@@ -518,17 +530,20 @@ class Translator:
     MAX_INFLIGHT_BATCHES = 4
 
     def translate_ids(
-        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None
+        self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
     ) -> List[List[Tuple[float, List[int]]]]:
         """Returns, per input sentence, the n-best list [(score, token_ids)].
         With ``replace_unk``, entries are (score, token_ids, attn_positions).
+        ``seed`` overrides ``dcfg.decode_seed`` for this call (see
+        :meth:`dispatch_ids`).
 
         Pipelined: dispatches up to MAX_INFLIGHT_BATCHES ahead of the batch
         being postprocessed on the host, so device compute and host result-
         building overlap without holding the whole corpus's outputs in HBM."""
         results: dict = {}
         window: deque = deque()
-        for pair in self._dispatch_iter(src_ids, img_feats):
+        for pair in self._dispatch_iter(src_ids, img_feats, seed):
             window.append(pair)
             if len(window) >= self.MAX_INFLIGHT_BATCHES:
                 self._finalize_batch(*window.popleft(), results)

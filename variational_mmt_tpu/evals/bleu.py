@@ -69,6 +69,38 @@ def corpus_bleu(
     }
 
 
+def sentence_bleu(
+    hyp: Sequence, ref: Sequence, max_n: int = 4, smooth: float = 1.0
+) -> float:
+    """Smoothed sentence-level BLEU in [0, 100] (add-``smooth`` on the n>1
+    precision counts — Lin & Och's smoothing-1, the standard MBR utility).
+    Tokens may be any hashables (strings or token ids). Corpus reporting
+    stays :func:`corpus_bleu` (unsmoothed, multi-bleu semantics); this is
+    for per-sentence similarity, where unsmoothed BLEU is 0 almost always."""
+    hyp, ref = list(hyp), list(ref)
+    if not hyp or not ref:
+        return 0.0
+    log_p = 0.0
+    for n in range(1, max_n + 1):
+        hyp_ng = _ngrams(hyp, n)
+        total = sum(hyp_ng.values())
+        ref_ng = _ngrams(ref, n)
+        match = sum(min(c, ref_ng.get(ng, 0)) for ng, c in hyp_ng.items())
+        if n == 1:
+            if match == 0:
+                return 0.0  # no unigram overlap: BLEU is exactly 0
+            p = match / total
+        elif total == 0:
+            # hypothesis shorter than n: treat the missing order as a pure
+            # smoothing term so short hypotheses still compare smoothly
+            p = smooth / (smooth + 1.0)
+        else:
+            p = (match + smooth) / (total + smooth)
+        log_p += math.log(p)
+    bp = 1.0 if len(hyp) >= len(ref) else math.exp(1.0 - len(ref) / len(hyp))
+    return 100.0 * bp * math.exp(log_p / max_n)
+
+
 def bleu_from_files(hyp_path: str, ref_paths: List[str]) -> Dict[str, float]:
     with open(hyp_path, encoding="utf-8") as f:
         hyps = [line.split() for line in f]
