@@ -230,3 +230,19 @@ def test_dp_mesh_sampling_matches_single_device():
         == [[ids for _, ids in nb] for nb in out_d9]
     assert [[ids for _, ids in nb] for nb in out_s9] \
         != [[ids for _, ids in nb] for nb in out_s]
+
+
+def test_stream_ids_override_corpus_position():
+    """stream_ids decouple a sentence's PRNG stream from its corpus position:
+    the same (sentence, stream) pair draws identically wherever it sits."""
+    cfg, model, state, vocab = setup(sampling_temp=1.2)
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8])
+    # baseline: position IS the stream (default), so position 2 == stream 2
+    base = tr.translate_ids(SRC)
+    moved = tr.translate_ids([SRC[2], SRC[0]], stream_ids=[2, 0])
+    assert moved[0] == base[2]
+    assert moved[1] == base[0]
+    # validation: one stream id per sentence
+    import pytest as _pt
+    with _pt.raises(ValueError, match="one entry per sentence"):
+        tr.translate_ids(SRC, stream_ids=[1, 2])

@@ -686,7 +686,7 @@ def test_http_maps_shed_to_503():
         def __init__(self):
             pass
 
-        def translate(self, texts, imgs, timeout):
+        def translate(self, texts, imgs, timeout, sample_ids=None):
             raise TimeoutError("request deadline expired (shed under load)")
 
         def healthz(self):
@@ -714,3 +714,123 @@ def test_http_maps_shed_to_503():
         assert "overloaded" in json.loads(ei.value.read())["error"]
     finally:
         httpd.shutdown()
+
+
+# ---------- sampled serving (per-request PRNG streams) ----------
+
+def _sampling_svc(latent=False, **scfg_kw):
+    cfg = Config(
+        model=ModelConfig(
+            model_type="vmmt_c", src_vocab_size=24, tgt_vocab_size=24,
+            emb_dim=16, hidden_dim=32, enc_layers=1, dec_layers=2,
+            latent_dim=4, img_feat_dim=8, dropout=0.0,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(seed=7),
+        decode=DecodeConfig(beam_size=1, max_length=12, batch_size=4,
+                            sampling_temp=1.2,
+                            latent_from="sample" if latent else "mean"),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(20)])
+    svc = TranslationService(
+        model, state.params, vocab, vocab, cfg.decode, buckets=[8],
+        scfg=ServeConfig(max_wait_ms=30.0, warmup=False, **scfg_kw),
+    )
+    return cfg, model, state, vocab, svc
+
+
+def test_sampled_serving_reproducible_and_group_invariant():
+    """A sampled answer is keyed by (seed, sample_id, source, image) — NOT
+    by where the dynamic batcher placed the request in its group."""
+    _, _, _, _, svc = _sampling_svc(latent=True)
+    try:
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal(8).astype(np.float32)
+        # alone in its group
+        alone = svc.submit_tokens(["w3", "w4"], img, sample_id=5).result(120)
+        # same request sharing a group with other traffic, different position
+        futs = [
+            svc.submit_tokens(["w9", "w8", "w7"], img, sample_id=1),
+            svc.submit_tokens(["w3", "w4"], img, sample_id=5),
+            svc.submit_tokens(["w1"], img, sample_id=2),
+        ]
+        grouped = futs[1].result(120)
+        assert grouped == alone
+        # different sample_ids on the SAME source are alternative draws:
+        # over several ids at T=1.2 at least one must differ
+        outs = {
+            tuple(svc.submit_tokens(["w3", "w4"], img, sample_id=s)
+                  .result(120)[0][1].split())
+            for s in range(6)
+        }
+        assert len(outs) > 1
+    finally:
+        svc.stop()
+
+
+def test_sample_id_rejected_on_deterministic_service():
+    _, _, _, _, svc = small_service()  # beam-4 service
+    try:
+        with pytest.raises(ClientError, match="sampling service"):
+            svc.submit_tokens(["w1"], None, sample_id=3)
+        # sample_id=0 (the default stream) is always accepted
+        assert svc.submit_tokens(["w1"], None, sample_id=0).result(120)
+    finally:
+        svc.stop()
+
+
+def test_negative_sample_id_rejected():
+    _, _, _, _, svc = _sampling_svc()
+    try:
+        with pytest.raises(ClientError, match=">= 0"):
+            svc.submit_tokens(["w1"], None, sample_id=-1)
+    finally:
+        svc.stop()
+
+
+def test_sampled_serving_http_sample_ids():
+    """sample_ids ride the HTTP JSON wire; deterministic servers 400 them."""
+    _, _, _, _, svc = _sampling_svc()
+    server = ServingServer(svc, port=0, info={"model_type": "vmmt_c", "step": 0})
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        body = json.dumps({"texts": ["w3 w4", "w3 w4"],
+                           "sample_ids": [4, 4]}).encode()
+        req = urllib.request.Request(base + "/translate", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        # same (source, sample_id) in one request: identical draws
+        assert out["results"][0] == out["results"][1]
+
+        bad = urllib.request.Request(
+            base + "/translate",
+            data=json.dumps({"texts": ["w1"], "sample_ids": [1, 2]}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.stop()
+        svc.stop()
+
+
+def test_http_sample_ids_rejected_by_beam_server():
+    _, _, _, _, svc = small_service()
+    server = ServingServer(svc, port=0, info={"model_type": "vmmt_c", "step": 0})
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        bad = urllib.request.Request(
+            base + "/translate",
+            data=json.dumps({"texts": ["w1"], "sample_ids": [1]}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=120)
+        assert ei.value.code == 400 and b"sampling service" in ei.value.read()
+    finally:
+        server.stop()
+        svc.stop()

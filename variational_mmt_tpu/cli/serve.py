@@ -63,6 +63,20 @@ def add_args(p: argparse.ArgumentParser) -> None:
                         "SO_REUSEPORT (0 = single-process threaded server); "
                         "use >=2 to lift HTTP throughput toward the "
                         "direct-queue ceiling under concurrent load")
+    p.add_argument("-sampling_temp", type=float, default=0.0,
+                   help="> 0: serve ancestral SAMPLING instead of beam "
+                        "(forces beam_size/n_best 1); requests may pass "
+                        "per-sentence 'sample_ids' — the sampled answer is "
+                        "reproducible per (seed, sample_id, source, image) "
+                        "and ids give alternative translations")
+    p.add_argument("-sampling_topk", type=int, default=0,
+                   help="sampling truncation: keep the k most likely tokens")
+    p.add_argument("-sampling_topp", type=float, default=0.0,
+                   help="nucleus truncation: smallest set with cum-prob >= p")
+    p.add_argument("-latent_from", default="mean", choices=["mean", "sample"],
+                   help="decode-time z: prior mean or per-sentence sample")
+    p.add_argument("-seed", type=int, default=7,
+                   help="decode PRNG seed (sampling services)")
 
 
 def main(argv=None) -> None:
@@ -90,11 +104,16 @@ def main(argv=None) -> None:
                              "ensemble — serve a single -model")
         print(f"ensemble of {len(lm.models)} checkpoints ({opt.ensemble_mode})")
 
+    beam_size, n_best = opt.beam_size, opt.n_best
+    if opt.sampling_temp > 0.0:
+        beam_size = n_best = 1  # sampling decodes one draw per stream
     dcfg = DecodeConfig(
-        beam_size=opt.beam_size, n_best=opt.n_best, max_length=opt.max_length,
+        beam_size=beam_size, n_best=n_best, max_length=opt.max_length,
         min_length=opt.min_length, alpha=opt.alpha, batch_size=opt.batch_size,
         coverage_beta=opt.coverage_beta, ensemble_mode=opt.ensemble_mode,
-        infer_dtype=opt.infer_dtype,
+        infer_dtype=opt.infer_dtype, sampling_temp=opt.sampling_temp,
+        sampling_topk=opt.sampling_topk, sampling_topp=opt.sampling_topp,
+        latent_from=opt.latent_from, decode_seed=opt.seed,
     )
     scfg = ServeConfig(
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,
@@ -126,8 +145,10 @@ def main(argv=None) -> None:
     info = {"model_type": ",".join(c.model.model_type for c in lm.cfgs)
             if lm.ensemble else cfg.model.model_type,
             "step": lm.steps[0],
-            "beam_size": opt.beam_size,
+            "beam_size": dcfg.beam_size,  # EFFECTIVE width (1 when sampling)
             "ensemble": len(lm.models) if lm.ensemble else 0}
+    if dcfg.sampling_temp > 0.0:
+        info["sampling_temp"] = dcfg.sampling_temp  # advertises sample_ids
     if lm.ensemble:
         info["steps"] = list(lm.steps)
         info["model_types"] = [c.model.model_type for c in lm.cfgs]

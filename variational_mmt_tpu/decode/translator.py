@@ -414,6 +414,7 @@ class Translator:
     def dispatch_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None,
         seed: Optional[int] = None,
+        stream_ids: Optional[Sequence[int]] = None,
     ) -> "PendingTranslation":
         """Enqueue the device work for a corpus WITHOUT waiting for it.
 
@@ -421,6 +422,15 @@ class Translator:
         / latent-sampling paths; ignored by deterministic decodes). The seed
         is a runtime input to the compiled program, so varying it — e.g. MBR
         drawing N samples of the corpus — does NOT recompile.
+
+        ``stream_ids`` (optional, one int per sentence) replaces the corpus
+        position as the per-sentence PRNG stream key: sentence i draws from
+        the (seed, stream_ids[i]) stream instead of (seed, i). This is the
+        serving path's reproducibility hook — a sampled answer keyed by a
+        caller-chosen id is invariant to how the dynamic batcher happened to
+        group the request. Like ``seed``, it is a runtime input (the same
+        compiled program serves every assignment) and is ignored by
+        deterministic decodes.
 
         JAX dispatch is asynchronous: every ``self._fn`` call below returns
         device futures immediately, so a caller (e.g. the serving worker)
@@ -433,9 +443,10 @@ class Translator:
         beams go through :meth:`translate_ids`, which is dispatch+finalize
         back-to-back."""
         return PendingTranslation(
-            list(self._dispatch_iter(src_ids, img_feats, seed)), len(src_ids))
+            list(self._dispatch_iter(src_ids, img_feats, seed, stream_ids)),
+            len(src_ids))
 
-    def _dispatch_iter(self, src_ids, img_feats, seed=None):
+    def _dispatch_iter(self, src_ids, img_feats, seed=None, stream_ids=None):
         """Yield (host Batch, device output) pairs, dispatching lazily —
         each ``self._fn`` call returns device futures immediately, so how
         far the consumer iterates bounds how many batches are in flight."""
@@ -443,6 +454,13 @@ class Translator:
             # corpus indices key this dict: stale entries from a previous
             # corpus must not leak into this call's dump
             self.beam_traces = {}
+        streams = None
+        if stream_ids is not None:
+            if len(stream_ids) != len(src_ids):
+                raise ValueError(
+                    f"stream_ids must have one entry per sentence: got "
+                    f"{len(stream_ids)} for {len(src_ids)} sentences")
+            streams = np.asarray(stream_ids, np.int32)
         ds = BinarizedDataset([np.asarray(s, np.int32) for s in src_ids], None)
         # catch-all bucket: a source longer than the largest bucket must be
         # encoded in full, not silently truncated at batch assembly
@@ -461,8 +479,13 @@ class Translator:
                     img = jax.device_put(img, self._batch_sh)
             if self._needs_rng:
                 # corpus indices seed the per-sentence PRNG streams (padded
-                # rows reuse index 0; their output is masked out anyway)
-                idx = jnp.asarray(batch.indices, jnp.int32)
+                # rows reuse index 0; their output is masked out anyway);
+                # batch.indices stays positional for result placement — only
+                # the DEVICE stream key is remapped by stream_ids
+                idx_host = np.asarray(batch.indices)
+                if streams is not None:
+                    idx_host = streams[idx_host]
+                idx = jnp.asarray(idx_host, jnp.int32)
                 key = jax.random.PRNGKey(
                     self.dcfg.decode_seed if seed is None else seed)
                 if self.mesh is not None:
@@ -532,18 +555,20 @@ class Translator:
     def translate_ids(
         self, src_ids: List[List[int]], img_feats: Optional[np.ndarray] = None,
         seed: Optional[int] = None,
+        stream_ids: Optional[Sequence[int]] = None,
     ) -> List[List[Tuple[float, List[int]]]]:
         """Returns, per input sentence, the n-best list [(score, token_ids)].
         With ``replace_unk``, entries are (score, token_ids, attn_positions).
-        ``seed`` overrides ``dcfg.decode_seed`` for this call (see
-        :meth:`dispatch_ids`).
+        ``seed`` overrides ``dcfg.decode_seed`` for this call and
+        ``stream_ids`` replaces corpus positions as the per-sentence PRNG
+        stream keys (see :meth:`dispatch_ids`).
 
         Pipelined: dispatches up to MAX_INFLIGHT_BATCHES ahead of the batch
         being postprocessed on the host, so device compute and host result-
         building overlap without holding the whole corpus's outputs in HBM."""
         results: dict = {}
         window: deque = deque()
-        for pair in self._dispatch_iter(src_ids, img_feats, seed):
+        for pair in self._dispatch_iter(src_ids, img_feats, seed, stream_ids):
             window.append(pair)
             if len(window) >= self.MAX_INFLIGHT_BATCHES:
                 self._finalize_batch(*window.popleft(), results)

@@ -13,7 +13,13 @@ Endpoints (same surface for both servers):
 
       {"texts": ["a sentence", ...],           # required
        "imgs": [[...2048 floats...], ...],     # optional, aligned to texts
+       "sample_ids": [0, 1, ...],              # optional, aligned to texts
        "timeout": 60}                           # optional, seconds
+
+  ``sample_ids`` (sampling services only) keys each sentence's PRNG
+  stream: repeating a (text, sample_id) pair reproduces the sampled
+  answer regardless of batching; different ids are alternative
+  translations. Rejected (400) by deterministic services.
 
   -> ``{"results": [[{"score": s, "text": t}, ...n-best...], ...]}``
 
@@ -51,7 +57,9 @@ class Backend:
     """What a handler needs from the world behind it (duck-typed)."""
 
     def translate(self, texts: List[str], imgs: Optional[np.ndarray],
-                  timeout: float) -> List[List[Tuple[float, str]]]:
+                  timeout: float,
+                  sample_ids: Optional[List[int]] = None,
+                  ) -> List[List[Tuple[float, str]]]:
         raise NotImplementedError
 
     def healthz(self) -> dict:
@@ -141,12 +149,20 @@ def make_http_handler(backend: Backend):
                         imgs = np.asarray(imgs, np.float32)
                     if len(imgs) != len(texts):
                         raise ValueError("'imgs' must align to 'texts'")
+                sample_ids = req.get("sample_ids")
+                if sample_ids is not None:
+                    if (not isinstance(sample_ids, list)
+                            or not all(isinstance(s, int) for s in sample_ids)):
+                        raise ValueError("'sample_ids' must be a list of ints")
+                    if len(sample_ids) != len(texts):
+                        raise ValueError("'sample_ids' must align to 'texts'")
                 timeout = float(req.get("timeout", 60.0))
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 reply(400, {"error": str(e)})
                 return
             try:
-                out = backend.translate(texts, imgs, timeout)
+                out = backend.translate(texts, imgs, timeout,
+                                        sample_ids=sample_ids)
             except ClientError as e:  # bad request (e.g. over-length source)
                 reply(400, {"error": str(e)})
                 return
@@ -220,7 +236,7 @@ class _DispatcherBackend(Backend):
             raise RuntimeError(resp["error"])
         return resp
 
-    def translate(self, texts, imgs, timeout):
+    def translate(self, texts, imgs, timeout, sample_ids=None):
         tokens = []
         for t in texts:
             toks = self._tokenize(t, lower=self._lower)
@@ -235,7 +251,7 @@ class _DispatcherBackend(Backend):
             ids = [self._src_vocab.encode(toks) for toks in tokens]
             resp = self._call(
                 {"op": "translate_ids", "ids": ids, "imgs": wire,
-                 "timeout": timeout},
+                 "timeout": timeout, "sample_ids": sample_ids},
                 timeout,
             )
             # Vocab.ids_to_text IS Translator.nbest_to_text's detok (no
@@ -247,7 +263,7 @@ class _DispatcherBackend(Backend):
             ]
         resp = self._call(
             {"op": "translate_tokens", "tokens": tokens, "imgs": wire,
-             "timeout": timeout},
+             "timeout": timeout, "sample_ids": sample_ids},
             timeout,
         )
         return [[(s, t) for s, t in nbest] for nbest in resp["results"]]

@@ -36,8 +36,9 @@ class _ServiceBackend(Backend):
         self.info = info
 
     def translate(self, texts: List[str], imgs: Optional[np.ndarray],
-                  timeout: float):
-        return self.service.translate_text(texts, imgs, timeout=timeout)
+                  timeout: float, sample_ids=None):
+        return self.service.translate_text(texts, imgs, timeout=timeout,
+                                           sample_ids=sample_ids)
 
     def healthz(self) -> dict:
         return {"ok": True, **self.info}

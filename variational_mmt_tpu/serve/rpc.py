@@ -175,6 +175,7 @@ class RPCServer:
                 if len(imgs) != len(rows):
                     raise ClientError("'imgs' must align to 'texts'")
             timeout = float(req.get("timeout", 60.0))
+            sample_ids = req.get("sample_ids")  # validated by the service
             # batch submit: the whole request is validated before anything
             # is enqueued, so a rejected sentence costs no device work
             if op == "translate_ids":
@@ -186,7 +187,8 @@ class RPCServer:
                         "translate_ids op unavailable: replace_unk needs the "
                         "token-level op")
                 futs = self.service.submit_ids_batch(rows, imgs,
-                                                     timeout_s=timeout)
+                                                     timeout_s=timeout,
+                                                     sample_ids=sample_ids)
                 return {
                     "results": [
                         [[float(s), list(ids)] for s, ids in f.result(timeout=timeout)]
@@ -194,7 +196,8 @@ class RPCServer:
                     ]
                 }
             futs = self.service.submit_tokens_batch(rows, imgs,
-                                                    timeout_s=timeout)
+                                                    timeout_s=timeout,
+                                                    sample_ids=sample_ids)
             return {
                 "results": [
                     [[float(s), t] for s, t in f.result(timeout=timeout)]

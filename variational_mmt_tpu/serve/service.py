@@ -81,6 +81,10 @@ class _Request:
     # (its stated result timeout); the worker SHEDS expired requests at
     # dispatch time — device work on them could never be answered in time
     deadline: Optional[float] = None
+    # per-request PRNG stream key (sampling services): the sampled answer is
+    # a pure function of (server seed, sample_id, source, image) — invariant
+    # to how the dynamic batcher grouped the request with other traffic
+    sample_id: int = 0
     future: Future = field(default_factory=Future)
 
 
@@ -140,6 +144,8 @@ class TranslationService:
             model, params, src_vocab, tgt_vocab, self.dcfg, buckets=buckets,
             mesh=mesh,
         )
+        self._samples = (self.dcfg.sampling_temp > 0.0
+                         or self.dcfg.latent_from == "sample")
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(
             maxsize=self.scfg.queue_capacity
         )
@@ -193,12 +199,28 @@ class TranslationService:
                     f"img features must have shape {want}, got {img.shape}")
         return tokens, img
 
+    def _checked_sample_id(self, sample_id: int) -> int:
+        """sample_id selects the per-request PRNG stream on a SAMPLING
+        service (dcfg.sampling_temp > 0 or latent_from='sample'); on a
+        deterministic service a nonzero value would be silently meaningless,
+        which is a client mistake worth surfacing."""
+        sample_id = int(sample_id)
+        if sample_id != 0 and not self._samples:
+            raise ClientError(
+                "sample_id is only meaningful on a sampling service "
+                "(DecodeConfig.sampling_temp > 0 or latent_from='sample'); "
+                "this server decodes deterministically")
+        if sample_id < 0:
+            raise ClientError(f"sample_id must be >= 0, got {sample_id}")
+        return sample_id
+
     def _enqueue(
         self, ids: List[int], img: Optional[np.ndarray], postproc=None,
-        timeout_s: Optional[float] = None,
+        timeout_s: Optional[float] = None, sample_id: int = 0,
     ) -> Future:
         deadline = time.monotonic() + timeout_s if timeout_s is not None else None
-        req = _Request(ids=ids, img=img, postproc=postproc, deadline=deadline)
+        req = _Request(ids=ids, img=img, postproc=postproc, deadline=deadline,
+                       sample_id=sample_id)
         self._q.put(req)
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -214,42 +236,61 @@ class TranslationService:
 
     def submit_tokens(
         self, tokens: List[str], img: Optional[np.ndarray] = None,
-        timeout_s: Optional[float] = None,
+        timeout_s: Optional[float] = None, sample_id: int = 0,
     ) -> Future:
         """Enqueue one pre-tokenized sentence; resolves to the n-best list
         [(score, text), ...] (same payload as Translator.translate_tokens).
         Vocab encoding runs here, on the caller's thread — the worker thread
         owns the device and must spend its time dispatching, not on dict
         lookups. ``timeout_s``: how long the caller will wait for the
-        result; a request still queued past that is shed, not computed."""
+        result; a request still queued past that is shed, not computed.
+        ``sample_id`` (sampling services only): PRNG stream key — the answer
+        is reproducible for a given (server seed, sample_id, source, image)
+        no matter how the batcher groups it; different ids give alternative
+        translations of the same source."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
+        sample_id = self._checked_sample_id(sample_id)
         tokens, img = self._validated(tokens, img)
         return self._enqueue(self.translator.src_vocab.encode(tokens), img,
-                             self._text_postproc(tokens), timeout_s=timeout_s)
+                             self._text_postproc(tokens), timeout_s=timeout_s,
+                             sample_id=sample_id)
 
     def submit_tokens_batch(
         self, tokens_list: Sequence[List[str]], imgs: Optional[np.ndarray] = None,
         timeout_s: Optional[float] = None,
+        sample_ids: Optional[Sequence[int]] = None,
     ) -> List[Future]:
         """Validate EVERY sentence of a multi-sentence request, then enqueue
         all of them. A rejection (e.g. one over-length source) therefore
         costs no device work: nothing from the request reaches the queue."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
+        sids = self._checked_sample_ids(sample_ids, len(tokens_list))
         pairs = [
             self._validated(toks, None if imgs is None else imgs[i])
             for i, toks in enumerate(tokens_list)
         ]
         return [
             self._enqueue(self.translator.src_vocab.encode(toks), img,
-                          self._text_postproc(toks), timeout_s=timeout_s)
-            for toks, img in pairs
+                          self._text_postproc(toks), timeout_s=timeout_s,
+                          sample_id=sid)
+            for (toks, img), sid in zip(pairs, sids)
         ]
+
+    def _checked_sample_ids(self, sample_ids, n: int) -> List[int]:
+        if sample_ids is None:
+            return [0] * n
+        if len(sample_ids) != n:
+            raise ClientError(
+                f"sample_ids must have one entry per sentence: got "
+                f"{len(sample_ids)} for {n}")
+        return [self._checked_sample_id(s) for s in sample_ids]
 
     def submit_ids_batch(
         self, ids_list: Sequence[List[int]], imgs: Optional[np.ndarray] = None,
         timeout_s: Optional[float] = None,
+        sample_ids: Optional[Sequence[int]] = None,
     ) -> List[Future]:
         """Id-level twin of :meth:`submit_tokens_batch`: sources arrive
         already vocab-encoded and futures resolve to the RAW n-best
@@ -259,12 +300,13 @@ class TranslationService:
         spends its GIL only on padding and dispatch."""
         if self._stopped.is_set():
             raise RuntimeError("service stopped")
+        sids = self._checked_sample_ids(sample_ids, len(ids_list))
         pairs = [
             self._validated(list(ids), None if imgs is None else imgs[i])
             for i, ids in enumerate(ids_list)
         ]
-        return [self._enqueue(ids, img, timeout_s=timeout_s)
-                for ids, img in pairs]
+        return [self._enqueue(ids, img, timeout_s=timeout_s, sample_id=sid)
+                for (ids, img), sid in zip(pairs, sids)]
 
     def _text_to_tokens(self, text: str) -> List[str]:
         toks = tokenize(text, lower=self.scfg.lower)
@@ -273,19 +315,22 @@ class TranslationService:
         return toks
 
     def submit_text(self, text: str, img: Optional[np.ndarray] = None,
-                    timeout_s: Optional[float] = None) -> Future:
+                    timeout_s: Optional[float] = None,
+                    sample_id: int = 0) -> Future:
         return self.submit_tokens(self._text_to_tokens(text), img,
-                                  timeout_s=timeout_s)
+                                  timeout_s=timeout_s, sample_id=sample_id)
 
     def translate_text(
-        self, texts: Sequence[str], imgs: Optional[np.ndarray] = None, timeout: float = 120.0
+        self, texts: Sequence[str], imgs: Optional[np.ndarray] = None,
+        timeout: float = 120.0, sample_ids: Optional[Sequence[int]] = None,
     ) -> List[List]:
         """Synchronous convenience: submit all, wait for all (all-or-nothing
         at submit time — see submit_tokens_batch). ``timeout`` doubles as
         the shed deadline: a sentence still queued after it is failed, not
         computed (the caller below has already raised by then)."""
         futs = self.submit_tokens_batch(
-            [self._text_to_tokens(t) for t in texts], imgs, timeout_s=timeout)
+            [self._text_to_tokens(t) for t in texts], imgs, timeout_s=timeout,
+            sample_ids=sample_ids)
         return [f.result(timeout=timeout) for f in futs]
 
     # ------------------------------------------------------------------
@@ -508,8 +553,14 @@ class TranslationService:
                         imgs = np.stack(
                             [r.img for r in group]
                         )  # submit guaranteed presence+shape
+                    # per-request PRNG streams: sampled answers must not
+                    # depend on group composition, so the stream key is the
+                    # request's sample_id, not its position in this batch
+                    sids = ([r.sample_id for r in group]
+                            if self._samples else None)
                     nxt = (group,
-                           self.translator.dispatch_ids([r.ids for r in group], imgs),
+                           self.translator.dispatch_ids(
+                               [r.ids for r in group], imgs, stream_ids=sids),
                            t0)
                 except Exception as e:  # bad dispatch: fail just this group
                     self._fail_group(group, e)
