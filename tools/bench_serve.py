@@ -223,6 +223,9 @@ def main():
     p.add_argument("-batch", type=int, default=64)
     p.add_argument("-max_wait_ms", type=float, default=8.0)
     p.add_argument("-beam_size", type=int, default=4)
+    p.add_argument("-sampling_temp", type=float, default=0.0,
+                   help="> 0: bench SAMPLED serving (beam forced to 1; "
+                        "per-request streams keyed by workload index)")
     p.add_argument("-max_length", type=int, default=32)
     p.add_argument("-src_len", type=int, default=18)
     p.add_argument("-http", action="store_true")
@@ -301,8 +304,10 @@ def main():
     )
     model = build_model(cfg.model)
     vocab = Vocab(SPECIALS + [f"w{i}" for i in range(9000)])
-    dcfg = DecodeConfig(beam_size=args.beam_size, max_length=args.max_length,
-                        batch_size=args.batch, infer_dtype=args.infer_dtype)
+    dcfg = DecodeConfig(beam_size=1 if args.sampling_temp > 0 else args.beam_size,
+                        max_length=args.max_length,
+                        batch_size=args.batch, infer_dtype=args.infer_dtype,
+                        sampling_temp=args.sampling_temp)
     import dataclasses
 
     if args.ensemble > 1:
@@ -417,6 +422,8 @@ def main():
         # incomparable rows were quoted together) — stamp every row
         "host_cpus": os.cpu_count(),
         "infer_dtype": args.infer_dtype,
+        "decode": (f"sampling T={args.sampling_temp}" if args.sampling_temp > 0
+                   else f"beam {args.beam_size}"),
         "ensemble": args.ensemble,
         "pipeline_depth": args.pipeline_depth,
         "clients": args.clients * max(1, args.client_procs),
