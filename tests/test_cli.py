@@ -61,13 +61,14 @@ def test_cli_chain(corpus, capsys):
         "-img_feats", f"{d}/test.feats.npy", "-bpe_codes", f"{d}/demo.bpe.codes",
         "-pretokenized", "-output", f"{d}/pred.txt", "-beam_size", "2",
         "-batch_size", "8", "-max_length", "12", "-iw_eval", "2",
-        "-verbose", "-dump_attn", f"{d}/attn.npz",
+        "-latent_diag", "-verbose", "-dump_attn", f"{d}/attn.npz",
     ])
     with open(f"{d}/pred.txt") as f:
         preds = f.read().splitlines()
     assert len(preds) == 10
     out = capsys.readouterr().out
     assert "BLEU" in out and "IW-ELBO" in out
+    assert "LATENT DIAG: active units" in out
     # upstream-style verbose + scoring report (SURVEY §2.1 #15)
     assert "PRED SCORE" in out and "GOLD AVG SCORE" in out and "GOLD PPL" in out
     attn = np.load(f"{d}/attn.npz")

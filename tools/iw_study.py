@@ -135,6 +135,7 @@ def run_one(model_type, seed, data, floors, args, platform):
     feats = te_feats if model_type != "nmt" else None
 
     rec = {"model": model_type, "seed": seed, "steps": args.steps,
+           "kl_free_bits": args.kl_free_bits,
            "n_train": len(tr_src), "n_test": len(te_src),
            "train_s": round(train_s, 1),
            "floor_text_nats": round(floors[0], 3),
@@ -147,6 +148,18 @@ def run_one(model_type, seed, data, floors, args, platform):
                                      batch_size=args.batch_size)
         rec["nll_exact_per_sent"] = round(float(-logp.mean()), 3)
     else:
+        # posterior-collapse instruments (decode/diagnostics.py): active
+        # units + per-dim KL over the held-out corpus — free-bits/annealing
+        # ablations read these alongside the bound
+        from variational_mmt_tpu.decode.diagnostics import latent_stats_corpus
+
+        diag = latent_stats_corpus(
+            model, params,
+            iw_batches(te_src_ids, te_tgt_ids, feats, args.batch_size,
+                       cfg.data.buckets))
+        rec["au"] = diag["au"]
+        rec["kl_per_sent"] = round(diag["kl_per_sent"], 3)
+        rec["kl_active_dims"] = diag["kl_active_dims"]
         for k in args.k_list:
             out = iw_elbo_corpus(
                 model, params,

@@ -78,6 +78,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help=".npz path: attention matrices of each 1-best hypothesis "
                         "(force-decoded; exact for the deterministic beam)")
     p.add_argument("-iw_eval", type=int, default=0, help="K>0: report K-sample IW-ELBO (needs -tgt)")
+    p.add_argument("-latent_diag", action="store_true",
+                   help="report posterior-collapse diagnostics over the corpus "
+                        "(active units + per-dim KL; latent models, needs -tgt)")
     p.add_argument("-report_bleu", action="store_true")
     p.add_argument("-report_meteor", action="store_true")
     p.add_argument("-meteor_preset", default="original", choices=["original", "1.5-en"])
@@ -115,6 +118,7 @@ def main(argv=None) -> None:
         # decidable from argv alone — fail BEFORE minutes of checkpoint IO
         incompatible = [
             ("-iw_eval", opt.iw_eval > 0),
+            ("-latent_diag", opt.latent_diag),
             ("-verbose", opt.verbose),
             ("-dump_attn", bool(opt.dump_attn)),
             ("-tensor_parallel", opt.tensor_parallel > 1),
@@ -294,6 +298,9 @@ def main(argv=None) -> None:
 
     if opt.iw_eval > 0 and not opt.tgt:
         print("note: -iw_eval skipped — the IW-ELBO needs gold targets (-tgt)")
+    if opt.latent_diag and not opt.tgt:
+        print("note: -latent_diag skipped — the posterior q(z|x,y,v) needs "
+              "gold targets (-tgt)")
 
     if opt.tgt:
         with open(opt.tgt, encoding="utf-8") as f:
@@ -334,10 +341,12 @@ def main(argv=None) -> None:
             )
             print(f"METEOR({opt.meteor_preset}) = {met['meteor']:.2f}")
 
-        if opt.iw_eval > 0 and not model.is_latent:
-            print("note: -iw_eval skipped — the IW-ELBO is defined for latent "
-                  f"models only (checkpoint is {cfg.model.model_type})")
-        if opt.iw_eval > 0 and model.is_latent:
+        for flag, on in (("-iw_eval", opt.iw_eval > 0),
+                         ("-latent_diag", opt.latent_diag)):
+            if on and not model.is_latent:
+                print(f"note: {flag} skipped — defined for latent models "
+                      f"only (checkpoint is {cfg.model.model_type})")
+        if (opt.iw_eval > 0 or opt.latent_diag) and model.is_latent:
             ds = binarize(src_ids, gold_ids)
             # catch-all bucket: over-long pairs must be scored in full, not
             # silently truncated at batch assembly (same guard as decode and
@@ -348,7 +357,6 @@ def main(argv=None) -> None:
                     + [len(t) + 1 for t in gold_ids]))
             it = BucketIterator(ds, opt.batch_size, iw_buckets,
                                 img_feats=feats, shuffle=False)
-            import jax.numpy as jnp
 
             def to_dev(b):
                 tree = {"src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
@@ -357,11 +365,21 @@ def main(argv=None) -> None:
                     tree["img"] = b.img
                 return jax.device_put(tree)
 
-            out = iw_elbo_corpus(model, params, prefetch(it.epoch(0), transform=to_dev),
-                                 opt.iw_eval, jax.random.PRNGKey(opt.seed), mesh=mesh)
-            print(f"IW-ELBO (K={opt.iw_eval}): joint {out['iw_elbo_per_sent']:.2f} / "
-                  f"text {out['iw_text_per_sent']:.2f} per sent; "
-                  f"IW-ppl {out['iw_ppl']:.2f}")
+            if opt.iw_eval > 0:
+                out = iw_elbo_corpus(model, params, prefetch(it.epoch(0), transform=to_dev),
+                                     opt.iw_eval, jax.random.PRNGKey(opt.seed), mesh=mesh)
+                print(f"IW-ELBO (K={opt.iw_eval}): joint {out['iw_elbo_per_sent']:.2f} / "
+                      f"text {out['iw_text_per_sent']:.2f} per sent; "
+                      f"IW-ppl {out['iw_ppl']:.2f}")
+            if opt.latent_diag:
+                from variational_mmt_tpu.decode.diagnostics import latent_stats_corpus
+
+                d = latent_stats_corpus(
+                    model, params, prefetch(it.epoch(0), transform=to_dev))
+                print(f"LATENT DIAG: active units {d['au']}/{d['latent_dim']} "
+                      f"(delta {d['au_delta']}); KL/sent {d['kl_per_sent']:.3f} "
+                      f"over {d['kl_active_dims']} active dims; "
+                      f"top KL_d {d['kl_top8']}")
 
 
 if __name__ == "__main__":

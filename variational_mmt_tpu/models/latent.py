@@ -121,18 +121,23 @@ def reparameterize(rng: jax.Array, mu: jax.Array, sigma: jax.Array) -> jax.Array
     return mu + sigma * eps
 
 
-def gaussian_kl(mu_q, sigma_q, mu_p=None, sigma_p=None) -> jax.Array:
-    """KL(q || p) per-dimension, summed over latent dim -> (B,).
-    p defaults to N(0, I)."""
+def gaussian_kl_per_dim(mu_q, sigma_q, mu_p=None, sigma_p=None) -> jax.Array:
+    """Analytic KL(q || p) per latent dimension -> (..., D).
+    p defaults to N(0, I). Diagonal Gaussians, so the KL factorizes over
+    dims — the per-dim vector localizes posterior collapse (a collapsed
+    dim has KL_d ~ 0; see decode/diagnostics.py)."""
     if mu_p is None:
-        kl = 0.5 * (sigma_q**2 + mu_q**2 - 1.0 - 2.0 * jnp.log(sigma_q))
-    else:
-        kl = (
-            jnp.log(sigma_p / sigma_q)
-            + (sigma_q**2 + (mu_q - mu_p) ** 2) / (2.0 * sigma_p**2)
-            - 0.5
-        )
-    return kl.sum(axis=-1)
+        return 0.5 * (sigma_q**2 + mu_q**2 - 1.0 - 2.0 * jnp.log(sigma_q))
+    return (
+        jnp.log(sigma_p / sigma_q)
+        + (sigma_q**2 + (mu_q - mu_p) ** 2) / (2.0 * sigma_p**2)
+        - 0.5
+    )
+
+
+def gaussian_kl(mu_q, sigma_q, mu_p=None, sigma_p=None) -> jax.Array:
+    """KL(q || p) summed over latent dim -> (B,)."""
+    return gaussian_kl_per_dim(mu_q, sigma_q, mu_p, sigma_p).sum(axis=-1)
 
 
 def gaussian_log_prob(x, mu, sigma) -> jax.Array:
