@@ -348,3 +348,94 @@ def test_return_attn_requires_attn_output():
     init_carry = {"prev": jnp.zeros((1,), jnp.int32), "junk": jnp.zeros((1, 3))}
     with pytest.raises(ValueError, match="third output"):
         beam_search(step_fn, init_carry, 1, 2, 6, return_attn=True)
+
+
+# ---------------------------------------------------------------- blocking
+
+def _emitted(row):
+    out = []
+    for t in np.asarray(row).tolist():
+        if t == PAD:
+            continue
+        out.append(t)
+        if t == EOS:
+            break
+    return out
+
+
+def _has_repeat(seq, g):
+    grams = [tuple(seq[i:i + g]) for i in range(len(seq) - g + 1)]
+    return len(grams) != len(set(grams))
+
+
+def cycle_lm(V=9, a=4, b=5, bonus=10.0):
+    """An LM that loves the bigram cycle a->b->a->b... (from BOS it jumps
+    to a). Unblocked beams emit abab...; g=2 blocking must break the cycle."""
+    logits = np.zeros((V, V), np.float32)
+    logits[BOS, a] = bonus
+    logits[a, b] = bonus
+    logits[b, a] = bonus
+    table = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+
+    def step_fn(carry, toks):
+        return carry + 1, table[toks]
+
+    return step_fn
+
+
+def test_block_bigram_breaks_cycle():
+    step_fn = cycle_lm()
+    init = jnp.zeros((1,), jnp.float32)
+    K, L = 4, 8
+    plain, plain_sc = beam_search(step_fn, init, 1, K, L)
+    blocked, blocked_sc = beam_search(step_fn, init, 1, K, L,
+                                      block_ngram_repeat=2)
+    best_plain = _emitted(plain[0, 0])
+    assert _has_repeat(best_plain, 2), "fixture must repeat when unblocked"
+    for k in range(K):
+        assert not _has_repeat(_emitted(blocked[0, k]), 2)
+    assert _emitted(blocked[0, 0]) != best_plain
+
+
+def test_block_unigram_all_distinct():
+    step_fn = cycle_lm(a=4, b=4)  # self-loop: loves repeating one token
+    init = jnp.zeros((1,), jnp.float32)
+    tokens, _ = beam_search(step_fn, init, 1, 3, 6, block_ngram_repeat=1)
+    for k in range(3):
+        seq = _emitted(tokens[0, k])
+        assert len(seq) == len(set(seq)), seq
+
+
+def test_block_ngram_longer_than_output_is_identity():
+    step_fn, _ = toy_lm(V=9, seed=5)
+    init = {"prev": jnp.zeros((2,), jnp.int32), "junk": jnp.zeros((2, 3))}
+    a_tok, a_sc = beam_search(step_fn, init, 2, 4, 6)
+    b_tok, b_sc = beam_search(step_fn, init, 2, 4, 6, block_ngram_repeat=9)
+    np.testing.assert_array_equal(np.asarray(a_tok), np.asarray(b_tok))
+    np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc), rtol=1e-6)
+
+
+def test_block_exclusion_tokens_exempt_the_cycle():
+    step_fn = cycle_lm(a=4, b=5)
+    init = jnp.zeros((1,), jnp.float32)
+    plain, _ = beam_search(step_fn, init, 1, 4, 8)
+    exempt, _ = beam_search(step_fn, init, 1, 4, 8, block_ngram_repeat=2,
+                            exclusion_tokens=(4,))
+    # every bigram of the cycle contains token 4 -> blocking never fires
+    np.testing.assert_array_equal(np.asarray(exempt), np.asarray(plain))
+
+
+@pytest.mark.parametrize("g", [1, 2, 3])
+def test_block_ngram_property_fuzz(g):
+    """Across random LMs, no returned hypothesis contains a repeated g-gram
+    (whenever a legal unblocked continuation existed, which holds here:
+    V=12 leaves headroom at these lengths)."""
+    for seed in range(4):
+        step_fn, _ = toy_lm(V=12, seed=seed)
+        init = {"prev": jnp.zeros((2,), jnp.int32), "junk": jnp.zeros((2, 3))}
+        tokens, _ = beam_search(step_fn, init, 2, 4, 7,
+                                block_ngram_repeat=g)
+        for b in range(2):
+            for k in range(4):
+                seq = _emitted(tokens[b, k])
+                assert not _has_repeat(seq, g), (seed, b, k, seq)

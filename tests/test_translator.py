@@ -434,3 +434,53 @@ def test_int8_rejected_with_tensor_parallel():
     with pytest.raises(ValueError, match="int8"):
         Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8],
                    mesh=mesh)
+
+
+def test_block_ngram_validation():
+    cfg, model, state, vocab = small_setup()
+    d = DecodeConfig(beam_size=2, max_length=12, batch_size=4,
+                     ignore_when_blocking="w1")
+    with pytest.raises(ValueError, match="ignore_when_blocking"):
+        Translator(model, state.params, vocab, vocab, d, buckets=[8])
+    d = DecodeConfig(beam_size=2, max_length=12, batch_size=4,
+                     block_ngram_repeat=-1)
+    with pytest.raises(ValueError, match="block_ngram_repeat"):
+        Translator(model, state.params, vocab, vocab, d, buckets=[8])
+    d = DecodeConfig(beam_size=1, n_best=1, max_length=12, batch_size=4,
+                     sampling_temp=0.8, block_ngram_repeat=2)
+    with pytest.raises(ValueError, match="block_ngram_repeat unsupported"):
+        Translator(model, state.params, vocab, vocab, d, buckets=[8])
+
+
+def test_block_ngram_decode_end_to_end():
+    cfg, model, state, vocab = small_setup()
+    feats = np.ones((2, 8), np.float32)
+    src = [[5, 6, 7], [8, 9]]
+    d = DecodeConfig(beam_size=4, max_length=12, batch_size=4,
+                     block_ngram_repeat=1)
+    out = Translator(model, state.params, vocab, vocab, d,
+                     buckets=[8]).translate_ids(src, feats)
+    assert len(out) == 2
+    for nbest in out:
+        ids = list(nbest[0][1])  # translate_ids returns token-id lists
+        assert len(ids) == len(set(ids)), ids  # g=1: all-distinct output
+    # exclusion tokens resolve through the tgt vocab (unknown -> UNK id)
+    d2 = DecodeConfig(beam_size=4, max_length=12, batch_size=4,
+                      block_ngram_repeat=2,
+                      ignore_when_blocking="w1 not-in-vocab")
+    tr = Translator(model, state.params, vocab, vocab, d2, buckets=[8])
+    assert vocab.stoi["w1"] in tr._exclusion_ids
+    assert 1 in tr._exclusion_ids  # UNK
+    assert tr.translate_ids(src, feats)
+
+
+def test_block_ngram_beam1_routes_through_beam():
+    """K=1 with blocking cannot take the greedy fast path (greedy has no
+    history masking); it must still decode and obey the constraint."""
+    cfg, model, state, vocab = small_setup("nmt")
+    d = DecodeConfig(beam_size=1, max_length=12, batch_size=4,
+                     block_ngram_repeat=1)
+    out = Translator(model, state.params, vocab, vocab, d,
+                     buckets=[8]).translate_ids([[5, 6, 7]])
+    ids = list(out[0][0][1])
+    assert len(ids) == len(set(ids)), ids

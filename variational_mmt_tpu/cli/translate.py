@@ -61,6 +61,12 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-max_length", type=int, default=100)
     p.add_argument("-min_length", type=int, default=0)
     p.add_argument("-alpha", type=float, default=0.6, help="GNMT length penalty exponent")
+    p.add_argument("-block_ngram_repeat", type=int, default=0,
+                   help="g > 0: no hypothesis may contain a repeated g-gram "
+                        "(masked before top-k, on device)")
+    p.add_argument("-ignore_when_blocking", default="",
+                   help="space-separated tokens exempt from ngram blocking "
+                        "(g-grams containing them may repeat)")
     p.add_argument("-coverage_beta", type=float, default=0.0,
                    help="GNMT coverage penalty weight (0 = off)")
     p.add_argument("-batch_size", type=int, default=32)
@@ -173,6 +179,8 @@ def main(argv=None) -> None:
         sampling_temp=opt.sampling_temp, sampling_topk=opt.sampling_topk,
         sampling_topp=opt.sampling_topp, latent_from=opt.latent_from,
         decode_seed=opt.seed,
+        block_ngram_repeat=opt.block_ngram_repeat,
+        ignore_when_blocking=opt.ignore_when_blocking,
     )
     mesh = None
     if opt.tensor_parallel > 1:

@@ -198,6 +198,14 @@ class DecodeConfig:
     alpha: float = 0.6  # GNMT length-penalty exponent
     coverage_beta: float = 0.0  # GNMT coverage-penalty weight (0 = off)
     batch_size: int = 32
+    # n-gram repeat blocking (reference lineage -block_ngram_repeat):
+    # g > 0 masks, at each beam step, any token that would complete a
+    # g-gram already present in that hypothesis (ops/beam.py docstring).
+    # ignore_when_blocking: space-separated TOKEN STRINGS whose g-grams
+    # are exempt (subword/punctuation that legally repeats); converted to
+    # target-vocab ids at Translator build.
+    block_ngram_repeat: int = 0
+    ignore_when_blocking: str = ""
     replace_unk: bool = False
     dump_beam: bool = False  # record the raw beam search tree (-dump_beam)
     iw_samples: int = 10  # K for importance-weighted ELBO eval

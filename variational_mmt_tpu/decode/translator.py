@@ -22,7 +22,7 @@ from variational_mmt_tpu.config import DecodeConfig
 from variational_mmt_tpu.data.bpe import remove_bpe
 from variational_mmt_tpu.data.dataset import (BinarizedDataset, BucketIterator,
                                                buckets_with_catchall)
-from variational_mmt_tpu.data.vocab import UNK_TOK, Vocab
+from variational_mmt_tpu.data.vocab import UNK, UNK_TOK, Vocab
 from variational_mmt_tpu.models.model import VMMTModel
 from variational_mmt_tpu.ops.beam import (beam_search, greedy_search,
                                            sampling_search)
@@ -118,7 +118,8 @@ def cast_params_for_inference(params, dtype_name: str):
     return jax.tree_util.tree_map(leaf, params)
 
 
-def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
+def make_translate_fn(model, dcfg: DecodeConfig,
+                      exclusion_ids: Tuple[int, ...] = ()) -> Callable:
     """Builds fn(params, src (B,S), img (B,D)|None) -> (tokens (B,K,L),
     scores (B,K)). Jit-cached per input shape by the caller.
 
@@ -199,7 +200,8 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
         # The sampling path shares its step fn and handles min_length itself
         # (Translator.__init__ rejects attn/trace flags with sampling).
         if sampling or (K == 1 and not track_attn and not dcfg.dump_beam
-                        and dcfg.min_length == 0):
+                        and dcfg.min_length == 0
+                        and dcfg.block_ngram_repeat == 0):
             def step1(carries, toks):
                 new, logps = [], []
                 for (m, p, memory, z, keys), c in zip(members, carries):
@@ -261,6 +263,8 @@ def make_translate_fn(model, dcfg: DecodeConfig) -> Callable:
             dcfg.alpha, dcfg.length_penalty, return_attn=dcfg.replace_unk,
             coverage_beta=dcfg.coverage_beta, src_mask=src_mask,
             return_trace=dcfg.dump_beam,
+            block_ngram_repeat=dcfg.block_ngram_repeat,
+            exclusion_tokens=tuple(exclusion_ids),
         )
 
     # arity is part of the jit signature: the RNG paths take the (B,)
@@ -342,10 +346,23 @@ class Translator:
                 ("replace_unk unsupported", d.replace_unk),
                 ("dump_beam unsupported", d.dump_beam),
                 ("coverage_beta unsupported", d.coverage_beta != 0.0),
+                ("block_ngram_repeat unsupported", d.block_ngram_repeat > 0),
             ) if on]
             if bad:
                 raise ValueError(
                     "sampling decode (-sampling_temp > 0): " + "; ".join(bad))
+        if d.block_ngram_repeat < 0:
+            raise ValueError(
+                f"block_ngram_repeat must be >= 0, got {d.block_ngram_repeat}")
+        if d.ignore_when_blocking and d.block_ngram_repeat == 0:
+            # a silently inert flag would let a user believe blocking is on
+            raise ValueError(
+                "-ignore_when_blocking requires -block_ngram_repeat > 0")
+        # token strings -> target-vocab ids (absent tokens map to UNK, the
+        # legacy stoi behavior — exempting UNK-grams is the safe reading)
+        self._exclusion_ids = tuple(sorted({
+            tgt_vocab.stoi.get(t, UNK) for t in d.ignore_when_blocking.split()
+        })) if d.ignore_when_blocking else ()
         self._needs_rng = d.latent_from == "sample" or d.sampling_temp > 0.0
         if self.dcfg.n_best > self.dcfg.beam_size:
             # silently clamping would change the n-best block size a
@@ -406,7 +423,8 @@ class Translator:
         # optional src->tgt map consulted by replace_unk before copying the
         # source token verbatim (reference -phrase_table)
         self.phrase_table: dict = {}
-        self._fn = jax.jit(make_translate_fn(self.models, self.dcfg))
+        self._fn = jax.jit(make_translate_fn(self.models, self.dcfg,
+                                             self._exclusion_ids))
         # raw search trees by corpus index, populated when dcfg.dump_beam
         # (the reference's -dump_beam); see ops/beam.py return_trace
         self.beam_traces: dict = {}

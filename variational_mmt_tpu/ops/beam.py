@@ -94,6 +94,8 @@ def beam_search(
     coverage_beta: float = 0.0,
     src_mask: Any = None,
     return_trace: bool = False,
+    block_ngram_repeat: int = 0,
+    exclusion_tokens: Tuple[int, ...] = (),
 ):
     """Returns (tokens (B, K, max_length) sorted best-first, penalized scores
     (B, K)) — plus attention-argmax source positions (B, K, max_length) when
@@ -108,6 +110,19 @@ def beam_search(
     beta * sum_s log(min(coverage_s, 1)) over real source positions
     (``src_mask`` (B, S), required when beta != 0), rewarding hypotheses
     whose attention covers the whole source.
+
+    ``block_ngram_repeat`` (the reference lineage's flag of the same name):
+    g > 0 prevents any hypothesis from CONTAINING a repeated g-gram — at
+    each step, a candidate token that would complete a g-gram already
+    present in its parent hypothesis is masked to NEG_INF before top-k.
+    (The legacy implementation instead killed a hypothesis after the repeat
+    appeared; masking-before-selection is the prevention form — same
+    guarantee on the output, no wasted beam slots.) g == 1 forbids
+    repeating any token at all. ``exclusion_tokens``: g-grams containing
+    any of these token ids are never blocked (the reference's
+    -ignore_when_blocking, for subword/punctuation tokens that legally
+    repeat). The masking is O(L) shifted-window comparisons per step — all
+    static shapes, no host round-trips.
 
     ``return_trace`` (the reference's -dump_beam): additionally returns the
     RAW search tree — per step t and new-beam slot k, the parent beam slot,
@@ -178,6 +193,46 @@ def beam_search(
         logp = jnp.where(
             (s.t < min_length) & (jnp.arange(V)[None, None, :] == eos_id), NEG_INF, logp
         )
+        if block_ngram_repeat > 0 and block_ngram_repeat <= L:
+            # (g > L can never fire — a repeated g-gram needs 2g <= L+1
+            # positions; skipping it statically also keeps the shifted
+            # windows below well-formed)
+            # mask tokens that would complete a repeated g-gram (docstring).
+            # Live histories contain only real emitted tokens at positions
+            # < t (PAD/EOS can't appear mid-hypothesis), and finished rows
+            # are overridden by the absorbing-EOS rule just below, so a
+            # PAD-run in a finished row's tail can never block its PAD
+            # extension.
+            g = block_ngram_repeat
+            hist = s.tokens  # (B, K, L)
+            # static shifted windows: win[i][..., p] == hist[..., p+i]
+            win = [
+                jnp.concatenate(
+                    [hist[:, :, i:], jnp.full((B, K, i), pad_id, jnp.int32)],
+                    axis=2) if i else hist
+                for i in range(g)
+            ]
+            # the candidate g-gram's context: the last g-1 emitted tokens
+            # (positions t-g+1 .. t-1; clip is safe — `valid` is empty then)
+            match = jnp.ones((B, K, L), bool)
+            if g > 1:
+                pos = jnp.clip(s.t - (g - 1) + jnp.arange(g - 1), 0, L - 1)
+                ctx = jnp.take(hist, pos, axis=2)  # (B, K, g-1)
+                for i in range(g - 1):
+                    match &= win[i] == ctx[:, :, i][..., None]
+            # an earlier g-gram exists at p iff p+g-1 <= t-1
+            pen_mask = match & (jnp.arange(L)[None, None, :] <= s.t - g)
+            if exclusion_tokens:
+                excl = jnp.zeros((B, K, L), bool)
+                for e in exclusion_tokens:
+                    for i in range(g):
+                        excl |= win[i] == e
+                pen_mask &= ~excl
+            blocked_tok = win[g - 1]  # (B, K, L): the earlier g-gram's tail
+            bi = jnp.arange(B)[:, None, None]
+            ki = jnp.arange(K)[None, :, None]
+            logp = logp.at[bi, ki, blocked_tok].add(
+                jnp.where(pen_mask, NEG_INF, 0.0))
         # absorbing EOS: finished beams extend only with PAD at logp 0
         fin = s.finished[..., None]
         pad_row = jnp.where(jnp.arange(V)[None, None, :] == pad_id, 0.0, NEG_INF)
