@@ -484,3 +484,52 @@ def test_block_ngram_beam1_routes_through_beam():
                      buckets=[8]).translate_ids([[5, 6, 7]])
     ids = list(out[0][0][1])
     assert len(ids) == len(set(ids)), ids
+
+
+def test_release_checkpoint_roundtrip(tmp_path):
+    from variational_mmt_tpu.train.checkpoint import (is_released,
+                                                      release_checkpoint)
+
+    cfg, model, state, vocab = small_setup()
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, cfg, vocab, vocab)
+    src = latest_checkpoint(ckpt_dir)
+    dst = str(tmp_path / "release")
+    info = release_checkpoint(src, dst)
+    assert info["dst_bytes"] < info["src_bytes"]
+    assert is_released(dst) and not is_released(src)
+    state2, cfg2, model2, sv2, tv2 = load_checkpoint(dst)
+    feats = np.ones((2, 8), np.float32)
+    srcs = [[5, 6, 7], [8, 9, 10]]
+    out1 = Translator(model, state.params, vocab, vocab, cfg.decode,
+                      buckets=[8]).translate_ids(srcs, feats)
+    out2 = Translator(model2, state2.params, sv2, tv2, cfg2.decode,
+                      buckets=[8]).translate_ids(srcs, feats)
+    assert out1 == out2  # stripping the optimizer must not move decode
+    # the synthesized optimizer state: right structure, all zeros
+    assert (jax.tree.structure(state2.opt_state)
+            == jax.tree.structure(state.opt_state))
+    assert all(float(jnp.sum(jnp.abs(l))) == 0.0
+               for l in jax.tree.leaves(state2.opt_state))
+
+
+def test_release_checkpoint_bf16(tmp_path):
+    from variational_mmt_tpu.train.checkpoint import release_checkpoint
+
+    cfg, model, state, vocab = small_setup()
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, cfg, vocab, vocab)
+    src = latest_checkpoint(ckpt_dir)
+    keep = release_checkpoint(src, str(tmp_path / "rel_f32"), dtype="keep")
+    bf16 = release_checkpoint(src, str(tmp_path / "rel_bf16"), dtype="bfloat16")
+    assert bf16["dst_bytes"] < 0.6 * keep["dst_bytes"]
+    state2, cfg2, model2, sv2, tv2 = load_checkpoint(str(tmp_path / "rel_bf16"))
+    floats = [l for l in jax.tree.leaves(state2.params)
+              if jnp.issubdtype(l.dtype, jnp.floating)]
+    assert floats and all(l.dtype == jnp.bfloat16 for l in floats)
+    out = Translator(model2, state2.params, sv2, tv2, cfg2.decode,
+                     buckets=[8]).translate_ids([[5, 6, 7]],
+                                                np.ones((1, 8), np.float32))
+    assert len(out) == 1 and len(out[0]) >= 1
+    with pytest.raises(ValueError, match="dtype"):
+        release_checkpoint(src, str(tmp_path / "bad"), dtype="int4")

@@ -443,6 +443,13 @@ def main(argv=None) -> None:
             if not os.path.exists(os.path.join(path, "state.msgpack")):
                 path = latest_checkpoint(path) or path
             state, _, _, _, _ = load_checkpoint(path)
+            from variational_mmt_tpu.train.checkpoint import is_released
+
+            if is_released(path):
+                print("WARNING: resuming from a RELEASED checkpoint "
+                      "(optimizer state was stripped by "
+                      "tools/release_checkpoint.py) — the optimizer "
+                      "restarts from zero; params keep the artifact dtype")
             print(f"resuming from {path} at step {int(state.step)}")
             trainer.train_from(state)
         elif opt.pre_word_vecs_enc or opt.pre_word_vecs_dec:

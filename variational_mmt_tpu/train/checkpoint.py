@@ -115,12 +115,66 @@ def load_checkpoint(
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     params = serialization.from_state_dict(template.params, raw["params"])
-    opt_state = serialization.from_state_dict(template.opt_state, raw["opt_state"])
+    if "opt_state" in raw:
+        opt_state = jax.tree.map(jnp.asarray, serialization.from_state_dict(
+            template.opt_state, raw["opt_state"]))
+    else:
+        # released checkpoint (release_checkpoint stripped the optimizer):
+        # synthesize a fresh zero state so decode paths load unchanged and
+        # -train_from restarts the optimizer (cli/train warns)
+        opt_state = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), template.opt_state)
     state = TrainState(
         params=jax.tree.map(jnp.asarray, params),
-        opt_state=jax.tree.map(jnp.asarray, opt_state),
+        opt_state=opt_state,
         step=jnp.asarray(raw["step"]),
         lr=jnp.asarray(raw["lr"]),
         rng=jnp.asarray(raw["rng"]),
     )
     return state, cfg, model, src_vocab, tgt_vocab
+
+
+def is_released(path: str) -> bool:
+    """True if this checkpoint was stripped by release_checkpoint (no
+    optimizer state — resuming training restarts the optimizer)."""
+    return os.path.exists(os.path.join(path, "RELEASED"))
+
+
+def release_checkpoint(src: str, dst: str, dtype: str = "keep") -> dict:
+    """Deployment artifact (the reference lineage's release_model tool):
+    copy ``src`` to ``dst`` with the optimizer state stripped — for
+    adam/adadelta that is ~2/3 of state.msgpack — and, with
+    ``dtype="bfloat16"``, float param leaves cast in the artifact itself
+    (halves it again; decode already computes logits/latents in f32 on
+    bf16 params, the -infer_dtype bfloat16 path). The released checkpoint
+    loads through the normal load_checkpoint; only -train_from semantics
+    change (fresh optimizer, warned). Returns {"src_bytes", "dst_bytes"}.
+    """
+    if dtype not in ("keep", "bfloat16"):
+        raise ValueError(f"dtype must be keep | bfloat16, got {dtype!r}")
+    state_path = os.path.join(src, "state.msgpack")
+    with open(state_path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    raw.pop("opt_state", None)
+    if dtype == "bfloat16":
+        def cast(x):
+            x = np.asarray(x)
+            return x.astype(jnp.bfloat16) if np.issubdtype(
+                x.dtype, np.floating) else x
+
+        raw["params"] = jax.tree.map(cast, raw["params"])
+    tmp = dst + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for name in ("config.json", "vocab.src.json", "vocab.tgt.json"):
+        shutil.copyfile(os.path.join(src, name), os.path.join(tmp, name))
+    with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(raw))
+    with open(os.path.join(tmp, "RELEASED"), "w") as f:
+        f.write("optimizer state stripped by release_checkpoint\n")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+    return {
+        "src_bytes": os.path.getsize(state_path),
+        "dst_bytes": os.path.getsize(os.path.join(dst, "state.msgpack")),
+    }
