@@ -37,6 +37,11 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-min_length", type=int, default=0)
     p.add_argument("-alpha", type=float, default=0.6)
     p.add_argument("-coverage_beta", type=float, default=0.0)
+    p.add_argument("-block_ngram_repeat", type=int, default=0,
+                   help="g > 0: no served hypothesis may contain a repeated "
+                        "g-gram (same semantics as the translate CLI)")
+    p.add_argument("-ignore_when_blocking", default="",
+                   help="space-separated tokens exempt from ngram blocking")
     p.add_argument("-batch_size", type=int, default=32,
                    help="device batch = dynamic-batch cap")
     p.add_argument("-max_wait_ms", type=float, default=5.0,
@@ -114,6 +119,8 @@ def main(argv=None) -> None:
         infer_dtype=opt.infer_dtype, sampling_temp=opt.sampling_temp,
         sampling_topk=opt.sampling_topk, sampling_topp=opt.sampling_topp,
         latent_from=opt.latent_from, decode_seed=opt.seed,
+        block_ngram_repeat=opt.block_ngram_repeat,
+        ignore_when_blocking=opt.ignore_when_blocking,
     )
     scfg = ServeConfig(
         max_wait_ms=opt.max_wait_ms, warmup=not opt.no_warmup,
