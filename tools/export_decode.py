@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Export the compiled beam-decode program as a portable StableHLO artifact
+(jax.export) — deployment without the model-construction code.
+
+The Translator's decode step is one jitted pure function
+``fn(params, src (B,S) int32, img (B,D)|None) -> (tokens (B,K,L),
+scores (B,K))``. ``jax.export`` serializes its StableHLO together with the
+input/output trees, so a serving runtime needs only:
+
+    artifact dir  = per-bucket .shlo programs + manifest.json
+                    + vocab.src.json / vocab.tgt.json + params.msgpack
+    runtime deps  = jax + numpy (NO variational_mmt_tpu model code)
+
+Usage:
+  python tools/export_decode.py -model runs/ckpts -output export/ \
+      -batch_size 64 -buckets 8,16,24,32 [-platforms tpu,cpu] [-use_ema]
+
+Every exported bucket program is round-trip verified in-process against the
+live Translator before the artifact is published (tokens exactly equal,
+scores to 1e-5). ``load_exported``/``ExportedDecoder`` below is the
+reference runtime: deserialize once, pick the bucket, pad, call.
+
+Scope: the deterministic beam/greedy program (the serving default).
+Sampling decode takes two extra runtime inputs (stream ids + PRNG key) and
+stays a live-Translator feature. Cross-version caveat: jax.export artifacts
+are forward-compatible per StableHLO's guarantees, but params stay in the
+native msgpack checkpoint format.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+class ExportedDecoder:
+    """Minimal runtime for an export_decode.py artifact.
+
+    Loads the per-bucket StableHLO programs + params; ``decode(src_ids,
+    img_feats)`` pads each sentence into the smallest fitting bucket and
+    returns [(score, token_ids), ...] per sentence (top beam first). No
+    model code, no flax — jax.export.deserialize + one call per batch."""
+
+    def __init__(self, artifact_dir: str):
+        import jax.export
+        from flax import serialization
+
+        with open(os.path.join(artifact_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.batch = int(self.manifest["batch_size"])
+        self.buckets = sorted(int(b) for b in self.manifest["buckets"])
+        self.eos_id = int(self.manifest["eos_id"])
+        self.pad_id = int(self.manifest["pad_id"])
+        self.img_dim = self.manifest["img_dim"]  # None for text-only
+        self._progs = {}
+        for b in self.buckets:
+            with open(os.path.join(artifact_dir, f"bucket_{b:04d}.shlo"), "rb") as f:
+                self._progs[b] = jax.export.deserialize(bytearray(f.read()))
+        with open(os.path.join(artifact_dir, "params.msgpack"), "rb") as f:
+            self.params = serialization.msgpack_restore(f.read())
+
+    def decode(self, src_ids, img_feats=None):
+        out = [None] * len(src_ids)
+        order = sorted(range(len(src_ids)), key=lambda i: len(src_ids[i]))
+        for start in range(0, len(order), self.batch):
+            rows = order[start:start + self.batch]
+            longest = max(len(src_ids[i]) + 1 for i in rows)  # +1 EOS
+            bucket = next((b for b in self.buckets if b >= longest),
+                          self.buckets[-1])
+            src = np.full((self.batch, bucket), self.pad_id, np.int32)
+            for r, i in enumerate(rows):
+                ids = (src_ids[i] + [self.eos_id])[:bucket]
+                src[r, :len(ids)] = ids
+            args = [self.params, src]
+            if self.img_dim is not None:
+                img = np.zeros((self.batch, int(self.img_dim)), np.float32)
+                if img_feats is not None:
+                    for r, i in enumerate(rows):
+                        img[r] = img_feats[i]
+                args.append(img)
+            else:
+                args.append(None)
+            tokens, scores = self._progs[bucket].call(*args)
+            tokens, scores = np.asarray(tokens), np.asarray(scores)
+            for r, i in enumerate(rows):
+                nbest = []
+                for k in range(tokens.shape[1]):
+                    ids = tokens[r, k]
+                    ids = ids[(ids != self.pad_id) & (ids != self.eos_id)]
+                    nbest.append((float(scores[r, k]), [int(t) for t in ids]))
+                out[i] = nbest
+        return out
+
+
+def load_exported(artifact_dir: str) -> ExportedDecoder:
+    return ExportedDecoder(artifact_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("vmmt-tpu export decode program")
+    p.add_argument("-model", required=True,
+                   help="checkpoint dir (newest step) or a step_* dir")
+    p.add_argument("-output", required=True, help="artifact directory")
+    p.add_argument("-batch_size", type=int, default=64)
+    p.add_argument("-buckets", default="8,16,24,32,48,64")
+    p.add_argument("-beam_size", type=int, default=4)
+    p.add_argument("-max_length", type=int, default=100)
+    p.add_argument("-alpha", type=float, default=0.6)
+    p.add_argument("-min_length", type=int, default=0)
+    p.add_argument("-infer_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"])
+    p.add_argument("-use_ema", action="store_true",
+                   help="export the EMA (Polyak-averaged) weights")
+    p.add_argument("-platforms", default="",
+                   help="comma list (tpu,cpu,...); default: current backend")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.export
+    from flax import serialization
+
+    from variational_mmt_tpu.cli.loading import load_model_spec
+    from variational_mmt_tpu.config import DecodeConfig, consumes_decode_feats
+    from variational_mmt_tpu.data.vocab import EOS, PAD
+    from variational_mmt_tpu.decode.translator import Translator
+
+    lm = load_model_spec(args.model, use_ema=args.use_ema)
+    if lm.ensemble:
+        raise SystemExit("export_decode: single-checkpoint artifacts only "
+                         "(pass one -model)")
+    buckets = sorted(int(b) for b in args.buckets.split(","))
+    dcfg = DecodeConfig(beam_size=args.beam_size, max_length=args.max_length,
+                        batch_size=args.batch_size, alpha=args.alpha,
+                        min_length=args.min_length,
+                        infer_dtype=args.infer_dtype)
+    tr = Translator(lm.model, lm.params[0], lm.src_vocab, lm.tgt_vocab,
+                    dcfg, buckets=buckets)
+    needs_img = consumes_decode_feats(lm.cfg.model)
+    img_dim = lm.cfg.model.img_feat_dim if needs_img else None
+    platforms = ([s.strip() for s in args.platforms.split(",") if s.strip()]
+                 or None)
+
+    B = args.batch_size
+    params = tr.params  # post infer_dtype cast/quantization — what fn expects
+    p_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), params)
+    os.makedirs(args.output, exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    V = len(lm.src_vocab.itos)
+    for S in buckets:
+        src_aval = jax.ShapeDtypeStruct((B, S), np.int32)
+        img_aval = (jax.ShapeDtypeStruct((B, int(img_dim)), np.float32)
+                    if needs_img else None)
+        exported = jax.export.export(tr._fn, platforms=platforms)(
+            p_avals, src_aval, img_aval)
+        blob = exported.serialize()
+        # round-trip verify THIS blob before publishing it: deserialized
+        # call == live jit on a random batch (tokens exact, scores 1e-5)
+        src = rng.integers(4, V, (B, S)).astype(np.int32)
+        src[:, -1] = EOS
+        img = (rng.standard_normal((B, int(img_dim))).astype(np.float32)
+               if needs_img else None)
+        live_tok, live_sc = jax.tree.map(np.asarray, tr._fn(params, src, img))
+        rt = jax.export.deserialize(bytearray(blob))
+        got_tok, got_sc = jax.tree.map(np.asarray, rt.call(params, src, img))
+        np.testing.assert_array_equal(got_tok, live_tok)
+        np.testing.assert_allclose(got_sc, live_sc, rtol=1e-5, atol=1e-5)
+        path = os.path.join(args.output, f"bucket_{S:04d}.shlo")
+        with open(path, "wb") as f:
+            f.write(blob)
+        print(f"exported {path} ({len(blob) / 1024:.0f} KB, "
+              f"platforms={exported.platforms}) — round trip ok")
+
+    with open(os.path.join(args.output, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, params)))
+    lm.src_vocab.save(os.path.join(args.output, "vocab.src.json"))
+    lm.tgt_vocab.save(os.path.join(args.output, "vocab.tgt.json"))
+    manifest = {
+        "batch_size": B, "buckets": buckets, "beam_size": args.beam_size,
+        "max_length": args.max_length, "alpha": args.alpha,
+        "min_length": args.min_length, "infer_dtype": args.infer_dtype,
+        "use_ema": args.use_ema, "img_dim": img_dim,
+        "eos_id": EOS, "pad_id": PAD,
+        "jax_version": jax.__version__,
+        "model_type": lm.cfg.model.model_type,
+        "checkpoint_step": lm.steps[0],
+    }
+    with open(os.path.join(args.output, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"artifact complete: {args.output} ({len(buckets)} bucket "
+          f"programs, {lm.cfg.model.model_type}, step {lm.steps[0]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,7 @@ def build_cfg(model_type, seed, steps, platform, args):
             kl_anneal="none" if args.defect == "kl_off" else "linear",
             kl_anneal_steps=max(1, steps // 2),
             kl_free_bits=args.kl_free_bits,
+            ema_decay=getattr(args, "ema_decay", 0.0),
             report_every=max(50, steps // 5),
             valid_every=10 ** 9,
             checkpoint_every=10 ** 9,
@@ -172,13 +173,26 @@ def run_one(model_type, seed, data, args, platform):
         va_feats if model_type != "nmt" else None,
     )
     vbleu = corpus_bleu([tv.decode(nb[0][1]) for nb in out_v], [[r] for r in va_tgt])["bleu"]
+    res = {"model": model_type, "seed": seed, "defect": args.defect,
+           "img_pool": args.img_pool, "img_regions": args.img_regions,
+           "test_bleu": round(bleu, 2), "valid_bleu": round(vbleu, 2),
+           "steps": args.steps, "train_s": round(train_s, 1),
+           "decode_s": round(decode_s, 1)}
+    if getattr(args, "ema_decay", 0.0) > 0:
+        # same harness, EMA weights: the raw-vs-Polyak decode comparison
+        ema_tr = Translator(model, trainer.final_state.ema_params, sv, tv,
+                            dcfg, buckets=cfg.data.buckets)
+        out_e = ema_tr.translate_ids(
+            [sv.encode(s) for s in te_src],
+            te_feats if model_type != "nmt" else None,
+        )
+        hyps_e = [tv.decode(nb[0][1]) for nb in out_e]
+        res["ema_decay"] = args.ema_decay
+        res["test_bleu_ema"] = round(
+            corpus_bleu(hyps_e, [[r] for r in te_tgt])["bleu"], 2)
     if undo is not None:
         undo()
-    return {"model": model_type, "seed": seed, "defect": args.defect,
-            "img_pool": args.img_pool, "img_regions": args.img_regions,
-            "test_bleu": round(bleu, 2), "valid_bleu": round(vbleu, 2),
-            "steps": args.steps, "train_s": round(train_s, 1),
-            "decode_s": round(decode_s, 1)}
+    return res
 
 
 def main():
@@ -204,6 +218,9 @@ def main():
     p.add_argument("-img_pool", default="mean", choices=["mean", "attn"])
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
+    p.add_argument("-ema_decay", type=float, default=0.0,
+                   help=">0: also decode with the EMA (Polyak) weights and "
+                        "report test_bleu_ema next to the raw test_bleu")
     p.add_argument("-corpus", default="ambiguous", choices=["ambiguous", "plain"],
                    help="plain: deterministic src->tgt task (synthetic.make_corpus"
                         ") — with -n_train small and -tgt_noise > 0 this is the "

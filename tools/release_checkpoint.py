@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("-output", required=True, help="released checkpoint dir")
     p.add_argument("-dtype", default="keep", choices=["keep", "bfloat16"],
                    help="bfloat16: cast float params in the artifact")
+    p.add_argument("-ema", action="store_true",
+                   help="publish the EMA (Polyak-averaged) weights as the "
+                        "artifact's params (requires -ema_decay > 0 at "
+                        "train time); the standard deploy for an EMA run")
     args = p.parse_args(argv)
 
     from variational_mmt_tpu.train.checkpoint import (latest_checkpoint,
@@ -39,11 +43,11 @@ def main(argv=None):
         if latest is None:
             raise SystemExit(f"no checkpoint under {src}")
         src = latest
-    info = release_checkpoint(src, args.output, dtype=args.dtype)
+    info = release_checkpoint(src, args.output, dtype=args.dtype, ema=args.ema)
     mb = 1024.0 * 1024.0
     print(f"released {src} -> {args.output} "
           f"({info['src_bytes'] / mb:.1f} MB -> {info['dst_bytes'] / mb:.1f} MB, "
-          f"dtype={args.dtype})")
+          f"dtype={args.dtype}, ema={args.ema})")
 
 
 if __name__ == "__main__":

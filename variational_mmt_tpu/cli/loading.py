@@ -54,9 +54,11 @@ class LoadedModels:
         return self.models[0], self.params[0]
 
 
-def load_model_spec(spec: str) -> LoadedModels:
+def load_model_spec(spec: str, use_ema: bool = False) -> LoadedModels:
     """Load ``-model`` (one checkpoint dir, or comma-separated dirs for an
     ensemble), resolving each to its latest step when given a run root.
+    ``use_ema`` decodes with each member's EMA (Polyak-averaged) weights
+    instead of the raw params (requires ema_decay > 0 at train time).
     Raises SystemExit with an operator-readable message on empty path
     segments, vocab mismatch, or vmmt_c feature-interface disagreement."""
     from variational_mmt_tpu.train.checkpoint import (
@@ -88,8 +90,15 @@ def load_model_spec(spec: str) -> LoadedModels:
             raise SystemExit(
                 f"ensemble member {path} was trained with a different vocab; "
                 "all -model checkpoints must come from the same preprocess run")
+        member_params = state.params
+        if use_ema:
+            if state.ema_params is None:
+                raise SystemExit(
+                    f"-use_ema: {path} has no EMA state (trained with "
+                    "ema_decay=0); retrain with -ema_decay or drop the flag")
+            member_params = state.ema_params
         out.models.append(model)
-        out.params.append(state.params)
+        out.params.append(member_params)
         out.steps.append(int(state.step))
         out.cfgs.append(cfg)
         del state  # frees the optimizer moments once GC'd

@@ -20,6 +20,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-model", required=True,
                    help="checkpoint dir (or specific step dir); "
                         "comma-separate several for an ensemble")
+    p.add_argument("-use_ema", action="store_true",
+                   help="serve the EMA (Polyak-averaged) weights instead of "
+                        "the raw params (requires -ema_decay > 0 at train)")
     p.add_argument("-ensemble_mode", default="prob", choices=["prob", "logprob"],
                    help="ensemble combination of per-step distributions: "
                         "mean probability (prob) or mean log-prob (logprob)")
@@ -101,7 +104,7 @@ def main(argv=None) -> None:
     )
     from variational_mmt_tpu.cli.loading import load_model_spec
 
-    lm = load_model_spec(opt.model)
+    lm = load_model_spec(opt.model, use_ema=opt.use_ema)
     cfg, sv, tv = lm.cfg, lm.src_vocab, lm.tgt_vocab
     if lm.ensemble:
         if opt.tensor_parallel > 1:

@@ -100,6 +100,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-kl_anneal_steps", type=int, default=10000)
     p.add_argument("-kl_anneal_start", type=int, default=0)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
+    p.add_argument("-ema_decay", type=float, default=0.0,
+                   help=">0: maintain an EMA (Polyak average) of the params "
+                        "in the jitted step; decode it with translate/serve "
+                        "-use_ema or publish via release_checkpoint -ema")
     p.add_argument("-seed", type=int, default=1234)
     # loop
     p.add_argument("-report_every", type=int, default=50)
@@ -173,6 +177,7 @@ FLAG2KEY = {
     "kl_anneal_steps": ("train", "kl_anneal_steps"),
     "kl_anneal_start": ("train", "kl_anneal_start"),
     "kl_free_bits": ("train", "kl_free_bits"),
+    "ema_decay": ("train", "ema_decay"),
     "seed": ("train", "seed"),
     "report_every": ("train", "report_every"),
     "valid_every": ("train", "valid_every"),
@@ -269,6 +274,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             kl_anneal_steps=opt.kl_anneal_steps,
             kl_anneal_start=opt.kl_anneal_start,
             kl_free_bits=opt.kl_free_bits,
+            ema_decay=opt.ema_decay,
             report_every=opt.report_every,
             valid_every=opt.valid_every,
             checkpoint_every=opt.checkpoint_every,

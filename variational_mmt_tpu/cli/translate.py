@@ -30,6 +30,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-model", required=True,
                    help="checkpoint dir (or specific step dir); "
                         "comma-separate several for an ensemble decode")
+    p.add_argument("-use_ema", action="store_true",
+                   help="decode with the EMA (Polyak-averaged) weights "
+                        "instead of the raw params (requires a checkpoint "
+                        "trained with -ema_decay > 0)")
     p.add_argument("-infer_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="decode-time weight precision: bfloat16 halves HBM "
@@ -135,7 +139,7 @@ def main(argv=None) -> None:
                 f"{', '.join(bad)}: not supported with an ensemble "
                 "(force-decode scoring, the IW bound and TP sharding are "
                 "defined per model) — pass a single -model")
-    lm = load_model_spec(opt.model)
+    lm = load_model_spec(opt.model, use_ema=opt.use_ema)
     model, cfg, sv, tv = lm.model, lm.cfg, lm.src_vocab, lm.tgt_vocab
     params = lm.params[0]
 

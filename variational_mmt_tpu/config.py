@@ -142,6 +142,14 @@ class TrainConfig:
     # norm is NaN/Inf (bf16 production hygiene: one bad batch must not
     # poison the params); skipped count reported in metrics
 
+    # --- EMA / Polyak averaging (beyond-reference production knob) ---
+    ema_decay: float = 0.0  # >0 maintains an exponential moving average of
+    # the params inside the jitted step (ema = d*ema + (1-d)*params after
+    # every applied update; skipped-nonfinite steps leave it untouched).
+    # Saved in checkpoints; decode with the averaged weights via the
+    # translate/serve -use_ema flag or publish them with
+    # release_checkpoint -ema. Typical values 0.999-0.9999.
+
     # --- scaling ---
     grad_accum: int = 1  # micro-batches per optimizer step (effective batch
     # = batch_size; each micro sees batch_size // grad_accum examples)

@@ -44,6 +44,8 @@ def _state_dict(state: TrainState) -> dict:
         "lr": state.lr,
         "rng": state.rng,
     }
+    if state.ema_params is not None:
+        raw["ema_params"] = state.ema_params
     return jax.tree.map(np.asarray, serialization.to_state_dict(raw))
 
 
@@ -124,12 +126,24 @@ def load_checkpoint(
         # -train_from restarts the optimizer (cli/train warns)
         opt_state = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), template.opt_state)
+    ema = None
+    if template.ema_params is not None:
+        if "ema_params" in raw:
+            ema = jax.tree.map(jnp.asarray, serialization.from_state_dict(
+                template.ema_params, raw["ema_params"]))
+        else:
+            # released artifact whose EMA was promoted/stripped, but whose
+            # config still says ema_decay > 0: re-seed from params (exactly
+            # what a fresh run at these weights would do). jnp.copy — an
+            # aliased seed would be donated twice by the jit step
+            ema = jax.tree.map(lambda x: jnp.copy(jnp.asarray(x)), params)
     state = TrainState(
         params=jax.tree.map(jnp.asarray, params),
         opt_state=opt_state,
         step=jnp.asarray(raw["step"]),
         lr=jnp.asarray(raw["lr"]),
         rng=jnp.asarray(raw["rng"]),
+        ema_params=ema,
     )
     return state, cfg, model, src_vocab, tgt_vocab
 
@@ -140,7 +154,8 @@ def is_released(path: str) -> bool:
     return os.path.exists(os.path.join(path, "RELEASED"))
 
 
-def release_checkpoint(src: str, dst: str, dtype: str = "keep") -> dict:
+def release_checkpoint(src: str, dst: str, dtype: str = "keep",
+                       ema: bool = False) -> dict:
     """Deployment artifact (the reference lineage's release_model tool):
     copy ``src`` to ``dst`` with the optimizer state stripped — for
     adam/adadelta that is ~2/3 of state.msgpack — and, with
@@ -148,7 +163,9 @@ def release_checkpoint(src: str, dst: str, dtype: str = "keep") -> dict:
     (halves it again; decode already computes logits/latents in f32 on
     bf16 params, the -infer_dtype bfloat16 path). The released checkpoint
     loads through the normal load_checkpoint; only -train_from semantics
-    change (fresh optimizer, warned). Returns {"src_bytes", "dst_bytes"}.
+    change (fresh optimizer, warned). ``ema=True`` publishes the EMA
+    (Polyak-averaged) weights as the artifact's params — the standard way
+    to deploy an ema_decay run. Returns {"src_bytes", "dst_bytes"}.
     """
     if dtype not in ("keep", "bfloat16"):
         raise ValueError(f"dtype must be keep | bfloat16, got {dtype!r}")
@@ -156,6 +173,17 @@ def release_checkpoint(src: str, dst: str, dtype: str = "keep") -> dict:
     with open(state_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     raw.pop("opt_state", None)
+    # EMA weights never ship twice: -ema promotes them to be THE params of
+    # the artifact, otherwise they are dropped. Either way load_checkpoint
+    # re-seeds the (config-mandated) EMA slot from params, which is exactly
+    # the artifact's single weight set.
+    if ema:
+        if "ema_params" not in raw:
+            raise ValueError(
+                f"{src}: no EMA state in checkpoint (trained with "
+                "ema_decay=0) — cannot release with ema=True")
+        raw["params"] = raw["ema_params"]
+    raw.pop("ema_params", None)
     if dtype == "bfloat16":
         def cast(x):
             x = np.asarray(x)

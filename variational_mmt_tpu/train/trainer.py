@@ -42,6 +42,11 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array  # int32 scalar
     lr: jax.Array  # float32 scalar (traced; plateau decay rewrites it)
     rng: jax.Array  # base PRNG key
+    # EMA of params (train.ema_decay > 0) or None. None is an empty pytree,
+    # so jit/scan/sharding treat the two layouts uniformly; the layout is
+    # decided once by the Config, which checkpoints carry, so save/load
+    # templates always agree.
+    ema_params: Any = None
 
 
 def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] = None) -> TrainState:
@@ -67,6 +72,12 @@ def create_train_state(cfg: Config, model: VMMTModel, rng: Optional[jax.Array] =
         step=jnp.int32(0),
         lr=jnp.float32(cfg.train.learning_rate),
         rng=rng,
+        # EMA starts AT the init point (Polyak), not at zero: a zero start
+        # would need bias correction to be usable early. jnp.copy, not
+        # asarray: aliased params/ema buffers break the donated jit step
+        # ("donate the same buffer twice")
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
 
 
@@ -197,6 +208,7 @@ def make_train_step(
             new_params, new_opt = jax.lax.cond(ok, _apply, _skip, None)
             metrics["skipped_sum"] = (~ok).astype(jnp.float32)
         else:
+            ok = None
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
                 lambda p, u: (p - state.lr * u.astype(p.dtype)).astype(p.dtype),
@@ -204,7 +216,21 @@ def make_train_step(
             )
             metrics["skipped_sum"] = jnp.float32(0.0)
         metrics["grad_norm"] = gnorm
-        new_state = state.replace(params=new_params, opt_state=new_opt, step=state.step + 1)
+        if cfg.train.ema_decay > 0:
+            # d_eff = 1.0 on a skipped step keeps the EMA exactly unchanged
+            # (new_params == params there, but d_eff avoids even the float
+            # round-trip e*d + (1-d)*e)
+            d = jnp.float32(cfg.train.ema_decay)
+            d_eff = d if ok is None else jnp.where(ok, d, jnp.float32(1.0))
+            new_ema = jax.tree.map(
+                lambda e, p: (d_eff * e.astype(jnp.float32)
+                              + (1.0 - d_eff) * p.astype(jnp.float32)).astype(e.dtype),
+                state.ema_params, new_params,
+            )
+        else:
+            new_ema = state.ema_params
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1, ema_params=new_ema)
         return new_state, metrics
 
     spc = max(1, cfg.train.steps_per_call if steps_per_call is None else steps_per_call)
@@ -486,6 +512,16 @@ class Trainer:
         max_steps = max_steps or cfg.max_steps
         if state is None:
             state = create_train_state(self.cfg, self.model)
+        # -train_from across ema_decay settings: the restored state's EMA
+        # layout follows the CHECKPOINT's config, the step function this
+        # run's. Align (seed a fresh EMA from params / drop a stale one) or
+        # the jit in_shardings pytree would mismatch.
+        if cfg.ema_decay > 0 and state.ema_params is None:
+            # jnp.copy: an aliased seed would be donated twice by the step
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params))
+        elif cfg.ema_decay <= 0 and state.ema_params is not None:
+            state = state.replace(ema_params=None)
         stats = Statistics()
         step = int(state.step)
         data = self._device_batches(iter(self._infinite_train()),
