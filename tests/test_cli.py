@@ -196,7 +196,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "start_decay_at": "77", "label_smoothing": "0.05",
         "param_init": "0.08",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
-        "kl_free_bits": "0.25", "skip_nonfinite": "1", "ema_decay": "0.9",
+        "kl_free_bits": "0.25", "skip_nonfinite": "1", "ema_decay": "0.9", "ema_ramp": "0",
         "fix_word_vecs_enc": "1", "fix_word_vecs_dec": "1", "seed": "42",
         "report_every": "9",
         "valid_every": "100", "checkpoint_every": "100",

@@ -28,7 +28,7 @@ def _leaves(tree):
 
 def test_ema_matches_manual_recurrence():
     d = 0.5  # large (1-d) so drift is far above float noise
-    cfg = tiny_cfg(ema_decay=d)
+    cfg = tiny_cfg(ema_decay=d, ema_ramp=False)
     model = build_model(cfg.model)
     state = create_train_state(cfg, model)
     step = make_train_step(cfg, model)
@@ -48,6 +48,25 @@ def test_ema_matches_manual_recurrence():
     diffs = [float(np.abs(e - p).max())
              for e, p in zip(_leaves(state.ema_params), _leaves(state.params))]
     assert max(diffs) > 1e-5
+
+
+def test_ema_ramp_matches_manual_recurrence():
+    """Default ramp: d_n = min(d, (1+n)/(10+n)) with n = 1-indexed update
+    count — early steps average instead of anchoring to the init point."""
+    d = 0.9
+    cfg = tiny_cfg(ema_decay=d)  # ema_ramp defaults True
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    step = make_train_step(cfg, model)
+
+    manual = _leaves(state.params)
+    for i in range(4):
+        state, _ = step(state, make_batch(seed=i))
+        dn = min(d, (1.0 + (i + 1)) / (10.0 + (i + 1)))
+        manual = [dn * e + (1 - dn) * p
+                  for e, p in zip(manual, _leaves(state.params))]
+    for got, want in zip(_leaves(state.ema_params), manual):
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
 def test_ema_untouched_on_skipped_step():

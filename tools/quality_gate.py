@@ -78,6 +78,7 @@ def build_cfg(model_type, seed, steps, platform, args):
             kl_anneal_steps=max(1, steps // 2),
             kl_free_bits=args.kl_free_bits,
             ema_decay=getattr(args, "ema_decay", 0.0),
+            ema_ramp=bool(getattr(args, "ema_ramp", 1)),
             report_every=max(50, steps // 5),
             valid_every=10 ** 9,
             checkpoint_every=10 ** 9,
@@ -188,6 +189,7 @@ def run_one(model_type, seed, data, args, platform):
         )
         hyps_e = [tv.decode(nb[0][1]) for nb in out_e]
         res["ema_decay"] = args.ema_decay
+        res["ema_ramp"] = bool(getattr(args, "ema_ramp", 1))
         res["test_bleu_ema"] = round(
             corpus_bleu(hyps_e, [[r] for r in te_tgt])["bleu"], 2)
     if undo is not None:
@@ -218,6 +220,8 @@ def main():
     p.add_argument("-img_pool", default="mean", choices=["mean", "attn"])
     p.add_argument("-batch_size", type=int, default=64)
     p.add_argument("-kl_free_bits", type=float, default=0.0)
+    p.add_argument("-ema_ramp", type=int, default=1,
+                   help="0: fixed decay (no num_updates warm-in)")
     p.add_argument("-ema_decay", type=float, default=0.0,
                    help=">0: also decode with the EMA (Polyak) weights and "
                         "report test_bleu_ema next to the raw test_bleu")

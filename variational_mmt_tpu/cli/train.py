@@ -104,6 +104,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help=">0: maintain an EMA (Polyak average) of the params "
                         "in the jitted step; decode it with translate/serve "
                         "-use_ema or publish via release_checkpoint -ema")
+    p.add_argument("-ema_ramp", type=int, default=1,
+                   help="1: warm the EMA decay in as min(d,(1+n)/(10+n)) "
+                        "over update count n (recommended; fixed decay "
+                        "anchors short runs to the init point)")
     p.add_argument("-seed", type=int, default=1234)
     # loop
     p.add_argument("-report_every", type=int, default=50)
@@ -178,6 +182,7 @@ FLAG2KEY = {
     "kl_anneal_start": ("train", "kl_anneal_start"),
     "kl_free_bits": ("train", "kl_free_bits"),
     "ema_decay": ("train", "ema_decay"),
+    "ema_ramp": ("train", "ema_ramp"),
     "seed": ("train", "seed"),
     "report_every": ("train", "report_every"),
     "valid_every": ("train", "valid_every"),
@@ -275,6 +280,7 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             kl_anneal_start=opt.kl_anneal_start,
             kl_free_bits=opt.kl_free_bits,
             ema_decay=opt.ema_decay,
+            ema_ramp=bool(opt.ema_ramp),
             report_every=opt.report_every,
             valid_every=opt.valid_every,
             checkpoint_every=opt.checkpoint_every,

@@ -149,6 +149,13 @@ class TrainConfig:
     # Saved in checkpoints; decode with the averaged weights via the
     # translate/serve -use_ema flag or publish them with
     # release_checkpoint -ema. Typical values 0.999-0.9999.
+    ema_ramp: bool = True  # warm the decay in as min(d, (1+n)/(10+n)) over
+    # update count n (the tf.train.ExponentialMovingAverage num_updates
+    # schedule): early EMA tracks the fast-moving young model instead of
+    # anchoring to the init point. Measured on the quality gate (2500-step
+    # vmmt_c, d=0.999): fixed decay collapses EMA BLEU to 33.9 vs raw 55.8;
+    # the ramp recovers it (EXPERIMENTS.md "EMA on the gate"). Turn off only
+    # for long runs where reproducing the plain recurrence matters.
 
     # --- scaling ---
     grad_accum: int = 1  # micro-batches per optimizer step (effective batch

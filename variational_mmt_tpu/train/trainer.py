@@ -221,6 +221,12 @@ def make_train_step(
             # (new_params == params there, but d_eff avoids even the float
             # round-trip e*d + (1-d)*e)
             d = jnp.float32(cfg.train.ema_decay)
+            if cfg.train.ema_ramp:
+                # num_updates warmup (TF ExponentialMovingAverage schedule):
+                # n counts steps incl. this one; early on the EMA is close to
+                # a running average, converging to the configured decay.
+                n = (state.step + 1).astype(jnp.float32)
+                d = jnp.minimum(d, (1.0 + n) / (10.0 + n))
             d_eff = d if ok is None else jnp.where(ok, d, jnp.float32(1.0))
             new_ema = jax.tree.map(
                 lambda e, p: (d_eff * e.astype(jnp.float32)
