@@ -623,6 +623,33 @@ def test_pipeline_depth1_matches_depth2():
     assert outs[1] == outs[2]
 
 
+def test_pipeline_depth_auto_resolves_from_host_cores(monkeypatch):
+    """pipeline_depth=0 (the serve-CLI default) auto-selects the worker
+    mode from the host core count: serial on 1-core hosts (where the
+    round-4 one-window table measured pipelining at -17% throughput and
+    2.7x p99), pipelined otherwise. Explicit 1/2 always forces."""
+    import variational_mmt_tpu.serve.service as service_mod
+
+    monkeypatch.setattr(service_mod.os, "cpu_count", lambda: 1)
+    assert ServeConfig().resolved_pipeline_depth() == 1
+    assert ServeConfig(pipeline_depth=2).resolved_pipeline_depth() == 2
+    monkeypatch.setattr(service_mod.os, "cpu_count", lambda: 4)
+    assert ServeConfig().resolved_pipeline_depth() == 2
+    assert ServeConfig(pipeline_depth=1).resolved_pipeline_depth() == 1
+    # containers can report None
+    monkeypatch.setattr(service_mod.os, "cpu_count", lambda: None)
+    assert ServeConfig().resolved_pipeline_depth() == 1
+
+    # the service resolves once at construction and runs with it
+    monkeypatch.setattr(service_mod.os, "cpu_count", lambda: 1)
+    _, _, _, _, svc = small_service(max_wait_ms=1.0, batch_size=4)
+    try:
+        assert svc.pipeline_depth == 1
+        assert svc.submit_text("w1 w2").result(timeout=120)
+    finally:
+        svc.stop()
+
+
 def test_collect_fill_contract():
     """The pipeline's fill rules, pinned: (a) empty queue + nothing gathered
     -> return [] immediately WITHOUT probing device readiness (each probe is

@@ -175,7 +175,7 @@ def _run_open_loop(args, svc, texts, imgs) -> None:
         "host_cpus": os.cpu_count(),
         "infer_dtype": args.infer_dtype,
         "ensemble": args.ensemble,
-        "pipeline_depth": args.pipeline_depth,
+        "pipeline_depth": svc.pipeline_depth,  # resolved (0=auto stamps 1|2)
         "mode": "open-loop",
         "target_rate": args.arrival_rate,
         "req_timeout_s": args.req_timeout,
@@ -255,8 +255,9 @@ def main():
     p.add_argument("-ensemble", type=int, default=1,
                    help="N>1: serve an N-member checkpoint ensemble "
                         "(independent random param trees, flagship shape)")
-    p.add_argument("-pipeline_depth", type=int, default=2,
-                   help="service worker pipeline depth (2 = overlap host "
+    p.add_argument("-pipeline_depth", type=int, default=0,
+                   help="service worker pipeline depth (0 = auto from host "
+                        "cores, the serve-CLI default; 2 = overlap host "
                         "postprocessing with device compute; 1 = classic "
                         "serial loop, the A/B baseline)")
     p.add_argument("-client_procs", type=int, default=0,
@@ -425,7 +426,7 @@ def main():
         "decode": (f"sampling T={args.sampling_temp}" if args.sampling_temp > 0
                    else f"beam {args.beam_size}"),
         "ensemble": args.ensemble,
-        "pipeline_depth": args.pipeline_depth,
+        "pipeline_depth": svc.pipeline_depth,  # resolved (0=auto stamps 1|2)
         "clients": args.clients * max(1, args.client_procs),
         "transport": (f"http-{args.wire}"
                       + (f"-mp{args.procs}" if args.procs else "")

@@ -62,10 +62,13 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-tensor_parallel", type=int, default=1,
                    help=">1: serve decode on a 2-D (data, model) mesh with "
                         "vocab-parallel embeddings+generator")
-    p.add_argument("-pipeline_depth", type=int, default=2, choices=[1, 2],
-                   help="worker pipeline depth: 2 overlaps host "
-                        "postprocessing with device compute (default); "
-                        "1 is the classic serial loop")
+    p.add_argument("-pipeline_depth", type=int, default=0, choices=[0, 1, 2],
+                   help="worker pipeline depth: 0 = auto (default; serial "
+                        "on single-core hosts where pipelining measured "
+                        "-17%% throughput / 2.7x p99, pipelined otherwise "
+                        "— docs/perf_notes.md consolidated serving table); "
+                        "2 overlaps host postprocessing with device "
+                        "compute; 1 forces the classic serial loop")
     p.add_argument("-procs", type=int, default=0,
                    help="HTTP dispatcher processes sharing the port via "
                         "SO_REUSEPORT (0 = single-process threaded server); "

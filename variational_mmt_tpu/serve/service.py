@@ -25,6 +25,7 @@ same DecodeConfig.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -63,10 +64,20 @@ class ServeConfig:
     # 2 = two-deep pipelined worker (gather/dispatch group N+1 while N
     # computes on the device; host postprocessing overlaps device work);
     # 1 = classic collect -> dispatch -> finalize, one group at a time.
-    # Depth 1 exists as the A/B baseline for measuring the pipeline win
-    # on a given host (tools/bench_serve.py -pipeline_depth) and as a
-    # safety valve; results are identical either way (tested).
-    pipeline_depth: int = 2
+    # 0 = AUTO (the default): resolve from the host core count at service
+    # construction — measured on the round-4 one-window table
+    # (docs/perf_notes.md "Consolidated serving table"): depth 2 wins +18%
+    # on a 4-core host but LOSES 17% with 2.7x the p99 on a 1-core host,
+    # where the extra in-flight group only adds queueing because no second
+    # core exists to run the overlap. Rule: depth 1 on single-core hosts,
+    # depth 2 otherwise. Explicit 1/2 still forces either mode (the A/B
+    # baseline knob); results are identical either way (tested).
+    pipeline_depth: int = 0
+
+    def resolved_pipeline_depth(self) -> int:
+        if self.pipeline_depth in (1, 2):
+            return self.pipeline_depth
+        return 1 if (os.cpu_count() or 1) <= 1 else 2
 
 
 @dataclass
@@ -109,6 +120,9 @@ class TranslationService:
     ):
         self.dcfg = dcfg or DecodeConfig()
         self.scfg = scfg or ServeConfig()
+        # resolve AUTO (0) once, at construction, so the worker loop and
+        # stats report one stable mode for the service's lifetime
+        self.pipeline_depth = self.scfg.resolved_pipeline_depth()
         self.bpe = bpe
         # checkpoint ensemble: model may be a list (params a matching list of
         # trees); the Translator combines per-step distributions on-device.
@@ -567,7 +581,7 @@ class TranslationService:
                     # still a consumed gather: count it so mean_batch_fill
                     # (requests/batches) stays honest on error paths
                     self._account_batch(group, time.monotonic() - t0)
-            if self.scfg.pipeline_depth <= 1 and nxt is not None:
+            if self.pipeline_depth <= 1 and nxt is not None:
                 # A/B baseline: finalize immediately, never carry in-flight
                 # work across iterations (classic one-group-at-a-time loop)
                 self._finish(*nxt)
