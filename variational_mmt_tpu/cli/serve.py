@@ -46,7 +46,13 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-ignore_when_blocking", default="",
                    help="space-separated tokens exempt from ngram blocking")
     p.add_argument("-batch_size", type=int, default=32,
-                   help="device batch = dynamic-batch cap")
+                   help="device batch = dynamic-batch cap. Size to the "
+                        "expected CONCURRENT in-flight request count, NOT "
+                        "the offline decode knee: closed-loop fill is "
+                        "client-bound, and an oversized static batch only "
+                        "pads the program (measured round 5: batch 256 at "
+                        "32 clients loses 34%% throughput at 2x p50 vs "
+                        "batch 32-64 — docs/perf_notes.md)")
     p.add_argument("-max_wait_ms", type=float, default=5.0,
                    help="batching window after the first queued request")
     p.add_argument("-bpe_codes", default="", help="BPE codes applied to request text")
