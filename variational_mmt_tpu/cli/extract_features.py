@@ -3,10 +3,21 @@
 (2048-d global) and/or conv (7x7x2048 -> 49x2048) features, row i aligned to
 corpus line i.
 
-This environment ships torch (CPU) but NOT torchvision, so the extractor is
-gated: with torchvision available it runs a standard pretrained ResNet-50;
-without it, it errors with instructions (precomputed feature files are the
-normal path — the reference likewise consumed pre-extracted features).
+Two backends:
+
+- ``jax`` (default when torchvision is absent): the TPU-native ResNet-50
+  trunk in ``models/resnet.py`` — the canonical v1.5 inference computation
+  as one jitted NHWC program, fed by torchvision-layout weights
+  (``-weights resnet50.pth`` or ``.npz``; cross-checked to ~1e-3 against a
+  torch-functional reference implementation in tests/test_resnet.py). Runs
+  on whatever device JAX has — on TPU, extraction is a batched MXU conv
+  pipeline instead of a host-CPU loop.
+- ``torchvision`` (when installed): the stock pretrained
+  ``resnet50(weights="IMAGENET1K_V1")``, as the reference pipeline used.
+
+The pretrained weight FILE itself cannot be fetched in this build
+environment (no egress); users supply it via ``-weights`` (the standard
+torchvision ``resnet50-0676ba61.pth`` loads directly).
 """
 
 from __future__ import annotations
@@ -26,18 +37,61 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-output", required=True, help=".npy or .h5 output")
     p.add_argument("-feat_type", default="pool5", choices=["pool5", "conv"])
     p.add_argument("-batch_size", type=int, default=32)
+    p.add_argument("-backend", default="auto",
+                   choices=["auto", "jax", "torchvision"],
+                   help="auto: torchvision if importable and no -weights "
+                        "given, else the TPU-native jax trunk")
+    p.add_argument("-weights", default="",
+                   help="torchvision-layout ResNet state_dict (.pth or "
+                        ".npz) for the jax backend (e.g. the standard "
+                        "resnet50 IMAGENET1K_V1 file)")
 
 
-def extract(images_dir: str, names: List[str], feat_type: str, batch_size: int) -> np.ndarray:
+def extract_jax(images_dir: str, names: List[str], feat_type: str,
+                batch_size: int, weights: str) -> np.ndarray:
+    from PIL import Image
+
+    from variational_mmt_tpu.models.resnet import (
+        extract_features,
+        load_weights,
+        preprocess_image,
+    )
+
+    if not weights:
+        raise SystemExit(
+            "the jax backend needs -weights (a torchvision-layout ResNet "
+            "state_dict, .pth or .npz); pretrained files cannot be "
+            "downloaded from this environment. With torchvision installed, "
+            "-backend torchvision uses its bundled download instead."
+        )
+    params = load_weights(weights)
+    imgs = [preprocess_image(Image.open(os.path.join(images_dir, n)))
+            for n in names]
+    return extract_features(params, imgs, feat_type, batch_size)
+
+
+def extract(images_dir: str, names: List[str], feat_type: str,
+            batch_size: int, backend: str = "auto",
+            weights: str = "") -> np.ndarray:
+    if backend == "auto":
+        try:
+            import torchvision  # noqa: F401
+
+            backend = "jax" if weights else "torchvision"
+        except ImportError:
+            backend = "jax"
+    if backend == "jax":
+        return extract_jax(images_dir, names, feat_type, batch_size, weights)
     try:
         import torch
         import torchvision
         from torchvision import transforms
     except ImportError as e:
         raise SystemExit(
-            "torchvision is required for feature extraction but is not installed "
-            f"in this environment ({e}). Supply precomputed features instead "
-            "(HDF5/NPY, one row per corpus line), as the reference pipeline does."
+            "torchvision is required for -backend torchvision but is not "
+            f"installed ({e}). Use -backend jax with -weights, or supply "
+            "precomputed features (HDF5/NPY, one row per corpus line), as "
+            "the reference pipeline does."
         )
 
     model = torchvision.models.resnet50(weights="IMAGENET1K_V1")
@@ -73,7 +127,8 @@ def main(argv=None) -> None:
     opt = p.parse_args(argv)
     with open(opt.image_list, encoding="utf-8") as f:
         names = [line.strip() for line in f if line.strip()]
-    feats = extract(opt.images_dir, names, opt.feat_type, opt.batch_size)
+    feats = extract(opt.images_dir, names, opt.feat_type, opt.batch_size,
+                    backend=opt.backend, weights=opt.weights)
     save_features(opt.output, feats)
     print(f"wrote {feats.shape} features to {opt.output}")
 
