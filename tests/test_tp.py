@@ -201,6 +201,43 @@ def test_tp_decode_matches_single_device():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_tp_int8_decode_matches_single_device():
+    """-infer_dtype int8 composes with TP (round-5: the int8/scale pairs
+    shard through the same rules — int8 takes the original tensor's spec,
+    the per-output-channel scale its last-axis component). Quantization
+    happens BEFORE sharding on both sides, so TP == single-device must be
+    exact (same dequantized weights, pure re-layout)."""
+    from variational_mmt_tpu.config import DecodeConfig
+    from variational_mmt_tpu.data.vocab import SPECIALS, Vocab
+    from variational_mmt_tpu.decode.translator import Translator
+
+    cfg = tp_cfg()
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model)
+    params = jax.tree.map(np.asarray, state.params)
+    vocab = Vocab(SPECIALS + [f"w{i}" for i in range(V - 4)])
+    dcfg = DecodeConfig(beam_size=3, max_length=8, batch_size=4,
+                        infer_dtype="int8")
+    rng = np.random.default_rng(6)
+    src_ids = [list(map(int, rng.integers(4, V, rng.integers(3, 7))))
+               for _ in range(9)]
+    feats = rng.standard_normal((9, 16)).astype(np.float32)
+    tp = Translator(model, params, vocab, vocab, dcfg, buckets=[8],
+                    mesh=make_mesh_2d(2, 2))
+    single = Translator(model, params, vocab, vocab, dcfg, buckets=[8])
+    # the generator's int8 tensor is genuinely vocab-sharded, scale too
+    gk = tp.params["generator"]["kernel"]
+    assert str(gk["int8"].sharding.spec) == str(
+        jax.sharding.PartitionSpec(None, MODEL_AXIS)), gk["int8"].sharding
+    assert MODEL_AXIS in str(gk["scale"].sharding.spec), gk["scale"].sharding
+    out_tp = tp.translate_ids(src_ids, feats)
+    out_s = single.translate_ids(src_ids, feats)
+    for a, b in zip(out_s, out_tp):
+        assert [ids for _, ids in a] == [ids for _, ids in b], (a, b)
+        np.testing.assert_allclose([s for s, _ in a], [s for s, _ in b],
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_tp_iw_eval_matches_single_device():
     """K-sample IW-ELBO with TP-sharded params == single-device."""
     from variational_mmt_tpu.decode.iw_eval import iw_elbo_corpus

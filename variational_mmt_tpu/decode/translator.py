@@ -406,12 +406,10 @@ class Translator:
                     raise ValueError(
                         "ensemble decode does not compose with tensor "
                         "parallelism; use a data-only mesh")
-                if self.dcfg.infer_dtype == "int8":
-                    # tree_shardings maps the ORIGINAL param paths; the
-                    # int8/scale pairs would shard wrong silently
-                    raise ValueError(
-                        "-infer_dtype int8 does not compose with tensor "
-                        "parallelism; use a data-only mesh")
+                # int8/scale pairs shard through the same rules: the pair
+                # lives UNDER the original leaf path, and parallel/tp.py's
+                # spec_for gives int8 the original tensor's spec and scale
+                # its last-axis component (tests/test_tp.py int8 decode)
                 params = jax.device_put(params, tree_shardings(params, self.mesh))
             elif isinstance(params, tuple):
                 params = tuple(

@@ -69,10 +69,23 @@ def _path_str(path) -> str:
 
 def spec_for(path_str: str, leaf_ndim: int, mesh: Mesh) -> P:
     if MODEL_AXIS in mesh.axis_names:
+        # weight-only int8 (decode/translator.py quantize_params_int8)
+        # replaces a leaf W at path p with {p/int8, p/scale}: the int8
+        # tensor keeps W's shape so it shards like W; the per-output-
+        # channel scale is 1-D over W's LAST axis so it takes the last
+        # component of W's spec (e.g. generator/kernel P(None, 'model')
+        # -> scale P('model'); embedding P('model', None) -> scale
+        # replicated). This is what lets -infer_dtype int8 compose with
+        # tensor-parallel decode.
+        base, quant = path_str, None
+        if path_str.endswith(("/int8", "/scale")):
+            base, quant = path_str.rsplit("/", 1)
         for suffix, spec in TP_RULES:
             # component-boundary match: "generator/kernel" must not claim a
             # hypothetical "pre_generator/kernel"
-            if path_str == suffix or path_str.endswith("/" + suffix):
+            if base == suffix or base.endswith("/" + suffix):
+                if quant == "scale":
+                    return P(spec[-1]) if len(spec) else P()
                 if leaf_ndim < len(spec):
                     break  # rank mismatch (e.g. scalar stand-in) -> replicate
                 return spec
