@@ -422,8 +422,11 @@ def test_infer_dtype_int8_decodes_and_quarters_footprint():
         assert np.isfinite(score) and isinstance(text, str)
 
 
-def test_int8_rejected_with_tensor_parallel():
-    from variational_mmt_tpu.parallel.tp import make_mesh_2d
+def test_int8_composes_with_tensor_parallel():
+    """Round 5: the old explicit int8+TP refusal is gone — construction
+    succeeds and the quantized generator lands vocab-sharded (full
+    TP==single equivalence lives in tests/test_tp.py)."""
+    from variational_mmt_tpu.parallel.tp import MODEL_AXIS, make_mesh_2d
 
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 devices")
@@ -431,9 +434,10 @@ def test_int8_rejected_with_tensor_parallel():
     cfg.decode.infer_dtype = "int8"
     cfg.decode.batch_size = 4
     mesh = make_mesh_2d(len(jax.devices()) // 2, 2)
-    with pytest.raises(ValueError, match="int8"):
-        Translator(model, state.params, vocab, vocab, cfg.decode, buckets=[8],
-                   mesh=mesh)
+    tr = Translator(model, state.params, vocab, vocab, cfg.decode,
+                    buckets=[8], mesh=mesh)
+    gk = tr.params["generator"]["kernel"]
+    assert MODEL_AXIS in str(gk["int8"].sharding.spec), gk["int8"].sharding
 
 
 def test_block_ngram_validation():
