@@ -139,16 +139,29 @@ def test_preprocess_matches_torchvision_semantics():
     from PIL import Image
 
     rng = np.random.default_rng(4)
-    raw = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)  # landscape
-    out = preprocess_image(Image.fromarray(raw))
-    assert out.shape == (224, 224, 3) and out.dtype == np.float32
-    # reference path computed by hand with the same PIL ops
-    img = Image.fromarray(raw).resize((341, 256), Image.BILINEAR)
-    img = img.crop((58, 16, 282, 240))
-    ref = (np.asarray(img, np.float32) / 255.0
-           - np.array([0.485, 0.456, 0.406], np.float32)) \
-        / np.array([0.229, 0.224, 0.225], np.float32)
-    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def ref_for(raw, resized_wh, crop_lt):
+        img = Image.fromarray(raw).resize(resized_wh, Image.BILINEAR)
+        l, t = crop_lt
+        img = img.crop((l, t, l + 224, t + 224))
+        return (np.asarray(img, np.float32) / 255.0
+                - np.array([0.485, 0.456, 0.406], np.float32)) \
+            / np.array([0.229, 0.224, 0.225], np.float32)
+
+    # hard-coded geometry encodes torchvision's semantics: long side
+    # TRUNCATED (int), crop offsets via Python round (round-half-even)
+    cases = [
+        # (H, W) -> resized (w, h), crop (left, top)
+        ((300, 400), (341, 256), (58, 16)),   # int(400*256/300)=341; round(58.5)=58 (banker's)
+        ((466, 350), (256, 340), (16, 58)),   # int(466*256/350)=340, NOT round(340.84)=341
+        ((479, 256), (256, 479), (16, 128)),  # round(127.5)=128 (banker's, up)
+    ]
+    for (H, W), resized, crop in cases:
+        raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        out = preprocess_image(Image.fromarray(raw))
+        assert out.shape == (224, 224, 3) and out.dtype == np.float32
+        np.testing.assert_allclose(out, ref_for(raw, resized, crop),
+                                   atol=1e-6, err_msg=str((H, W)))
 
 
 def test_extract_features_pads_last_batch():

@@ -178,14 +178,30 @@ def main(argv=None):
         rt = jax.export.deserialize(bytearray(blob))
         got_tok, got_sc = jax.tree.map(np.asarray, rt.call(params, src, img))
         np.testing.assert_allclose(got_sc, live_sc, rtol=1e-4, atol=1e-3)
-        ties = 0
+        clear = ties = 0
         for r in range(live_tok.shape[0]):
-            margin = (float(live_sc[r, 0] - live_sc[r, 1])
-                      if live_sc.shape[1] > 1 else float("inf"))
-            if margin > 1e-2:
+            margins = (live_sc[r, :-1] - live_sc[r, 1:]
+                       if live_sc.shape[1] > 1 else np.array([np.inf]))
+            if margins[0] > 1e-2:
+                clear += 1
                 np.testing.assert_array_equal(got_tok[r, 0], live_tok[r, 0])
+            if (margins > 1e-2).all():
+                # every adjacent pair is clear -> the FULL n-best ordering
+                # is numerics-stable and must match exactly (the old
+                # exact check, kept wherever it is actually meaningful)
+                np.testing.assert_array_equal(got_tok[r], live_tok[r])
             elif not np.array_equal(got_tok[r], live_tok[r]):
                 ties += 1
+        if clear < 0.5 * live_tok.shape[0]:
+            # a flat checkpoint would make the token checks vacuous — an
+            # export whose beam selection is broken but whose near-tied
+            # scores agree would otherwise publish "verified"
+            raise SystemExit(
+                f"export verify: only {clear}/{live_tok.shape[0]} rows of "
+                "the probe batch have a clear top-beam margin — this "
+                "checkpoint is too flat to certify the exported program's "
+                "token behavior. Train the model further (or export a "
+                "checkpoint that actually separates hypotheses).")
         if ties:
             print(f"  note: {ties}/{live_tok.shape[0]} rows differ only on "
                   "near-tied beam decisions (scores verified equal)")

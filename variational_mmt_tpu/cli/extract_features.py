@@ -65,9 +65,22 @@ def extract_jax(images_dir: str, names: List[str], feat_type: str,
             "-backend torchvision uses its bundled download instead."
         )
     params = load_weights(weights)
-    imgs = [preprocess_image(Image.open(os.path.join(images_dir, n)))
-            for n in names]
-    return extract_features(params, imgs, feat_type, batch_size)
+
+    class _LazyImages:
+        """Sequence facade that decodes+preprocesses images per access, so
+        extract_features' per-batch slicing streams the corpus instead of
+        materializing ~0.6 MB x N of preprocessed floats up front
+        (a Multi30k-scale list would be ~18 GB host RAM)."""
+
+        def __len__(self):
+            return len(names)
+
+        def __getitem__(self, i):
+            if isinstance(i, slice):
+                return [self[j] for j in range(*i.indices(len(names)))]
+            return preprocess_image(Image.open(os.path.join(images_dir, names[i])))
+
+    return extract_features(params, _LazyImages(), feat_type, batch_size)
 
 
 def extract(images_dir: str, names: List[str], feat_type: str,

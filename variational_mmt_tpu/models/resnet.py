@@ -49,7 +49,18 @@ def load_weights(path: str) -> Dict[str, np.ndarray]:
     else:
         import torch
 
-        sd = torch.load(path, map_location="cpu", weights_only=True)
+        try:
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # a pickled full nn.Module (weights_only refuses it) or other
+            # legacy pickle — same fallback contract as the torch importer:
+            # restricted load first, warned full unpickling second
+            import warnings
+
+            warnings.warn(
+                f"{path}: restricted (weights_only) torch.load failed; "
+                "falling back to full unpickling — only load files you trust")
+            sd = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):  # a full module was saved
             sd = sd.state_dict()
         raw = {k: v.numpy() for k, v in sd.items()}
@@ -142,18 +153,23 @@ def resnet_apply(params: Dict[str, np.ndarray], images_nhwc):
 
 def preprocess_image(img, size: int = 224, resize_to: int = 256) -> np.ndarray:
     """PIL image -> normalized (size, size, 3) float32 — exactly
-    torchvision's Resize(256) + CenterCrop(224) + ToTensor + Normalize
-    (bilinear resize of the shorter side, aspect preserved)."""
+    torchvision's Resize(256) + CenterCrop(224) + ToTensor + Normalize:
+    bilinear resize of the shorter side with the long side TRUNCATED to
+    int (torchvision F.resize semantics), crop offsets via Python round()
+    (round-half-even, torchvision F.center_crop). Pixel-exact parity with
+    the torchvision backend matters here: a one-pixel grid shift changes
+    the extracted features."""
     from PIL import Image
 
     img = img.convert("RGB")
     w, h = img.size
     if w <= h:
-        nw, nh = resize_to, max(1, round(h * resize_to / w))
+        nw, nh = resize_to, max(1, int(h * resize_to / w))
     else:
-        nh, nw = resize_to, max(1, round(w * resize_to / h))
+        nh, nw = resize_to, max(1, int(w * resize_to / h))
     img = img.resize((nw, nh), Image.BILINEAR)
-    left, top = (nw - size) // 2, (nh - size) // 2
+    left = int(round((nw - size) / 2.0))
+    top = int(round((nh - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
