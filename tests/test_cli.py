@@ -133,6 +133,44 @@ def test_cli_conv_features(corpus, tmp_path):
     assert _os.path.isdir(f"{tmp_path}/ck")
 
 
+def test_cli_pack(corpus, tmp_path, capsys):
+    """-pack 1: packed training through the full CLI (device-resident
+    feature table + (B,K) index gather), and the resulting checkpoint
+    decodes through the normal (unpacked) translate path."""
+    d = str(corpus)
+    ck = f"{tmp_path}/ckpack"
+    cli_train.main([
+        "-data", f"{d}/demo", "-save_model", ck, "-model_type", "vmmt_c",
+        "-train_img_feats", f"{d}/train.feats.npy",
+        "-valid_img_feats", f"{d}/valid.feats.npy", "-img_feat_dim", "16",
+        "-word_vec_size", "16", "-rnn_size", "32", "-enc_layers", "1",
+        "-dec_layers", "1", "-z_latent_dim", "4", "-batch_size", "8",
+        "-max_steps", "6", "-report_every", "3", "-valid_every", "6",
+        "-checkpoint_every", "100", "-buckets", "16", "-compute_dtype",
+        "float32", "-pack", "1", "-pack_segments", "3",
+    ])
+    assert os.path.isdir(ck)
+    cli_translate.main([
+        "-model", ck, "-src", f"{d}/test.src",
+        "-img_feats", f"{d}/test.feats.npy", "-bpe_codes", f"{d}/demo.bpe.codes",
+        "-pretokenized", "-output", f"{tmp_path}/pred.txt", "-beam_size", "2",
+        "-batch_size", "8", "-max_length", "12",
+    ])
+    with open(f"{tmp_path}/pred.txt") as f:
+        assert len(f.read().splitlines()) == 10
+
+
+def test_cli_pack_requires_gru(corpus, tmp_path):
+    d = str(corpus)
+    with pytest.raises(SystemExit, match="rnn_type gru"):
+        cli_train.main([
+            "-data", f"{d}/demo", "-save_model", f"{tmp_path}/x",
+            "-model_type", "nmt", "-rnn_type", "lstm", "-pack", "1",
+            "-word_vec_size", "16", "-rnn_size", "32", "-batch_size", "8",
+            "-max_steps", "2", "-buckets", "16", "-compute_dtype", "float32",
+        ])
+
+
 def test_cli_epochs_flag(corpus, tmp_path):
     """-epochs computes max_steps from the corpus size."""
     d = str(corpus)

@@ -115,6 +115,15 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-checkpoint_every", type=int, default=1000)
     p.add_argument("-keep_checkpoints", type=int, default=3)
     p.add_argument("-buckets", default="16,24,32,48,64")
+    p.add_argument("-pack", type=int, default=0,
+                   help="1: sequence packing — multiple sentences per row "
+                        "(segment-reset recurrences, segment-masked "
+                        "attention, per-segment latents). Identical "
+                        "per-sentence math, ~25-35%% more real tokens per "
+                        "step at Multi30k lengths. GRU models only; the row "
+                        "length is the largest -buckets value")
+    p.add_argument("-pack_segments", type=int, default=4,
+                   help="max sentences packed into one row (static shape)")
     p.add_argument("-num_shards", type=int, default=0, help="devices for data parallelism (0=all)")
     p.add_argument("-tensor_parallel", type=int, default=1,
                    help=">1: 2-D (data, model) device mesh; vocab-parallel "
@@ -188,6 +197,8 @@ FLAG2KEY = {
     "valid_every": ("train", "valid_every"),
     "checkpoint_every": ("train", "checkpoint_every"),
     "keep_checkpoints": ("train", "keep_checkpoints"),
+    "pack": ("train", "pack"),
+    "pack_segments": ("train", "pack_segments"),
     "num_shards": ("train", "num_data_shards"),
     "tensor_parallel": ("train", "num_model_shards"),
 }
@@ -281,6 +292,8 @@ def build_config(opt, src_vocab_size: int, tgt_vocab_size: int) -> Config:
             kl_free_bits=opt.kl_free_bits,
             ema_decay=opt.ema_decay,
             ema_ramp=bool(opt.ema_ramp),
+            pack=bool(opt.pack),
+            pack_segments=opt.pack_segments,
             report_every=opt.report_every,
             valid_every=opt.valid_every,
             checkpoint_every=opt.checkpoint_every,
@@ -384,7 +397,17 @@ def main(argv=None) -> None:
 
     # iterators carry only indices; the feature tables live device-resident
     # in the Trainer (per-step host transfer = ids, not 2MB of features)
-    train_iter = BucketIterator(train_ds, cfg.train.batch_size, buckets, seed=cfg.train.seed)
+    if cfg.train.pack:
+        if cfg.model.rnn_type != "gru":
+            raise SystemExit("-pack requires -rnn_type gru (segment-reset "
+                             "recurrences are GRU-only)")
+        from variational_mmt_tpu.data.packing import PackedBucketIterator
+
+        train_iter = PackedBucketIterator(
+            train_ds, cfg.train.batch_size, buckets, seed=cfg.train.seed,
+            max_segments=cfg.train.pack_segments)
+    else:
+        train_iter = BucketIterator(train_ds, cfg.train.batch_size, buckets, seed=cfg.train.seed)
     valid_iter = None
     if valid_ds is not None:
         valid_iter = BucketIterator(valid_ds, cfg.train.batch_size, buckets, shuffle=False)

@@ -157,6 +157,15 @@ class TrainConfig:
     # the ramp recovers it (EXPERIMENTS.md "EMA on the gate"). Turn off only
     # for long runs where reproducing the plain recurrence matters.
 
+    # --- sequence packing (TPU padding-waste elimination) ---
+    pack: bool = False  # pack multiple sentences per row (segment-reset
+    # recurrences + segment-masked attention + per-segment latents); the
+    # per-sentence math is identical to unpacked batches (tests/test_pack.py
+    # proves loss+grad equivalence) but each static (B, L) step carries
+    # ~25-35% more real tokens at Multi30k length distributions. GRU only;
+    # training-side only (decode batches are never packed).
+    pack_segments: int = 4  # static max sentences per packed row
+
     # --- scaling ---
     grad_accum: int = 1  # micro-batches per optimizer step (effective batch
     # = batch_size; each micro sees batch_size // grad_accum examples)

@@ -87,7 +87,9 @@ class GlobalAttention(nn.Module):
     def __call__(
         self, query: jax.Array, memory: jax.Array, src_mask: jax.Array, keys=None
     ) -> Tuple[jax.Array, jax.Array]:
-        """query (B,H) or (B,T,H); memory (B,S,H); src_mask (B,S) 1=real.
+        """query (B,H) or (B,T,H); memory (B,S,H); src_mask (B,S) 1=real —
+        or (B,T,S) for per-query-position masks (sequence packing: each
+        target position attends only to its own segment's source tokens).
         ``keys``: optional pre-projected memory from :meth:`project_memory`.
 
         Returns (attn_hidden same leading shape as query, align weights)."""
@@ -95,7 +97,8 @@ class GlobalAttention(nn.Module):
         if single:
             query = query[:, None, :]
         align = self.scores(query, memory, keys).astype(jnp.float32)
-        align = jnp.where(src_mask[:, None, :] > 0, align, NEG_INF)
+        mask3 = src_mask if src_mask.ndim == 3 else src_mask[:, None, :]
+        align = jnp.where(mask3 > 0, align, NEG_INF)
         align = jax.nn.softmax(align, axis=-1).astype(memory.dtype)
         ctx = jnp.einsum("bts,bsh->bth", align, memory)
         attn_h = jnp.tanh(self.linear_out(jnp.concatenate([ctx, query], axis=-1)))

@@ -248,6 +248,88 @@ class GRUDecoder(nn.Module):
         _, (outs, aligns) = scan(self.step, carry0, emb_proj)
         return self.out_drop(outs, deterministic=deterministic), aligns
 
+    def packed_seq(
+        self,
+        emb: jax.Array,  # (B, T, E) packed target-input embeddings
+        memory: jax.Array,  # (B, S, H) packed source memory
+        src_seg: jax.Array,  # (B, S) int32 segment ids, -1 at pads
+        tgt_seg: jax.Array,  # (B, T) int32 segment ids, -1 at pads
+        init_hs_seg: List[jax.Array],  # per-layer PER-SEGMENT inits (B, K, H)
+        deterministic: bool = True,
+        extra_input_proj_seg: jax.Array = None,  # (B, K, G·H) per-segment z proj
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Teacher-forced decode over a sequence-PACKED batch.
+
+        Semantics match running each packed segment through :meth:`__call__`
+        alone: at every segment start the carry is replaced by that
+        segment's bridge init (input-feed resets to zero), and attention is
+        masked to the segment's own source positions. GRU cells only; the
+        Pallas/fused sequence kernels don't know about resets, so this path
+        always takes the XLA scan."""
+        if self.cell_type != "gru":
+            raise NotImplementedError("sequence packing supports rnn_type=gru only")
+        B, T, _ = emb.shape
+        emb_proj = self.ih_emb(emb)
+        seg_clip = jnp.clip(tgt_seg, 0, None)
+        if extra_input_proj_seg is not None:
+            emb_proj = emb_proj + jnp.take_along_axis(
+                extra_input_proj_seg.astype(emb_proj.dtype),
+                seg_clip[..., None], axis=1)
+        # per-position init states: gather each step's segment init up front
+        # ((B,T,H) per layer) so the scan body is pure where/gather-free math
+        init_sel = [
+            jnp.take_along_axis(h.astype(self.dtype), seg_clip[..., None], axis=1)
+            for h in init_hs_seg
+        ]
+        valid = tgt_seg >= 0
+        prev = jnp.pad(tgt_seg[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+        reset = (valid & (tgt_seg != prev)).astype(jnp.float32)  # (B,T)
+        # per-step attention mask: target position t sees exactly its own
+        # segment's source tokens ((B,T,S); ~1 MB at flagship shapes)
+        amask = ((tgt_seg[:, :, None] == src_seg[:, None, :])
+                 & (src_seg >= 0)[:, None, :]).astype(jnp.float32)
+        keys = self.step.attn.project_memory(memory)
+
+        if not self.input_feed:
+            # per-layer recurrences with segment resets, one batched
+            # attention after (the StdRNNDecoder-analogue fast path)
+            x_proj = emb_proj
+            top = None
+            for l in range(self.layers):
+                wh = self.step.hh_kernels[l].astype(self.dtype)
+                bh = self.step.hh_biases[l].astype(self.dtype)
+                outs_l, _ = cell_layer_scan(
+                    x_proj, jnp.zeros_like(init_sel[l][:, 0]), wh, bh,
+                    "gru", self.unroll, reset=reset, init_seq=init_sel[l])
+                top = outs_l
+                if l + 1 < self.layers:
+                    x_proj = self.step.ih_mid[l](
+                        self.step.drop(outs_l, deterministic=deterministic))
+            attn_h, align = self.step.attn(top, memory, amask, keys=keys)
+            return self.out_drop(attn_h, deterministic=deterministic), align
+
+        def body(mod, carry, xs):
+            ep_t, r_t, am_t, init_t = xs
+            hs, feed = carry
+            r = r_t[:, None] > 0
+            hs_eff = tuple(jnp.where(r, i, h) for i, h in zip(init_t, hs))
+            feed_eff = jnp.where(r, jnp.zeros_like(feed), feed)
+            return mod((hs_eff, feed_eff), ep_t, memory, am_t, deterministic, keys)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,
+            out_axes=1,
+            unroll=self.unroll,
+        )
+        carry0 = (tuple(jnp.zeros_like(i[:, 0]) for i in init_sel),
+                  jnp.zeros((B, self.hidden), self.dtype))
+        _, (outs, aligns) = scan(
+            self.step, carry0, (emb_proj, reset, amask, tuple(init_sel)))
+        return self.out_drop(outs, deterministic=deterministic), aligns
+
     def project_memory(self, memory: jax.Array, with_values: bool = False):
         """Pre-projected attention keys for repeated one_step decoding
         (compute once per sequence, pass to every one_step call).

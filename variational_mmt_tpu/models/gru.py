@@ -112,7 +112,7 @@ class GRUCell(nn.Module):
 
 
 def cell_layer_scan(x_proj, carry0, wh, bh, cell_type="gru", unroll=1,
-                    mask=None, reverse=False):
+                    mask=None, reverse=False, reset=None, init_seq=None):
     """Scan ONE recurrent layer over pre-projected inputs x_proj (B,T,G·H).
 
     ``carry0``: (B,H) for GRU, (B,2H) [h;c] for LSTM. Returns
@@ -120,15 +120,36 @@ def cell_layer_scan(x_proj, carry0, wh, bh, cell_type="gru", unroll=1,
     carry through (variable-length encoder sequences); ``mask=None`` is the
     mask-free decoder fast path. The single home for the gate-step/scan
     idiom — UniGRU and the input_feed=False decoder both run through here.
+
+    ``reset`` (B,T): 1.0 at sequence-packing segment boundaries — the
+    incoming carry is replaced BEFORE the cell consumes position t, by
+    ``init_seq[:, t]`` when ``init_seq`` (B,T,H) is given (per-segment
+    decoder init states) or by zeros (encoder segment starts). This is the
+    packed-batch analogue of starting a fresh sentence at h0.
     """
     xs = x_proj.swapaxes(0, 1)
-    args = xs if mask is None else (xs, mask.swapaxes(0, 1))
+    extras = [a.swapaxes(0, 1) for a in (mask, reset, init_seq) if a is not None]
+    args = xs if not extras else (xs, *extras)
+    has_m, has_r = mask is not None, reset is not None
+
+    def unpack(xs_t):
+        if not extras:
+            return xs_t, None, None, None
+        it = iter(xs_t[1:])
+        m_t = next(it) if has_m else None
+        r_t = next(it) if has_r else None
+        i_t = next(it) if init_seq is not None else None
+        return xs_t[0], m_t, r_t, i_t
 
     if cell_type == "lstm":
         H = carry0.shape[-1] // 2
 
         def step(hc, xs_t):
-            xp_t, m_t = xs_t if mask is not None else (xs_t, None)
+            xp_t, m_t, r_t, i_t = unpack(xs_t)
+            if r_t is not None:
+                fresh = (jnp.concatenate([i_t, jnp.zeros_like(i_t)], axis=-1)
+                         if i_t is not None else jnp.zeros_like(hc))
+                hc = jnp.where(r_t[:, None] > 0, fresh, hc)
             h, c = jnp.split(hc, 2, axis=-1)
             h_new, c_new = lstm_gates(xp_t, h @ wh + bh, c)
             hc_new = jnp.concatenate([h_new, c_new], axis=-1)
@@ -137,7 +158,10 @@ def cell_layer_scan(x_proj, carry0, wh, bh, cell_type="gru", unroll=1,
             return hc_new, hc_new[..., :H]
     else:
         def step(h, xs_t):
-            xp_t, m_t = xs_t if mask is not None else (xs_t, None)
+            xp_t, m_t, r_t, i_t = unpack(xs_t)
+            if r_t is not None:
+                fresh = i_t if i_t is not None else jnp.zeros_like(h)
+                h = jnp.where(r_t[:, None] > 0, fresh, h)
             h_new = gru_gates(xp_t, h @ wh + bh, h)
             if m_t is not None:
                 h_new = jnp.where(m_t[:, None] > 0, h_new, h)
@@ -168,7 +192,8 @@ class UniGRU(nn.Module):
     cell_type: str = "gru"
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, mask: jax.Array,
+                 reset: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         B, T, _ = x.shape
         H = self.hidden
         G = n_gates(self.cell_type)
@@ -178,7 +203,7 @@ class UniGRU(nn.Module):
         bh = self.param("hh_bias", nn.initializers.zeros_init(), (G * H,), jnp.float32)
         h0 = jnp.zeros((B, H), self.dtype)
 
-        if self.use_pallas and self.cell_type == "gru":
+        if self.use_pallas and self.cell_type == "gru" and reset is None:
             from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
 
             interpret = jax.default_backend() != "tpu"
@@ -193,7 +218,8 @@ class UniGRU(nn.Module):
         carry0 = (jnp.concatenate([h0, h0], axis=-1)
                   if self.cell_type == "lstm" else h0)
         return cell_layer_scan(x_proj, carry0, wh, bh, self.cell_type,
-                               self.unroll, mask=m, reverse=self.reverse)
+                               self.unroll, mask=m, reverse=self.reverse,
+                               reset=reset)
 
 
 class BiGRUEncoder(nn.Module):
@@ -212,22 +238,54 @@ class BiGRUEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, emb: jax.Array, mask: jax.Array, deterministic: bool = True
+        self, emb: jax.Array, mask: jax.Array, deterministic: bool = True,
+        seg: Optional[jax.Array] = None,
+        seg_bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """emb: (B,T,E), mask: (B,T) -> (memory (B,T,H), finals [per layer:
-        (B,H) for GRU, (B,2H) = [h | c] for LSTM])."""
+        (B,H) for GRU, (B,2H) = [h | c] for LSTM]).
+
+        Sequence packing (``seg`` (B,T) segment ids, -1 at pads): the
+        recurrent carry resets at segment boundaries in both directions, so
+        each packed segment is encoded exactly as if it were alone in the
+        row. With ``seg_bounds=(first_idx, last_idx)`` ((B,K) positions),
+        finals become PER-SEGMENT states (B,K,H): the forward direction's
+        state at the segment's last token + the backward direction's at its
+        first — the same [fwd_fin | bwd_fin] layout as unpacked rows."""
         assert self.hidden % 2 == 0
         half = self.hidden // 2
         x = emb
+        reset_f = reset_b = None
+        if seg is not None:
+            valid = seg >= 0
+            prev = jnp.pad(seg[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+            nxt = jnp.pad(seg[:, 1:], ((0, 0), (0, 1)), constant_values=-2)
+            reset_f = (valid & (seg != prev)).astype(jnp.float32)
+            reset_b = (valid & (seg != nxt)).astype(jnp.float32)
         finals: List[jax.Array] = []
         for layer in range(self.layers):
             if layer > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             fwd_out, fwd_fin = UniGRU(half, False, self.dtype, self.use_pallas,
-                                      self.unroll, self.cell_type, name=f"fwd{layer}")(x, mask)
+                                      self.unroll, self.cell_type,
+                                      name=f"fwd{layer}")(x, mask, reset=reset_f)
             bwd_out, bwd_fin = UniGRU(half, True, self.dtype, self.use_pallas,
-                                      self.unroll, self.cell_type, name=f"bwd{layer}")(x, mask)
+                                      self.unroll, self.cell_type,
+                                      name=f"bwd{layer}")(x, mask, reset=reset_b)
             x = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+            if seg_bounds is not None:
+                # per-segment finals: gather the per-direction output streams
+                # at the segment's boundary positions (invalid segments point
+                # at position 0; callers mask them)
+                first, last = seg_bounds
+                fwd_fin = jnp.take_along_axis(
+                    fwd_out, last[..., None].astype(jnp.int32), axis=1)
+                bwd_fin = jnp.take_along_axis(
+                    bwd_out, first[..., None].astype(jnp.int32), axis=1)
+                if self.cell_type == "lstm":
+                    raise NotImplementedError(
+                        "sequence packing supports rnn_type=gru only (the "
+                        "output stream carries h, not the LSTM cell state)")
             if self.cell_type == "lstm":
                 # repack per-direction [h|c] halves into [h_f h_b | c_f c_b]
                 # so final[:, :H] is the hidden and final[:, H:] the cell
@@ -244,3 +302,15 @@ def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     the inference/prior networks)."""
     m = mask[..., None].astype(x.dtype)
     return (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+
+
+def segment_mean(x: jax.Array, seg: jax.Array, n_segments: int) -> jax.Array:
+    """(B,T,H), seg (B,T) ids in [-1, K) -> (B,K,H) per-segment mean — the
+    packed-batch analogue of :func:`masked_mean` (one summary per packed
+    sentence). Implemented as a one-hot einsum so it lowers to a single MXU
+    matmul instead of K gathers."""
+    onehot = (seg[:, None, :] == jnp.arange(n_segments)[None, :, None])
+    onehot = onehot.astype(x.dtype)  # (B,K,T)
+    sums = jnp.einsum("bkt,bth->bkh", onehot, x)
+    counts = onehot.sum(axis=-1)[..., None]
+    return sums / jnp.maximum(counts, 1.0)

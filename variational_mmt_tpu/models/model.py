@@ -30,7 +30,7 @@ from variational_mmt_tpu.config import ModelConfig
 from variational_mmt_tpu.data.vocab import PAD, UNK
 from variational_mmt_tpu.models.attention import GlobalAttention  # noqa: F401  (re-export)
 from variational_mmt_tpu.models.decoder import GRUDecoder
-from variational_mmt_tpu.models.gru import BiGRUEncoder, masked_mean
+from variational_mmt_tpu.models.gru import BiGRUEncoder, masked_mean, segment_mean
 from variational_mmt_tpu.models.latent import (
     ConditionalPrior,
     ImagePredictor,
@@ -298,6 +298,101 @@ class VMMTModel(nn.Module):
             out["dec_out"] = dec
         else:
             out["logits"] = dec
+        out["aligns"] = aligns
+        return out
+
+
+    # ------------------------------------------------------------------
+    # sequence-packed training forward (train.pack)
+    # ------------------------------------------------------------------
+    def forward_packed(
+        self,
+        src: jax.Array,  # (B, S) packed source rows
+        tgt_in: jax.Array,  # (B, T) packed BOS+y rows
+        src_seg: jax.Array,  # (B, S) segment ids, -1 at pads
+        tgt_seg: jax.Array,  # (B, T)
+        seg_first: jax.Array,  # (B, K) first src position per segment
+        seg_last: jax.Array,  # (B, K) last src position per segment
+        img: Optional[jax.Array] = None,  # (B, K, D) or (B, K, R, D)
+        deterministic: bool = True,
+        sample: bool = True,
+        tgt_out: Optional[jax.Array] = None,  # (B, T) gold, REQUIRED for latent
+    ) -> Dict[str, jax.Array]:
+        """Training forward over a sequence-PACKED batch (multiple sentences
+        per row, TPU padding-waste elimination). Per-sentence quantities
+        (latent params, z, image prediction) come out flattened (B·K, ...)
+        so the ELBO assembly treats every packed segment exactly like an
+        unpacked row; token-level outputs keep the packed (B, T, ...) shape.
+        Mathematically identical to the unpacked forward per segment
+        (tests/test_pack.py proves loss + grad equivalence)."""
+        c = self.cfg
+        B, K = seg_first.shape
+        src_mask = (src_seg >= 0).astype(jnp.float32)
+        emb = self.src_embed(src)
+        memory, finals = self.encoder(
+            emb, src_mask, deterministic=deterministic, seg=src_seg,
+            seg_bounds=(seg_first, seg_last))  # finals: per layer (B,K,H)
+        src_summary = segment_mean(memory, src_seg, K).reshape(B * K, -1)
+        finals_flat = [f.reshape(B * K, -1) for f in finals]
+
+        out: Dict[str, jax.Array] = {}
+        z = None
+        if self.is_latent:
+            img_flat = None
+            if img is not None:
+                img_flat = img.reshape((B * K,) + img.shape[2:])
+            v_in = self._img_in(img_flat, src_summary)
+            if tgt_out is None:
+                raise ValueError("forward_packed requires tgt_out (the gold "
+                                 "target the posterior conditions on)")
+            # q(z|x,y,v) over the PACKED gold target: segment-reset encoder
+            # + per-segment summaries, one z per packed sentence
+            tgt_mask = (tgt_seg >= 0).astype(jnp.float32)
+            gold_emb = self.tgt_embed(tgt_out)
+            tgt_enc, _ = self.tgt_encoder(
+                gold_emb, tgt_mask, deterministic=deterministic, seg=tgt_seg)
+            tgt_summary = segment_mean(tgt_enc, tgt_seg, K).reshape(B * K, -1)
+            mu_q, sigma_q = self.infnet(src_summary, tgt_summary, v_in)
+            mu_p, sigma_p = self.prior_params(src_summary, v_in)
+            if sample:
+                z = reparameterize(self.make_rng("latent"), mu_q, sigma_q)
+            else:
+                z = mu_q
+            out.update(mu_q=mu_q, sigma_q=sigma_q, mu_p=mu_p, sigma_p=sigma_p, z=z)
+            if c.use_img_predict:
+                out["img_pred"] = self.predict_img(z)
+                if v_in is not None:
+                    out["img_target"] = jax.lax.stop_gradient(v_in)
+
+        if (not deterministic) and c.word_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                self.make_rng("word_dropout"), 1.0 - c.word_dropout, tgt_in.shape
+            )
+            # never drop PAD or a segment's BOS (packed rows carry one BOS
+            # per segment, not only at column 0)
+            prev = jnp.pad(tgt_seg[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+            is_start = (tgt_seg >= 0) & (tgt_seg != prev)
+            drop = (~keep) & (tgt_in != PAD) & (~is_start)
+            tgt_in = jnp.where(drop, UNK, tgt_in)
+
+        # bridge on flattened segments -> per-layer (B, K, H) init states
+        init_flat = self.init_decoder_state(finals_flat, z)
+        init_seg = [h.reshape(B, K, -1) for h in init_flat]
+        z_proj_seg = None
+        zp = self.z_extra_proj(z)
+        if zp is not None:
+            z_proj_seg = zp.reshape(B, K, -1)
+        dec_emb = self.tgt_embed(tgt_in)
+        outs, aligns = self.decoder.packed_seq(
+            dec_emb, memory, src_seg, tgt_seg, init_seg,
+            deterministic=deterministic, extra_input_proj_seg=z_proj_seg,
+        )
+        if c.fused_ce:
+            if self.is_initializing():
+                self._gen(outs[:, :1])
+            out["dec_out"] = outs
+        else:
+            out["logits"] = self._gen(outs)
         out["aligns"] = aligns
         return out
 

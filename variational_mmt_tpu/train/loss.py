@@ -43,9 +43,12 @@ def token_ce(
     targets: jax.Array,  # (B, T) int32
     token_mask: jax.Array,  # (B, T) float32
     label_smoothing: float = 0.0,
+    per_token: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (per-sentence training CE sum (B,), per-sentence raw NLL sum
-    (B,), n_correct scalar).
+    (B,), n_correct scalar) — or masked PER-TOKEN (B,T) arrays with
+    ``per_token=True`` (sequence packing aggregates per segment instead of
+    per row).
 
     Label smoothing follows the reference convention: confidence 1-eps on
     the gold class, eps spread uniformly over the V-2 classes that are
@@ -67,6 +70,8 @@ def token_ce(
     nll_raw = nll_raw * token_mask
     pred = jnp.argmax(logits, axis=-1)
     n_correct = ((pred == targets) * token_mask).sum()
+    if per_token:
+        return nll, nll_raw, n_correct
     return nll.sum(axis=-1), nll_raw.sum(axis=-1), n_correct
 
 
@@ -96,13 +101,34 @@ def compute_loss(
     tcfg: TrainConfig,
     step: jax.Array,
     generator_params: Optional[Dict[str, jax.Array]] = None,
+    tgt_seg: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Scalar training loss (mean per-sentence -ELBO) + metric sums.
 
     ``generator_params``: required when the model ran with ``fused_ce``
     (out carries pre-generator ``dec_out`` instead of ``logits``); the
-    generator GEMM is then fused into the chunked CE (ops/fused_ce.py)."""
-    token_mask = (tgt_out != PAD).astype(jnp.float32) * example_mask[:, None]
+    generator GEMM is then fused into the chunked CE (ops/fused_ce.py).
+
+    ``tgt_seg`` (B, T): sequence-packed batches. "Sentence" then means
+    packed SEGMENT: CE aggregates per segment, and every per-sentence
+    tensor in ``out`` (latent params, image prediction) plus
+    ``example_mask`` and ``img`` arrives flattened (B·K, ...) — identical
+    normalization to an unpacked batch of B·K rows."""
+    if tgt_seg is not None:
+        K = example_mask.shape[0] // tgt_seg.shape[0]
+        token_mask = ((tgt_out != PAD) & (tgt_seg >= 0)).astype(jnp.float32)
+    else:
+        token_mask = (tgt_out != PAD).astype(jnp.float32) * example_mask[:, None]
+
+    def per_sent(nll_bt):
+        """(B,T) masked per-token NLL -> per-sentence sums ((B,) unpacked,
+        (B·K,) packed via the one-hot segment matmul)."""
+        if tgt_seg is None:
+            return nll_bt.sum(axis=-1)
+        onehot = (tgt_seg[:, None, :] == jnp.arange(K)[None, :, None]).astype(
+            nll_bt.dtype)
+        return jnp.einsum("bkt,bt->bk", onehot, nll_bt).reshape(-1)
+
     if "dec_out" in out:
         from variational_mmt_tpu.ops.fused_ce import fused_generator_ce
 
@@ -116,12 +142,15 @@ def compute_loss(
             token_mask.reshape(-1),
             tcfg.label_smoothing,
         )
-        ce_per_sent = nll.reshape(B, T).sum(axis=-1)
-        nll_per_sent = nll_raw.reshape(B, T).sum(axis=-1)
+        ce_per_sent = per_sent(nll.reshape(B, T))
+        nll_per_sent = per_sent(nll_raw.reshape(B, T))
     else:
-        ce_per_sent, nll_per_sent, n_correct = token_ce(
-            out["logits"], tgt_out, token_mask, tcfg.label_smoothing
+        ce_tok, nll_tok, n_correct = token_ce(
+            out["logits"], tgt_out, token_mask, tcfg.label_smoothing,
+            per_token=True,
         )
+        ce_per_sent = per_sent(ce_tok)
+        nll_per_sent = per_sent(nll_tok)
     n_sents = jnp.maximum(example_mask.sum(), 1.0)
     n_tokens = token_mask.sum()
 

@@ -117,6 +117,32 @@ def make_train_step(
         def loss_fn(params, micro, key):
             kd, kl_, kw = jax.random.split(key, 3)
             rngs = {"dropout": kd, "latent": kl_, "word_dropout": kw}
+            gen = generator_params(params, cfg.model) if cfg.model.fused_ce else None
+            if cfg.train.pack:
+                # sequence-packed batch (data/packing.py): per-sentence
+                # tensors flow flattened (B·K, ...) so the ELBO normalizes
+                # per packed SEGMENT exactly like an unpacked row
+                sm = micro["seg_mask"]
+                img = micro.get("img")
+                if img is None and table is not None and "indices" in micro:
+                    img = table[micro["indices"]] * sm.reshape(
+                        sm.shape + (1,) * (table.ndim - 1)
+                    )
+                out = model.apply(
+                    {"params": params},
+                    micro["src"], micro["tgt_in"], micro["src_seg"],
+                    micro["tgt_seg"], micro["seg_first"], micro["seg_last"],
+                    img, deterministic=False, sample=True,
+                    tgt_out=micro["tgt_out"], rngs=rngs,
+                    method=VMMTModel.forward_packed,
+                )
+                img_flat = (None if img is None
+                            else img.reshape((sm.size,) + img.shape[2:]))
+                return compute_loss(
+                    out, micro["tgt_out"], sm.reshape(-1), img_flat,
+                    cfg.model, cfg.train, state.step,
+                    generator_params=gen, tgt_seg=micro["tgt_seg"],
+                )
             img = micro.get("img")
             if img is None and table is not None and "indices" in micro:
                 img = table[micro["indices"]] * micro["example_mask"].reshape(
@@ -131,9 +157,7 @@ def make_train_step(
             return compute_loss(
                 out, micro["tgt_out"], micro["example_mask"], img,
                 cfg.model, cfg.train, state.step,
-                generator_params=(
-                    generator_params(params, cfg.model) if cfg.model.fused_ce else None
-                ),
+                generator_params=gen,
             )
 
         if accum == 1:
@@ -460,10 +484,18 @@ class Trainer:
               else NamedSharding(self.mesh, P(None, self.cfg.train.data_axis)))
 
         def tree_of(b):
-            tree = {
-                "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
-                "example_mask": b.example_mask,
-            }
+            if hasattr(b, "seg_mask"):  # PackedBatch (data/packing.py)
+                tree = {
+                    "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
+                    "src_seg": b.src_seg, "tgt_seg": b.tgt_seg,
+                    "seg_first": b.seg_first, "seg_last": b.seg_last,
+                    "seg_mask": b.seg_mask,
+                }
+            else:
+                tree = {
+                    "src": b.src, "tgt_in": b.tgt_in, "tgt_out": b.tgt_out,
+                    "example_mask": b.example_mask,
+                }
             if use_table:
                 tree["indices"] = b.indices  # device-side feature gather
             elif b.img is not None:
