@@ -170,7 +170,8 @@ def _flagship_cfg(on_tpu: bool):
         # same program a real -steps_per_call 8 run executes)
         train=TrainConfig(batch_size=B, learning_rate=4e-4,
                           steps_per_call=int(os.environ.get(
-                              "VMMT_BENCH_SPC", 8 if on_tpu else 1))),
+                              "VMMT_BENCH_SPC", 8 if on_tpu else 1)),
+                          pack=bool(int(os.environ.get("VMMT_BENCH_PACK", "0")))),
     )
 
 
@@ -181,6 +182,8 @@ def _make_batch(cfg, mesh, on_tpu: bool):
     V = cfg.model.src_vocab_size
     L = 32  # bucket length (covers Multi30k's ~20-token BPE sentences)
     spc = max(1, cfg.train.steps_per_call)
+    if cfg.train.pack:
+        return _make_packed_batch(cfg, mesh, B, V, L, spc)
     rng = np.random.default_rng(0)
     lens = rng.integers(L // 2, L, size=B)
     src = np.zeros((B, L), np.int32)
@@ -207,6 +210,47 @@ def _make_batch(cfg, mesh, on_tpu: bool):
     else:
         batch = jax.device_put(batch, batch_sharding(mesh))
     n_tokens = int((tgt != 0).sum()) * spc
+    return batch, n_tokens, L
+
+
+def _make_packed_batch(cfg, mesh, B, V, L, spc):
+    """VMMT_BENCH_PACK=1: the same (B, L) step shape fed by the sequence
+    packer (data/packing.py) over a Multi30k-like length distribution
+    (BPE p50~12, p90~22) — real tokens per step rise by the recovered
+    padding fraction. Stamped ``"packed": true`` in the JSON; NOT the
+    headline (round-over-round comparability keeps the unpacked shape)."""
+    from variational_mmt_tpu.data.dataset import BinarizedDataset
+    from variational_mmt_tpu.data.packing import PackedBucketIterator
+
+    rng = np.random.default_rng(0)
+    n = B * cfg.train.pack_segments * 2
+    lens = np.clip(rng.normal(13.0, 5.0, n).astype(int), 5, L - 1)
+    src = [rng.integers(4, V, l).astype(np.int32) for l in lens]
+    tgt = [rng.integers(4, V, max(2, l - 1)).astype(np.int32) for l in lens]
+    it = PackedBucketIterator(BinarizedDataset(src, tgt), B, [L], seed=0,
+                              max_segments=cfg.train.pack_segments)
+    pb = next(it.epoch(0))
+    K = pb.seg_mask.shape[1]
+    batch = {
+        "src": jnp.asarray(pb.src), "tgt_in": jnp.asarray(pb.tgt_in),
+        "tgt_out": jnp.asarray(pb.tgt_out),
+        "src_seg": jnp.asarray(pb.src_seg), "tgt_seg": jnp.asarray(pb.tgt_seg),
+        "seg_first": jnp.asarray(pb.seg_first),
+        "seg_last": jnp.asarray(pb.seg_last),
+        "seg_mask": jnp.asarray(pb.seg_mask),
+        "img": jnp.asarray(
+            rng.standard_normal((B, K, cfg.model.img_feat_dim)), jnp.float32),
+    }
+    if spc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (spc,) + x.shape), batch)
+        batch = jax.device_put(batch, NamedSharding(mesh, P(None, "data")))
+    else:
+        from variational_mmt_tpu.parallel.mesh import batch_sharding
+
+        batch = jax.device_put(batch, batch_sharding(mesh))
+    n_tokens = int((pb.tgt_seg >= 0).sum()) * spc
     return batch, n_tokens, L
 
 
@@ -277,6 +321,8 @@ def _train_phase():
         "compile_s": compile_s,
         "on_tpu": on_tpu,
     }
+    if cfg.train.pack:
+        result["packed"] = True
     # pull params to host so decode can rebuild device state independently
     params_host = jax.tree.map(np.asarray, state.params)
     return result, params_host, cfg

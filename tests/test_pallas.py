@@ -159,6 +159,85 @@ def test_gru_kernel_vjp_reverse():
     np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_kernel_reset_matches_xla(reverse):
+    """Sequence-packing resets: kernel fwd AND custom-VJP grads == the
+    cell_layer_scan XLA path with the same reset stream."""
+    from variational_mmt_tpu.models.gru import cell_layer_scan
+    from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
+
+    B, T, H = 4, 7, 8
+    rng = np.random.default_rng(5)
+    xp = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    m = np.ones((B, T), np.float32)
+    m[1, 5:] = 0
+    m[2, 6:] = 0
+    m = jnp.asarray(m)
+    # segment boundaries mid-row (packed layout: resets at valid positions)
+    r = np.zeros((B, T), np.float32)
+    r[:, 0] = 1
+    r[0, 3] = 1
+    r[1, 2] = 1
+    r[3, 4] = 1
+    r = jnp.asarray(r)
+    h0 = jnp.asarray(rng.standard_normal((B, H)) * 0.1, jnp.float32)
+    Wh = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.standard_normal(3 * H) * 0.1, jnp.float32)
+    go = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    gf = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+
+    def loss_ref(xp, h0, Wh, bh):
+        outs, fin = cell_layer_scan(xp, h0, Wh, bh, "gru", 1, mask=m,
+                                    reverse=reverse, reset=r)
+        return (outs * go).sum() + (fin * gf).sum()
+
+    def loss_ker(xp, h0, Wh, bh):
+        outs, fin = gru_layer_scan_ad(xp, m, h0, Wh, bh, reverse, True, r)
+        return (outs * go).sum() + (fin * gf).sum()
+
+    np.testing.assert_allclose(float(loss_ker(xp, h0, Wh, bh)),
+                               float(loss_ref(xp, h0, Wh, bh)), rtol=1e-5)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xp, h0, Wh, bh)
+    got = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(xp, h0, Wh, bh)
+    for w, g, name in zip(want, got, ["dx", "dh0", "dWh", "dbh"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_packed_forward_pallas_matches_xla():
+    """The packed model forward with use_pallas=True (interpret) == the XLA
+    packed forward: same loss, same grads (the packed encoder rides the
+    reset-aware kernel; the packed decoder stays XLA by design)."""
+    from tests.test_pack import (_mcfg, _packed_batch, _loss_packed,
+                                 _sentences, D_IMG)
+    from variational_mmt_tpu.config import Config, TrainConfig
+    from variational_mmt_tpu.models.model import build_model, init_params
+
+    rng = np.random.default_rng(11)
+    sents = _sentences(rng, 4)
+    img = rng.standard_normal((4, D_IMG)).astype(np.float32)
+    pb, seg_mask = _packed_batch(sents, [[0, 1], [2, 3]], 20, 2, img)
+    cfg_x = Config(model=_mcfg(), train=TrainConfig(pack=True))
+    cfg_p = Config(model=_mcfg(use_pallas=True), train=TrainConfig(pack=True))
+    model_x = build_model(cfg_x.model)
+    model_p = build_model(cfg_p.model)
+    params = init_params(model_x, jax.random.PRNGKey(7))
+
+    def lx(p):
+        return _loss_packed(model_x, p, pb, seg_mask, cfg_x)[0]
+
+    def lp(p):
+        return _loss_packed(model_p, p, pb, seg_mask, cfg_p)[0]
+
+    np.testing.assert_allclose(float(lp(params)), float(lx(params)),
+                               rtol=1e-4)
+    gx = jax.tree.leaves(jax.grad(lx)(params))
+    gp = jax.tree.leaves(jax.grad(lp)(params))
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3,
+                                   atol=5e-4)
+
+
 def test_use_pallas_model_equivalence():
     """use_pallas=True (interpret on CPU) produces the same training forward
     and gradients as the XLA scan path, over identical params."""

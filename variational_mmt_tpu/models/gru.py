@@ -203,12 +203,13 @@ class UniGRU(nn.Module):
         bh = self.param("hh_bias", nn.initializers.zeros_init(), (G * H,), jnp.float32)
         h0 = jnp.zeros((B, H), self.dtype)
 
-        if self.use_pallas and self.cell_type == "gru" and reset is None:
+        if self.use_pallas and self.cell_type == "gru":
             from variational_mmt_tpu.ops.pallas.gru import gru_layer_scan_ad
 
             interpret = jax.default_backend() != "tpu"
             outs, final = gru_layer_scan_ad(
-                x_proj, mask, h0, wh.astype(self.dtype), bh, self.reverse, interpret
+                x_proj, mask, h0, wh.astype(self.dtype), bh, self.reverse,
+                interpret, reset
             )
             return outs.astype(self.dtype), final.astype(self.dtype)
 

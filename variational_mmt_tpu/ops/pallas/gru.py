@@ -51,7 +51,12 @@ def pallas_available() -> bool:
 # ----------------------------------------------------------------------
 # forward
 # ----------------------------------------------------------------------
-def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_scr):
+def _gru_fwd_kernel(has_reset, *refs):
+    if has_reset:
+        x_ref, m_ref, r_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_scr = refs
+    else:
+        x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_scr = refs
+        r_ref = None
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -60,6 +65,10 @@ def _gru_fwd_kernel(x_ref, m_ref, h0_ref, wh_ref, bh_ref, out_ref, fin_ref, h_sc
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
+    if r_ref is not None:
+        # sequence packing: zero the carry at segment starts BEFORE the cell
+        # (models/gru.py cell_layer_scan reset semantics, zero-init form)
+        h = h * (1.0 - r_ref[0, 0, :][:, None])
     x_proj = x_ref[0].astype(jnp.float32)  # (B, 3H); stream may be bf16
     # MXU GEMM in the weights' dtype (bf16 stream = half the VMEM/HBM
     # traffic), f32 accumulate; gate math stays f32
@@ -104,12 +113,14 @@ def gru_layer_scan(
     reverse: bool = False,
     interpret: bool = False,
     row_chunk: int = 0,  # 0 = auto (VMEM heuristic); tests override
+    reset: jax.Array = None,  # (B, T) 1.0 = zero the carry before this step
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward-only fused scan. Returns (outputs (B, T, H) float32, final
     (B, H) float32); matches models/gru.py UniGRU semantics 1:1. bf16
     x_proj/Wh inputs stream as bf16 (GEMMs on the MXU in bf16 with f32
     accumulation); state and gate math are always f32. Large batches are
-    processed in VMEM-sized chunks (rows are independent)."""
+    processed in VMEM-sized chunks (rows are independent). ``reset``:
+    sequence-packing segment boundaries (cell_layer_scan reset semantics)."""
     B, T, H3 = x_proj.shape
     H = H3 // 3
     chunk = row_chunk or _max_rows(H)
@@ -121,6 +132,7 @@ def gru_layer_scan(
             o, f = gru_layer_scan(
                 x_proj[s], mask[s], h0[s], Wh, bh, reverse=reverse,
                 interpret=interpret, row_chunk=row_chunk,
+                reset=None if reset is None else reset[s],
             )
             outs_parts.append(o)
             fin_parts.append(f)
@@ -136,16 +148,24 @@ def gru_layer_scan(
     else:
         t_map = lambda t: (t, 0, 0)
 
+    has_reset = reset is not None
+    stream_spec = pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
+        stream_spec,
+        *([stream_spec] if has_reset else []),
+        pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xt, mt]
+    if has_reset:
+        args.append(reset.astype(f32).swapaxes(0, 1)[:, None, :])
+    args += [h0, Wh, bh2]
     outs, fin = pl.pallas_call(
-        _gru_fwd_kernel,
+        functools.partial(_gru_fwd_kernel, has_reset),
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, B, H), t_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -156,18 +176,21 @@ def gru_layer_scan(
         ],
         scratch_shapes=[pltpu.VMEM((B, H), f32)],
         interpret=interpret,
-    )(xt, mt, h0, Wh, bh2)
+    )(*args)
     return outs.swapaxes(0, 1), fin
 
 
 # ----------------------------------------------------------------------
 # backward
 # ----------------------------------------------------------------------
-def _gru_bwd_kernel(
-    x_ref, m_ref, h0_ref, wh_ref, bh_ref, prev_ref, g_ref,
-    dx_ref, dh0_ref, dwh_ref, dbh_ref,
-    dh_scr, dwh_scr, dbh_scr,
-):
+def _gru_bwd_kernel(has_reset, *refs):
+    if has_reset:
+        (x_ref, m_ref, r_ref, h0_ref, wh_ref, bh_ref, prev_ref, g_ref,
+         dx_ref, dh0_ref, dwh_ref, dbh_ref, dh_scr, dwh_scr, dbh_scr) = refs
+    else:
+        (x_ref, m_ref, h0_ref, wh_ref, bh_ref, prev_ref, g_ref,
+         dx_ref, dh0_ref, dwh_ref, dbh_ref, dh_scr, dwh_scr, dbh_scr) = refs
+        r_ref = None
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -179,6 +202,12 @@ def _gru_bwd_kernel(
 
     # grid step t processes the (T-1-t)-th step of forward processing order
     h_prev = jnp.where(t == T - 1, h0_ref[:], prev_ref[0].astype(jnp.float32))
+    if r_ref is not None:
+        # forward zeroed the carry at segment starts; recompute gates from
+        # the SAME effective state, and kill the carry cotangent across the
+        # boundary at the end (keep = 1 - reset)
+        keep = 1.0 - r_ref[0, 0, :][:, None]
+        h_prev = h_prev * keep
     x_proj = x_ref[0].astype(jnp.float32)
     m = m_ref[0, 0, :][:, None]
     g = g_ref[0]
@@ -212,6 +241,8 @@ def _gru_bwd_kernel(
     dh_prev = dh_prev + jnp.dot(
         dh_proj.astype(cdt), wh_ref[:].T, preferred_element_type=jnp.float32
     )
+    if r_ref is not None:
+        dh_prev = dh_prev * keep
 
     dx_ref[0] = dx_proj
     dh_scr[:] = dh_prev
@@ -227,9 +258,11 @@ def _gru_bwd_kernel(
         dbh_ref[:] = dbh_scr[:]
 
 
-def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
-    """All sequence args time-major (T, B, .). Returns (dx_proj (T,B,3H),
-    dh0, dWh, dbh). Large batches chunked like the forward."""
+def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret,
+                       reset=None):
+    """All sequence args time-major (T, B, .) (``reset``: (T, 1, B) or
+    None). Returns (dx_proj (T,B,3H), dh0, dWh, dbh). Large batches chunked
+    like the forward."""
     T, B, H3 = x_proj.shape
     H = H3 // 3
     f32 = jnp.float32
@@ -242,6 +275,7 @@ def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
             dx, dh0_c, dWh_c, dbh_c = _gru_scan_bwd_impl(
                 x_proj[:, s], mask[:, :, s], h0[s], Wh, bh, outs[:, s], g[:, s],
                 reverse, interpret,
+                reset=None if reset is None else reset[:, :, s],
             )
             dx_p.append(dx)
             dh0_p.append(dh0_c)
@@ -257,12 +291,16 @@ def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
         t_map = lambda t: (T - 1 - t, 0, 0)
         prev_map = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
 
+    has_reset = reset is not None
+    stream_spec = pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM)
+    in_args = [x_proj, mask] + ([reset] if has_reset else []) + [h0, Wh, bh, outs, g]
     dx, dh0, dWh, dbh = pl.pallas_call(
-        _gru_bwd_kernel,
+        functools.partial(_gru_bwd_kernel, has_reset),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, H3), t_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), t_map, memory_space=pltpu.VMEM),
+            stream_spec,
+            *([stream_spec] if has_reset else []),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -291,24 +329,28 @@ def _gru_scan_bwd_impl(x_proj, mask, h0, Wh, bh, outs, g, reverse, interpret):
             pltpu.VMEM((1, H3), f32),
         ],
         interpret=interpret,
-    )(x_proj, mask, h0, Wh, bh, outs, g)
+    )(*in_args)
     return dx, dh0, dWh, dbh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def gru_layer_scan_ad(x_proj, mask, h0, Wh, bh, reverse=False, interpret=False):
+def gru_layer_scan_ad(x_proj, mask, h0, Wh, bh, reverse=False, interpret=False,
+                      reset=None):
     """Differentiable fused GRU scan (custom VJP; both passes are Pallas
-    kernels). Same contract as :func:`gru_layer_scan`."""
-    return gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse, interpret=interpret)
+    kernels). Same contract as :func:`gru_layer_scan` (``reset``: sequence
+    packing; treated as a constant — no cotangent)."""
+    return gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse,
+                          interpret=interpret, reset=reset)
 
 
-def _gru_ad_fwd(x_proj, mask, h0, Wh, bh, reverse, interpret):
-    outs, fin = gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse, interpret=interpret)
-    return (outs, fin), (x_proj, mask, h0, Wh, bh, outs)
+def _gru_ad_fwd(x_proj, mask, h0, Wh, bh, reverse, interpret, reset=None):
+    outs, fin = gru_layer_scan(x_proj, mask, h0, Wh, bh, reverse=reverse,
+                               interpret=interpret, reset=reset)
+    return (outs, fin), (x_proj, mask, h0, Wh, bh, outs, reset)
 
 
 def _gru_ad_bwd(reverse, interpret, res, grads):
-    x_proj, mask, h0, Wh, bh, outs = res
+    x_proj, mask, h0, Wh, bh, outs, reset = res
     g_outs, g_fin = grads
     f32 = jnp.float32
     T = outs.shape[1]
@@ -329,6 +371,8 @@ def _gru_ad_bwd(reverse, interpret, res, grads):
         g.swapaxes(0, 1),
         reverse,
         interpret,
+        reset=(None if reset is None
+               else reset.astype(f32).swapaxes(0, 1)[:, None, :]),
     )
     return (
         dx.swapaxes(0, 1).astype(x_proj.dtype),
@@ -336,6 +380,7 @@ def _gru_ad_bwd(reverse, interpret, res, grads):
         dh0.astype(h0.dtype),
         dWh.astype(Wh.dtype),
         dbh.reshape(-1).astype(bh.dtype),
+        None,  # reset: boundary indicator, no cotangent
     )
 
 
