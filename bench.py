@@ -379,14 +379,22 @@ def main() -> None:
     res, params_host, cfg = _retry("train", _train_phase)
 
     # Decode phase is best-effort: never lose the train number to it.
-    try:
-        dec = _retry("decode", lambda: _decode_phase(params_host, cfg, res["on_tpu"]),
-                     attempts=2)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench: decode sub-bench failed after retries: "
-              f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    if cfg.train.pack:
+        # packed mode measures TRAINING only: its corpus carries real EOS
+        # tokens, so the briefly-trained params emit EOS immediately and
+        # beams early-exit — a 4x "decode speedup" that measures nothing.
+        # The unpacked run's decode line is the comparable one.
         dec = {"decode_beam4_sent_per_sec": None, "decode_iqr": None,
                "decode_reps": 0}
+    else:
+        try:
+            dec = _retry("decode", lambda: _decode_phase(params_host, cfg, res["on_tpu"]),
+                         attempts=2)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: decode sub-bench failed after retries: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            dec = {"decode_beam4_sent_per_sec": None, "decode_iqr": None,
+                   "decode_reps": 0}
 
     # First real-TPU measurement of this rebuild becomes the baseline the
     # driver tracks across rounds (reference published no perf numbers).
