@@ -79,6 +79,8 @@ def build_cfg(model_type, seed, steps, platform, args):
             kl_free_bits=args.kl_free_bits,
             ema_decay=getattr(args, "ema_decay", 0.0),
             ema_ramp=bool(getattr(args, "ema_ramp", 1)),
+            pack=bool(getattr(args, "pack", 0)),
+            pack_segments=getattr(args, "pack_segments", 4),
             report_every=max(50, steps // 5),
             valid_every=10 ** 9,
             checkpoint_every=10 ** 9,
@@ -139,7 +141,14 @@ def run_one(model_type, seed, data, args, platform):
 
     cfg = build_cfg(model_type, seed, args.steps, platform, args)
     tr_ids = binarize([sv.encode(s) for s in tr_src], [tv.encode(t) for t in tr_tgt])
-    it = BucketIterator(tr_ids, cfg.train.batch_size, cfg.data.buckets, seed=seed)
+    if cfg.train.pack:
+        from variational_mmt_tpu.data.packing import PackedBucketIterator
+
+        it = PackedBucketIterator(tr_ids, cfg.train.batch_size,
+                                  cfg.data.buckets, seed=seed,
+                                  max_segments=cfg.train.pack_segments)
+    else:
+        it = BucketIterator(tr_ids, cfg.train.batch_size, cfg.data.buckets, seed=seed)
     model = build_model(cfg.model)
     feats = tr_feats if model_type != "nmt" else None
     t0 = time.time()
@@ -179,6 +188,8 @@ def run_one(model_type, seed, data, args, platform):
            "test_bleu": round(bleu, 2), "valid_bleu": round(vbleu, 2),
            "steps": args.steps, "train_s": round(train_s, 1),
            "decode_s": round(decode_s, 1)}
+    if cfg.train.pack:
+        res["pack"] = 1
     if getattr(args, "ema_decay", 0.0) > 0:
         # same harness, EMA weights: the raw-vs-Polyak decode comparison
         ema_tr = Translator(model, trainer.final_state.ema_params, sv, tv,
@@ -243,6 +254,13 @@ def main():
                         "the latent acts as pure noise regularization; WITH "
                         "it z is forced to encode v and decode-time z=0 is a "
                         "train/test mismatch (the standard gate shows this)")
+    p.add_argument("-pack", type=int, default=0,
+                   help="1: train with sequence packing (-pack on the train "
+                        "CLI) — per-batch math is identical (tests/"
+                        "test_pack.py), but batch COMPOSITION changes (more "
+                        "sentences per step), so this measures the end-to-"
+                        "end quality effect of the packed training regime")
+    p.add_argument("-pack_segments", type=int, default=4)
     p.add_argument("-out", default="qg_results.jsonl")
     args = p.parse_args()
 
