@@ -212,13 +212,18 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
     from variational_mmt_tpu.config import Config
 
     d = str(corpus)
+    from dataclasses import replace
+
+    # base file carries lstm so the rnn_type CLI override (gru) is
+    # non-vacuous while still satisfying -pack's GRU requirement
     base = Config()
+    base = replace(base, model=replace(base.model, rnn_type="lstm"))
     cfg_path = f"{tmp_path}/base.json"
     open(cfg_path, "w").write(base.to_json())
 
     overrides = {
         "data": f"{d}/demo", "buckets": "16", "model_type": "vmmt_c",
-        "rnn_type": "lstm",
+        "rnn_type": "gru",
         "word_vec_size": "32", "rnn_size": "32", "enc_layers": "1",
         "share_decoder_embeddings": "1", "share_embeddings": "0",
         "dec_layers": "1", "dropout": "0.11", "word_dropout": "0.07",
@@ -235,6 +240,7 @@ def test_config_file_with_full_cli_override(corpus, tmp_path):
         "param_init": "0.08",
         "kl_anneal": "sigmoid", "kl_anneal_steps": "55", "kl_anneal_start": "5",
         "kl_free_bits": "0.25", "skip_nonfinite": "1", "ema_decay": "0.9", "ema_ramp": "0",
+        "pack": "1", "pack_segments": "3",
         "fix_word_vecs_enc": "1", "fix_word_vecs_dec": "1", "seed": "42",
         "report_every": "9",
         "valid_every": "100", "checkpoint_every": "100",
