@@ -144,6 +144,62 @@ def test_tp_eval_step_matches_single_device():
     np.testing.assert_allclose(float(m_tp["ce_sum"]), float(m_1["ce_sum"]), rtol=1e-5)
 
 
+def test_tp_packed_train_matches_single_device():
+    """Sequence packing x TP: a packed train step on a (4 data x 2 model)
+    mesh == single-device packed step. The packed extras (src_seg/tgt_seg/
+    seg_first/seg_last/seg_mask, (B, K, D) img) ride the data axis like the
+    token arrays; vocab shards never see segment structure."""
+    from dataclasses import replace
+
+    from variational_mmt_tpu.data.dataset import BinarizedDataset
+    from variational_mmt_tpu.data.packing import PackedBucketIterator
+
+    rng = np.random.default_rng(7)
+    n = 48
+    src = [rng.integers(4, V, rng.integers(3, 12)).astype(np.int32)
+           for _ in range(n)]
+    tgt = [rng.integers(4, V, rng.integers(3, 12)).astype(np.int32)
+           for _ in range(n)]
+    feats = rng.standard_normal((n, 16)).astype(np.float32)
+    cfg = tp_cfg()
+    cfg = replace(cfg, train=replace(cfg.train, pack=True, pack_segments=3))
+    model = build_model(cfg.model)
+    it = PackedBucketIterator(BinarizedDataset(src, tgt), batch_size=8,
+                              buckets=[16], img_feats=feats, seed=2,
+                              max_segments=3)
+    pb = next(it.epoch(0))
+    batch = {
+        "src": jax.numpy.asarray(pb.src),
+        "tgt_in": jax.numpy.asarray(pb.tgt_in),
+        "tgt_out": jax.numpy.asarray(pb.tgt_out),
+        "src_seg": jax.numpy.asarray(pb.src_seg),
+        "tgt_seg": jax.numpy.asarray(pb.tgt_seg),
+        "seg_first": jax.numpy.asarray(pb.seg_first),
+        "seg_last": jax.numpy.asarray(pb.seg_last),
+        "seg_mask": jax.numpy.asarray(pb.seg_mask),
+        "img": jax.numpy.asarray(pb.img),
+    }
+
+    mesh_tp = make_mesh_2d(4, 2)
+    mesh_1 = make_mesh(1)
+    state_tp = create_train_state(cfg, model)
+    state_1 = create_train_state(cfg, model)
+    step_tp = make_train_step(cfg, model, mesh_tp)
+    step_1 = make_train_step(cfg, model, mesh_1)
+    b_tp = jax.device_put(batch, batch_sharding(mesh_tp))
+    b_1 = jax.device_put(batch, batch_sharding(mesh_1))
+    for _ in range(2):
+        state_tp, m_tp = step_tp(state_tp, b_tp)
+        state_1, m_1 = step_1(state_1, b_1)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    assert float(m_tp["n_sents"]) == float(m_1["n_sents"]) > 8  # packed rows
+    for p_tp, p_1 in zip(jax.tree.leaves(state_tp.params),
+                         jax.tree.leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(p_tp), np.asarray(p_1),
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_tp_vocab_divisibility_error():
     cfg = tp_cfg()
     cfg.model.src_vocab_size = 30  # not divisible by 4
