@@ -171,7 +171,9 @@ def _flagship_cfg(on_tpu: bool):
         train=TrainConfig(batch_size=B, learning_rate=4e-4,
                           steps_per_call=int(os.environ.get(
                               "VMMT_BENCH_SPC", 8 if on_tpu else 1)),
-                          pack=bool(int(os.environ.get("VMMT_BENCH_PACK", "0")))),
+                          pack=bool(int(os.environ.get("VMMT_BENCH_PACK", "0"))),
+                          pack_segments=int(os.environ.get(
+                              "VMMT_BENCH_PACK_SEGMENTS", "4"))),
     )
 
 
@@ -330,6 +332,7 @@ def _train_phase(pack_override=None):
     }
     if cfg.train.pack:
         result["packed"] = True
+        result["pack_segments"] = cfg.train.pack_segments
     # pull params to host so decode can rebuild device state independently
     params_host = jax.tree.map(np.asarray, state.params)
     return result, params_host, cfg
