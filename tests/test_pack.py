@@ -339,3 +339,46 @@ def test_trainer_runs_packed_end_to_end():
             break
     assert n_sents > 16  # more sentences than rows: packing worked
     assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+
+def test_native_packer_matches_python():
+    """The C++ packer (native/packer.cpp) must be array-identical to the
+    Python PackedBucketIterator on every field of every batch — the Python
+    path is the behavioral spec, the native path is the same algorithm."""
+    from variational_mmt_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(3)
+    n = 700
+    src = [rng.integers(4, V, rng.integers(1, 30)).astype(np.int32)
+           for _ in range(n)]
+    tgt = [rng.integers(4, V, rng.integers(1, 30)).astype(np.int32)
+           for _ in range(n)]
+    feats = rng.standard_normal((n, D_IMG)).astype(np.float32)
+    for K, B, L in ((4, 16, 24), (1, 8, 16), (7, 8, 32)):
+        ds = BinarizedDataset(src, tgt)
+        it_py = PackedBucketIterator(ds, B, [L], img_feats=feats, seed=5,
+                                     max_segments=K, use_native=False)
+        it_cc = PackedBucketIterator(ds, B, [L], img_feats=feats, seed=5,
+                                     max_segments=K, use_native=True)
+        py = list(it_py.epoch(2))
+        cc = list(it_cc.epoch(2))
+        assert len(py) == len(cc) and len(py) > 1
+        for pb, cb in zip(py, cc):
+            for f in ("src", "tgt_in", "tgt_out", "src_seg", "tgt_seg",
+                      "seg_first", "seg_last", "indices", "seg_mask", "img"):
+                np.testing.assert_array_equal(
+                    getattr(pb, f), getattr(cb, f), err_msg=f"{f} K={K}")
+
+
+def test_native_packer_rejects_large_k():
+    from variational_mmt_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    ds = BinarizedDataset([np.array([5, 6], np.int32)],
+                          [np.array([7], np.int32)])
+    it = PackedBucketIterator(ds, 4, [16], max_segments=32)
+    assert not it.use_native  # auto-falls back to Python past the C++ cap
+    assert len(list(it.epoch(0))) == 1

@@ -88,6 +88,7 @@ class PackedBucketIterator:
         seed: int = 0,
         infinite: bool = False,
         max_segments: int = 4,
+        use_native: Optional[bool] = None,
     ):
         if ds.tgt is None:
             raise ValueError("sequence packing requires a target side")
@@ -99,6 +100,12 @@ class PackedBucketIterator:
         self.seed = seed
         self.infinite = infinite
         self.K = max(1, max_segments)
+        if use_native is None:
+            from variational_mmt_tpu import native
+
+            # the C++ plan buffer holds <=16 segments/row (packer.cpp)
+            use_native = native.available() and self.K <= 16
+        self.use_native = bool(use_native)
 
     def __len__(self) -> int:
         # estimate (exact count depends on the epoch's packing): total
@@ -114,6 +121,9 @@ class PackedBucketIterator:
         rng = np.random.default_rng(self.seed + epoch)
         order = (rng.permutation(len(self.ds)) if self.shuffle
                  else np.arange(len(self.ds)))
+        if self.use_native:
+            yield from self._epoch_native(order)
+            return
         L, K = self.row_len, self.K
         rows: List[_Row] = []
         for i in order:
@@ -139,6 +149,41 @@ class PackedBucketIterator:
                 rows.append(r)
         if rows:
             yield self._assemble(rows)
+
+    def _epoch_native(self, order: np.ndarray) -> Iterator[PackedBatch]:
+        """C++ fast path (native/packer.cpp): one pack_plan call per epoch,
+        one assemble_packed call per batch — array-identical to the Python
+        path (tests/test_pack.py parity test), ~20x the host throughput
+        (the Python packer saturates a 1-CPU host at exactly the flagship
+        step rate; see perf_notes "Native packer")."""
+        from variational_mmt_tpu import native
+        from variational_mmt_tpu.data.vocab import BOS as _BOS, EOS as _EOS
+
+        B, L, K = self.batch_size, self.row_len, self.K
+        sd, so = self.ds.src_flat()
+        td, to = self.ds.tgt_flat()
+        row_off, row_ex = native.pack_plan(so, to, order, B, L, K)
+        n_rows = len(row_off) - 1
+        for b0 in range(0, n_rows, B):
+            nb = min(B, n_rows - b0)
+            (src, tgt_in, tgt_out, src_seg, tgt_seg, seg_first, seg_last,
+             indices, seg_mask) = native.assemble_packed(
+                sd, so, td, to, row_off, row_ex, b0, nb,
+                B, L, K, _BOS, _EOS, PAD)
+            yield PackedBatch(
+                src=src, tgt_in=tgt_in, tgt_out=tgt_out, src_seg=src_seg,
+                tgt_seg=tgt_seg, seg_first=seg_first, seg_last=seg_last,
+                indices=indices, seg_mask=seg_mask,
+                img=self._img_rows(indices, seg_mask),
+            )
+
+    def _img_rows(self, indices: np.ndarray, seg_mask: np.ndarray):
+        if self.img_feats is None:
+            return None
+        B, K = indices.shape
+        img = np.asarray(self.img_feats[indices], np.float32)
+        img *= seg_mask.reshape((B, K) + (1,) * (img.ndim - 2))
+        return img
 
     def __iter__(self) -> Iterator[PackedBatch]:
         e = 0
@@ -178,12 +223,9 @@ class PackedBucketIterator:
                 seg_mask[r, k] = 1.0
                 sp += ls
                 tp += lt
-        img = None
-        if self.img_feats is not None:
-            img = np.asarray(self.img_feats[indices], np.float32)
-            img *= seg_mask.reshape((B, K) + (1,) * (img.ndim - 2))
         return PackedBatch(
             src=src, tgt_in=tgt_in, tgt_out=tgt_out, src_seg=src_seg,
             tgt_seg=tgt_seg, seg_first=seg_first, seg_last=seg_last,
-            indices=indices, seg_mask=seg_mask, img=img,
+            indices=indices, seg_mask=seg_mask,
+            img=self._img_rows(indices, seg_mask),
         )

@@ -23,6 +23,7 @@ _TRIED = False
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "batcher.cpp"),
     os.path.join(os.path.dirname(__file__), "bpe.cpp"),
+    os.path.join(os.path.dirname(__file__), "packer.cpp"),
 ]
 
 
@@ -113,6 +114,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.bpe_segment.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
             ]
+            lib.pack_plan.restype = ctypes.c_int64
+            lib.assemble_packed.restype = None
             _LIB = lib
             return _LIB
         except (OSError, AttributeError):
@@ -179,6 +182,76 @@ def gather_rows(feats: np.ndarray, indices: np.ndarray, mask: np.ndarray) -> np.
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def pack_plan(src_off: np.ndarray, tgt_off: np.ndarray, order: np.ndarray,
+              B: int, L: int, K: int):
+    """Greedy first-fit packing plan for one epoch (packer.cpp). Returns
+    (row_off int64 (n_rows+1,), row_examples int64 (n,)) — corpus indices
+    grouped per packed row, batch b = rows [b*B, (b+1)*B)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native packer unavailable")
+    if K > 16:
+        raise ValueError(f"native packer supports pack_segments <= 16, got {K}")
+    order64 = np.ascontiguousarray(order, np.int64)
+    n = len(order64)
+    row_off = np.empty(n + 1, np.int64)
+    row_examples = np.empty(max(n, 1), np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    n_rows = lib.pack_plan(
+        ptr(np.ascontiguousarray(src_off, np.int64)),
+        ptr(np.ascontiguousarray(tgt_off, np.int64)),
+        ptr(order64), ctypes.c_int64(n),
+        ctypes.c_int64(B), ctypes.c_int64(L), ctypes.c_int64(K),
+        ptr(row_off), ptr(row_examples),
+    )
+    if n_rows < 0:
+        raise RuntimeError("native pack_plan rejected arguments")
+    return row_off[: n_rows + 1], row_examples[:n]
+
+
+def assemble_packed(src_data, src_off, tgt_data, tgt_off,
+                    row_off, row_examples, row0: int, n_rows: int,
+                    B: int, L: int, K: int, bos: int, eos: int, pad: int):
+    """Fill one packed batch from a pack_plan (packer.cpp). Returns
+    (src, tgt_in, tgt_out, src_seg, tgt_seg, seg_first, seg_last,
+    indices, seg_mask) as fresh arrays."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native packer unavailable")
+    out_src = np.empty((B, L), np.int32)
+    out_tin = np.empty((B, L), np.int32)
+    out_tout = np.empty((B, L), np.int32)
+    out_sseg = np.empty((B, L), np.int32)
+    out_tseg = np.empty((B, L), np.int32)
+    out_first = np.empty((B, K), np.int32)
+    out_last = np.empty((B, K), np.int32)
+    out_idx = np.empty((B, K), np.int32)
+    out_segmask = np.empty((B, K), np.float32)
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.assemble_packed(
+        p32(src_data), p64(src_off), p32(tgt_data), p64(tgt_off),
+        p64(np.ascontiguousarray(row_off, np.int64)),
+        p64(np.ascontiguousarray(row_examples, np.int64)),
+        ctypes.c_int64(row0), ctypes.c_int64(n_rows),
+        ctypes.c_int64(B), ctypes.c_int64(L), ctypes.c_int64(K),
+        ctypes.c_int32(bos), ctypes.c_int32(eos), ctypes.c_int32(pad),
+        p32(out_src), p32(out_tin), p32(out_tout),
+        p32(out_sseg), p32(out_tseg), p32(out_first), p32(out_last),
+        p32(out_idx), out_segmask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return (out_src, out_tin, out_tout, out_sseg, out_tseg, out_first,
+            out_last, out_idx, out_segmask)
 
 
 class NativeBPE:
