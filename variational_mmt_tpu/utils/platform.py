@@ -130,7 +130,14 @@ def enable_compile_cache(allow_jax_import: bool = True) -> None:
         os.makedirs(loc, mode=0o700, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 5 s floor: every real program (train step, beam decode, packed
+        # step) compiles in tens of seconds to minutes and always caches;
+        # trivial single-op programs (reduce_sum drains etc.) compile in
+        # ms — EXCEPT on a contended 1-core host, where they stochastically
+        # cross a 1 s floor and made warm-run ``entries_added`` flap
+        # between 0 and 2 (round-5 close). 5 s keeps the warm-run
+        # invariant (entries_added == 0) deterministic on any host.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         _cache_entries_at_start = _count_cache_entries(loc)
     except Exception as e:
         print(f"warning: compile cache disabled ({e})")
